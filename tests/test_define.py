@@ -1,0 +1,118 @@
+"""Define stage + jagged reductions on the reference's literal micro-fixtures
+(ref: /root/reference/tests/define/test_reductions.py:7-9 jagged lists)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fast_carpenter_spark.operators.define import (
+    DefineStage,
+    Variable,
+    compile_variable,
+    reduction_sql,
+)
+
+JAGGED = [[0.0, 1.1, 2.2], [3.3, 4.4], [5.5], [6.6, 7.7, 8.8], [9.9, 10.0, 11.0], []]
+
+
+@pytest.fixture(scope="module")
+def jagged_df(spark):
+    rows = [(i, v, float(i)) for i, v in enumerate(JAGGED)]
+    return spark.createDataFrame(rows, "id int, a array<double>, s double")
+
+
+def _col(df, sql, name="v"):
+    return [r.v for r in df.selectExpr("id", f"{sql} AS v").orderBy("id").collect()]
+
+
+def test_reduce_nth(jagged_df):
+    got = _col(jagged_df, reduction_sql(1, "a"))
+    assert got == [1.1, 4.4, None, 7.7, 10.0, None]
+    got = _col(jagged_df, reduction_sql(-1, "a"))
+    assert got == [2.2, 4.4, 5.5, 8.8, 11.0, None]
+    got = _col(jagged_df, reduction_sql(1, "a", fill_missing=-1.0))
+    assert got == [1.1, 4.4, -1.0, 7.7, 10.0, -1.0]
+
+
+def test_reduce_sum_prod(jagged_df):
+    got = _col(jagged_df, reduction_sql("sum", "a"))
+    assert got == pytest.approx([3.3, 7.7, 5.5, 23.1, 30.9, 0.0])
+    got = _col(jagged_df, reduction_sql("prod", "a"))
+    assert got == pytest.approx([0.0, 14.52, 5.5, 447.216, 1089.0, 1.0])
+
+
+def test_reduce_minmax_counts(jagged_df):
+    assert _col(jagged_df, reduction_sql("max", "a")) == [2.2, 4.4, 5.5, 8.8, 11.0, None]
+    assert _col(jagged_df, reduction_sql("min", "a")) == [0.0, 3.3, 5.5, 6.6, 9.9, None]
+    assert _col(jagged_df, reduction_sql("counts", "a")) == [3, 2, 1, 3, 3, 0]
+    assert _col(jagged_df, reduction_sql("count_nonzero", "a")) == [2, 2, 1, 3, 3, 0]
+
+
+def test_reduce_argmax(jagged_df):
+    # empty arrays -> NULL (awkward argmax of [] is None)
+    assert _col(jagged_df, reduction_sql("argmax", "a")) == [2, 1, 0, 2, 2, None]
+    assert _col(jagged_df, reduction_sql("argmin", "a")) == [0, 0, 0, 0, 0, None]
+
+
+def test_reduce_any_all(spark):
+    df = spark.createDataFrame(
+        [(0, [True, False]), (1, [True, True]), (2, []), (3, [False])],
+        "id int, a array<boolean>",
+    )
+    got = [r.v for r in df.selectExpr("id", reduction_sql("any", "a") + " AS v").orderBy("id").collect()]
+    assert got == [True, True, False, False]
+    got = [r.v for r in df.selectExpr("id", reduction_sql("all", "a") + " AS v").orderBy("id").collect()]
+    assert got == [False, True, True, False]
+
+
+def test_define_scalar(jagged_df):
+    stage = DefineStage.from_config("d", [{"s2": "s ** 2 + 1"}])
+    out = stage.apply(jagged_df).orderBy("id").collect()
+    assert [r.s2 for r in out] == pytest.approx([1.0, 2.0, 5.0, 10.0, 17.0, 26.0])
+
+
+def test_define_jagged_elementwise(jagged_df):
+    stage = DefineStage.from_config("d", [{"a2": "a * 2 + s"}])
+    out = stage.apply(jagged_df).orderBy("id").collect()
+    assert list(out[1].a2) == pytest.approx([7.6, 9.8])  # [3.3*2+1, 4.4*2+1]
+    assert list(out[5].a2) == []
+
+
+def test_define_jagged_reduce_with_mask(jagged_df):
+    stage = DefineStage.from_config(
+        "d", [{"big_sum": {"formula": "a * 1.0", "mask": "a > 5.0", "reduce": "sum"}}]
+    )
+    out = stage.apply(jagged_df).orderBy("id").collect()
+    assert [r.big_sum for r in out] == pytest.approx([0.0, 0.0, 5.5, 23.1, 30.9, 0.0])
+
+
+def test_define_reduce_nth(jagged_df):
+    stage = DefineStage.from_config(
+        "d", [{"first": {"formula": "a + 0.0", "reduce": 0, "fill_missing": -99.0}}]
+    )
+    out = stage.apply(jagged_df).orderBy("id").collect()
+    assert [r.first for r in out] == pytest.approx([0.0, 3.3, 5.5, 6.6, 9.9, -99.0])
+
+
+def test_define_overwrite_forbidden(jagged_df):
+    stage = DefineStage.from_config("d", [{"s": "s + 1"}])
+    with pytest.raises(ValueError, match="overwrite forbidden"):
+        stage.apply(jagged_df)
+
+
+def test_define_sees_earlier_variables(jagged_df):
+    stage = DefineStage.from_config("d", [{"t": "s + 1"}, {"u": "t * 2"}])
+    out = stage.apply(jagged_df).orderBy("id").collect()
+    assert [r.u for r in out] == pytest.approx([2.0, 4.0, 6.0, 8.0, 10.0, 12.0])
+
+
+def test_define_two_jagged_inputs(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0], [10.0, 20.0]), (1, [3.0], [30.0])],
+        "id int, a array<double>, b array<double>",
+    )
+    stage = DefineStage.from_config("d", [{"ab": "a + b"}])
+    out = stage.apply(df).orderBy("id").collect()
+    assert list(out[0].ab) == pytest.approx([11.0, 22.0])
+    assert list(out[1].ab) == pytest.approx([33.0])
