@@ -179,6 +179,12 @@ def _emit(node: ast.AST, subs: dict[str, str], valid: set[str] | None) -> str:
         left = _emit(node.left, subs, valid)
         right = _emit(node.right, subs, valid)
         if isinstance(node.op, ast.Pow):
+            # small integer exponents compile to multiplication: exact IEEE
+            # parity across engines (POWER/pow is not correctly rounded and
+            # differs by ulps between libm implementations)
+            if isinstance(node.right, ast.Constant) and node.right.value in (2, 3):
+                reps = [f"({left})"] * int(node.right.value)
+                return "(" + " * ".join(reps) + ")"
             return f"POWER({left}, {right})"
         if isinstance(node.op, ast.BitAnd):
             return f"(({left}) AND ({right}))"

@@ -1,0 +1,472 @@
+"""Driver-contract queries: each entry pairs a Spark implementation with an
+independent DuckDB oracle over the same parquet tables.
+
+Every operator from SURVEY.md §2 that is implemented gets an entry here;
+``__spark_entry__.py`` re-exports them.  Column names are aliased
+identically on both sides (driver hashes values after sorting columns by
+name).  All weights/values are designed to be order-insensitive under
+double addition (binary fractions / integers), so hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import grid, synth
+from .operators.binned import BinnedDataframeStage, Dimension
+from .operators.define import DefineStage
+from .operators.selection import (
+    CutFlowStage,
+    SelectPhaseSpaceStage,
+    compile_tree,
+    oracle_counters_sql,
+    parse_selection,
+    spark_leaf_sql,
+)
+from .operators.systematics import SystematicWeightsStage
+from .spatial.join import SpatialJoinStage
+from .spatial.knn import knn_bounded, knn_oracle_sql
+from .spatial.pip import pip_oracle_sql
+from .spatial.raster import raster_vector_join
+
+BASE_RES = 16
+TILE_RES = 8
+COARSE_RES = 4
+REGION_RES = 6
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df.createOrReplaceTempView("documents")
+    return df
+
+
+def flat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_documents(spark, sf_dir)
+    return spark.sql(synth.flat_spans_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# 1. synthesis / explode / projection
+# ---------------------------------------------------------------------------
+
+
+def q_spans_flat(spark, sf_dir):
+    """Interleaved spans, exploded with geometry (S4/S5 scans + A2 explode)."""
+    return flat_spans(spark, sf_dir)
+
+
+O_SPANS_FLAT = synth.flat_spans_sql("duck")
+
+
+def q_cell_encode(spark, sf_dir):
+    """Hierarchical cell encode at base + parent resolution (grid core)."""
+    df = flat_spans(spark, sf_dir)
+    cell = grid.cell_sql("lon", "lat", BASE_RES, "spark")
+    return df.select(
+        "doc_id", "span_idx", "lon", "lat",
+        F.expr(cell).alias("cell16"),
+        F.expr(grid.parent_sql(cell, BASE_RES, TILE_RES, "spark")).alias("cell8"),
+    )
+
+
+_d_cell = grid.cell_sql("lon", "lat", BASE_RES, "duck")
+O_CELL_ENCODE = f"""
+SELECT doc_id, span_idx, lon, lat,
+       {_d_cell} AS cell16,
+       {grid.parent_sql(_d_cell, BASE_RES, TILE_RES, "duck")} AS cell8
+FROM ({O_SPANS_FLAT})
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. tile aggregation (BinnedDataframe analogue A1/A4/A5) + zoom rollup
+# ---------------------------------------------------------------------------
+
+
+def q_tile_agg(spark, sf_dir):
+    df = flat_spans(spark, sf_dir).withColumn(
+        "cell", F.expr(grid.cell_sql("lon", "lat", TILE_RES, "spark"))
+    )
+    stage = BinnedDataframeStage(name="tiles", binning=[{"in": "cell"}], weights={"w": "w"})
+    return stage.apply(df)
+
+
+O_TILE_AGG = f"""
+SELECT {grid.cell_sql('lon', 'lat', TILE_RES, 'duck')} AS cell,
+       count(*) AS n, sum(w) AS w_sumw, sum(w * w) AS w_sumw2
+FROM ({O_SPANS_FLAT})
+GROUP BY 1
+"""
+
+
+def q_tile_agg_dataset(spark, sf_dir):
+    """dataset-dimension variant (A5): `source` plays the dataset column."""
+    df = flat_spans(spark, sf_dir).withColumn(
+        "cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark"))
+    )
+    stage = BinnedDataframeStage(
+        name="tiles", binning=[{"in": "cell"}], weights={"w": "w"}, dataset_col="source"
+    )
+    return stage.apply(df)
+
+
+O_TILE_AGG_DATASET = f"""
+SELECT source, {grid.cell_sql('lon', 'lat', REGION_RES, 'duck')} AS cell,
+       count(*) AS n, sum(w) AS w_sumw, sum(w * w) AS w_sumw2
+FROM ({O_SPANS_FLAT})
+GROUP BY 1, 2
+"""
+
+
+def q_tile_rollup(spark, sf_dir):
+    """Zoom-out re-aggregation: tile level 8 -> 4 via parent cells — the
+    hypertable-rollup analogue (grouping-set rollup over the hierarchy)."""
+    tiles = q_tile_agg(spark, sf_dir)
+    return (
+        tiles.withColumn("cell4", F.expr(grid.parent_sql("cell", TILE_RES, COARSE_RES, "spark")))
+        .groupBy("cell4")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("w_sumw").alias("w_sumw"),
+            F.sum("w_sumw2").alias("w_sumw2"),
+        )
+    )
+
+
+O_TILE_ROLLUP = f"""
+SELECT {grid.parent_sql('cell', TILE_RES, COARSE_RES, 'duck')} AS cell4,
+       sum(n) AS n, sum(w_sumw) AS w_sumw, sum(w_sumw2) AS w_sumw2
+FROM ({O_TILE_AGG})
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Define (P1-P5) + jagged reductions (R1-R9)
+# ---------------------------------------------------------------------------
+
+
+def q_define_expr(spark, sf_dir):
+    """numexpr-dialect derived scalars through the transpiler."""
+    df = flat_spans(spark, sf_dir)
+    stage = DefineStage.from_config(
+        "define",
+        [
+            {"r": "sqrt(lon**2 + lat**2)"},
+            {"quadrant": "where((lon > 0) & (lat > 0), 1, 0)"},
+            # sqrt is correctly rounded (IEEE) in both engines — safe for
+            # exact parity; transcendentals (log/exp) are NOT oracle-checked
+            {"softlen": "sqrt(n_chars) * 2.0"},
+        ],
+    )
+    return stage.apply(df).select("doc_id", "span_idx", "r", "quadrant", "softlen")
+
+
+O_DEFINE_EXPR = f"""
+SELECT doc_id, span_idx,
+       SQRT(lon * lon + lat * lat) AS r,
+       CASE WHEN lon > 0 AND lat > 0 THEN 1 ELSE 0 END AS quadrant,
+       SQRT(n_chars) * 2.0 AS softlen
+FROM ({O_SPANS_FLAT})
+"""
+
+
+def q_jagged_reduce(spark, sf_dir):
+    """Array reductions over the nested spans table (R1/R2/R5/R7)."""
+    load_documents(spark, sf_dir)
+    df = spark.sql(synth.spans_table_sql("spark"))
+    return df.selectExpr(
+        "doc_id",
+        "size(spans) AS n_spans",
+        "aggregate(spans, CAST(0.0 AS DOUBLE), (acc, s) -> acc + CAST(s.offset AS DOUBLE)) AS sum_offset",
+        "array_max(transform(spans, s -> s.offset)) AS max_offset",
+        "try_element_at(spans, 1).kind AS first_kind",
+        "size(filter(spans, s -> s.kind = 'text')) AS n_text",
+    )
+
+
+O_JAGGED_REDUCE = f"""
+SELECT doc_id,
+       CAST(len(spans) AS INT) AS n_spans,
+       CAST(list_sum(list_transform(spans, s -> s['offset'])) AS DOUBLE) AS sum_offset,
+       list_max(list_transform(spans, s -> s['offset'])) AS max_offset,
+       list_extract(spans, 1)['kind'] AS first_kind,
+       CAST(len(list_filter(spans, s -> s['kind'] = 'text')) AS INT) AS n_text
+FROM ({synth.spans_table_sql('duck')})
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. CutFlow (F1-F6, A7-A9) / SelectPhaseSpace (F7)
+# ---------------------------------------------------------------------------
+
+CUTFLOW_SELECTION = {
+    "All": [
+        "n_chars > 100",
+        {"Any": ["kind == 'image'", "lon > 0.0"]},
+        "w < 1.2",
+    ]
+}
+CUTFLOW_WEIGHTS = {"w": "w"}
+
+
+def q_cutflow(spark, sf_dir):
+    df = flat_spans(spark, sf_dir)
+    stage = CutFlowStage(name="cutflow", selection=CUTFLOW_SELECTION, weights=CUTFLOW_WEIGHTS)
+    return stage.counters(df)
+
+
+def _oracle_cutflow_sql() -> str:
+    tree = parse_selection(CUTFLOW_SELECTION)
+
+    def duck_leaf(node):
+        from .expressions import compile_expression
+
+        return compile_expression(node.config)
+
+    _, specs = compile_tree(tree, duck_leaf)
+    return oracle_counters_sql(specs, O_SPANS_FLAT, CUTFLOW_WEIGHTS)
+
+
+O_CUTFLOW = _oracle_cutflow_sql()
+
+
+def q_cutflow_filter(spark, sf_dir):
+    """Surviving spans after the cut tree — span fields preserved exactly
+    (span-sequence equality invariant)."""
+    df = flat_spans(spark, sf_dir)
+    stage = CutFlowStage(name="cutflow", selection=CUTFLOW_SELECTION)
+    return stage.apply(df).select(
+        "doc_id", "span_idx", "kind", "span_text", "media_ref", "span_offset"
+    )
+
+
+def _oracle_cutflow_filter_sql() -> str:
+    tree = parse_selection(CUTFLOW_SELECTION)
+
+    def duck_leaf(node):
+        from .expressions import compile_expression
+
+        return compile_expression(node.config)
+
+    mask, _ = compile_tree(tree, duck_leaf)
+    return (
+        f"SELECT doc_id, span_idx, kind, span_text, media_ref, span_offset "
+        f"FROM ({O_SPANS_FLAT}) WHERE {mask}"
+    )
+
+
+O_CUTFLOW_FILTER = _oracle_cutflow_filter_sql()
+
+
+def q_select_phasespace(spark, sf_dir):
+    df = flat_spans(spark, sf_dir)
+    stage = SelectPhaseSpaceStage(
+        name="ps", selection={"All": ["n_chars > 200", "lat < 0.0"]}, region_name="south_long"
+    )
+    return stage.apply(df).select("doc_id", "span_idx", "south_long")
+
+
+O_SELECT_PHASESPACE = f"""
+SELECT doc_id, span_idx, ((n_chars > 200) AND (lat < 0.0)) AS south_long
+FROM ({O_SPANS_FLAT})
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. spatial join (cell cover + PIP refine), kNN, raster<->vector
+# ---------------------------------------------------------------------------
+
+
+def q_pip_join(spark, sf_dir):
+    df = flat_spans(spark, sf_dir)
+    stage = SpatialJoinStage(name="sj", polygons=synth.polygons())
+    out = stage.apply(df)
+    return out.select("doc_id", "span_offset", "poly_id", "region")
+
+
+O_PIP_JOIN = pip_oracle_sql(
+    O_SPANS_FLAT, synth.polygons_values_sql("duck"),
+    point_keys="doc_id, span_offset", extra_poly_cols="region",
+)
+
+
+def q_pip_anti(spark, sf_dir):
+    """Documents whose spans match NO polygon (anti-join complement)."""
+    df = flat_spans(spark, sf_dir)
+    stage = SpatialJoinStage(name="sj", polygons=synth.polygons())
+    matched = stage.apply(df).select("doc_id").distinct()
+    return df.select("doc_id").distinct().join(matched, "doc_id", "left_anti")
+
+
+O_PIP_ANTI = f"""
+SELECT DISTINCT doc_id FROM ({O_SPANS_FLAT})
+WHERE doc_id NOT IN (SELECT doc_id FROM ({O_PIP_JOIN}))
+"""
+
+
+def q_pip_tile_agg(spark, sf_dir):
+    """FLAGSHIP: spatial join -> per (region, tile) weighted aggregation.
+    Pair weight = doc weight x polygon weight (exact binary fractions)."""
+    df = flat_spans(spark, sf_dir)
+    stage = SpatialJoinStage(name="sj", polygons=synth.polygons())
+    joined = stage.apply(df).withColumn(
+        "cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark"))
+    ).withColumn("pw", F.col("w") * F.col("weight"))
+    agg = BinnedDataframeStage(
+        name="tiles", binning=[{"in": "region"}, {"in": "cell"}], weights={"pw": "pw"}
+    )
+    return agg.apply(joined)
+
+
+O_PIP_TILE_AGG = f"""
+WITH pairs AS (
+  SELECT p.doc_id, p.span_offset, p.lon, p.lat, p.w, e.poly_id, e.region, e.weight
+  FROM ({O_SPANS_FLAT}) p, (
+    SELECT poly_id, region, weight,
+           list_extract(ring_lon, i) AS x1, list_extract(ring_lat, i) AS y1,
+           list_extract(ring_lon, 1 + i % len(ring_lon)) AS x2,
+           list_extract(ring_lat, 1 + i % len(ring_lon)) AS y2
+    FROM (SELECT *, unnest(range(1, len(ring_lon) + 1)) AS i FROM {synth.polygons_values_sql('duck')})
+  ) e
+  GROUP BY ALL
+  HAVING SUM(CASE WHEN ((y1 > lat) != (y2 > lat))
+                   AND (lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1)
+             THEN 1 ELSE 0 END) % 2 = 1
+)
+SELECT region, {grid.cell_sql('lon', 'lat', REGION_RES, 'duck')} AS cell,
+       count(*) AS n, sum(w * weight) AS pw_sumw,
+       sum((w * weight) * (w * weight)) AS pw_sumw2
+FROM pairs
+GROUP BY 1, 2
+"""
+
+
+KNN_RES, KNN_RING, KNN_K = 5, 1, 3
+
+
+def q_knn(spark, sf_dir):
+    """Bounded-ring kNN over doc representative points (first span)."""
+    pts = flat_spans(spark, sf_dir).filter("span_idx = 0").select("doc_id", "lon", "lat")
+    return knn_bounded(pts, res=KNN_RES, ring=KNN_RING, k=KNN_K)
+
+
+O_KNN = knn_oracle_sql(
+    f"SELECT doc_id, lon, lat FROM ({O_SPANS_FLAT}) WHERE span_idx = 0",
+    res=KNN_RES, ring=KNN_RING, k=KNN_K,
+)
+
+
+def q_raster_join(spark, sf_dir):
+    df = flat_spans(spark, sf_dir).select("doc_id", "span_idx", "lon", "lat")
+    return raster_vector_join(df, res=REGION_RES).select(
+        "doc_id", "span_idx", "tile_id", "tile_value"
+    )
+
+
+O_RASTER_JOIN = f"""
+SELECT p.doc_id, p.span_idx, r.tile_id, r.tile_value
+FROM ({O_SPANS_FLAT}) p
+JOIN ({synth.raster_sql('duck', REGION_RES)}) r
+  ON {grid.cell_sql('p.lon', 'p.lat', REGION_RES, 'duck')} = r.tile_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. classic BinnedDataframe on a scalar column + systematics + skim
+# ---------------------------------------------------------------------------
+
+_NCHARS_DIM = {"in": "n_chars", "out": "nchars_bin",
+               "bins": {"nbins": 10, "low": 0.0, "high": 500.0}}
+
+
+def q_binned_1d(spark, sf_dir):
+    df = load_documents(spark, sf_dir).withColumn(
+        "w", F.expr(synth.doc_weight_sql())
+    )
+    stage = BinnedDataframeStage(name="hist", binning=[_NCHARS_DIM], weights={"w": "w"})
+    return stage.apply(df)
+
+
+_dim = Dimension.from_config(_NCHARS_DIM)
+O_BINNED_1D = f"""
+WITH base AS (
+  SELECT *, {synth.doc_weight_sql()} AS w,
+         {_dim.index_sql('duck')} AS nchars_bin
+  FROM documents
+)
+SELECT nchars_bin, count(*) AS n, sum(w) AS w_sumw, sum(w * w) AS w_sumw2,
+       {_dim.lo_hi_sql('nchars_bin', 'duck')[0]} AS nchars_bin_lo,
+       {_dim.lo_hi_sql('nchars_bin', 'duck')[1]} AS nchars_bin_hi
+FROM base GROUP BY nchars_bin
+"""
+
+
+def q_systematics(spark, sf_dir):
+    df = load_documents(spark, sf_dir).withColumn("w", F.expr(synth.doc_weight_sql()))
+    stage = SystematicWeightsStage(
+        name="syst",
+        weights={
+            "scale": {"nominal": "w", "up": "w * 1.25", "down": "w * 0.75"},
+            "trig": {"nominal": "CAST(1.0 AS DOUBLE)", "up": "CAST(1.0625 AS DOUBLE)"},
+        },
+    )
+    return stage.apply(df).select(
+        "doc_id", "weight_nominal", "weight_scale_up", "weight_scale_down", "weight_trig_up"
+    )
+
+
+O_SYSTEMATICS = f"""
+SELECT doc_id,
+       ({synth.doc_weight_sql()}) * 1.0 AS weight_nominal,
+       (({synth.doc_weight_sql()}) * 1.25) * 1.0 AS weight_scale_up,
+       (({synth.doc_weight_sql()}) * 0.75) * 1.0 AS weight_scale_down,
+       ({synth.doc_weight_sql()}) * 1.0625 AS weight_trig_up
+FROM documents
+"""
+
+
+def q_skim(spark, sf_dir):
+    """Event-level skim (A10): masked projection of span collections."""
+    from .operators.skim import EventByEventDataframeStage
+
+    df = flat_spans(spark, sf_dir)
+    stage = EventByEventDataframeStage(
+        name="skim",
+        collections=["doc_id", "span_idx", "kind", "n_chars"],
+        mask="n_chars > 300",
+        flatten=False,
+    )
+    return stage.apply(df)
+
+
+O_SKIM = f"""
+SELECT doc_id, span_idx, kind, n_chars FROM ({O_SPANS_FLAT}) WHERE n_chars > 300
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "spans_flat": (q_spans_flat, O_SPANS_FLAT),
+    "cell_encode": (q_cell_encode, O_CELL_ENCODE),
+    "tile_agg": (q_tile_agg, O_TILE_AGG),
+    "tile_agg_dataset": (q_tile_agg_dataset, O_TILE_AGG_DATASET),
+    "tile_rollup": (q_tile_rollup, O_TILE_ROLLUP),
+    "define_expr": (q_define_expr, O_DEFINE_EXPR),
+    "jagged_reduce": (q_jagged_reduce, O_JAGGED_REDUCE),
+    "cutflow": (q_cutflow, O_CUTFLOW),
+    "cutflow_filter": (q_cutflow_filter, O_CUTFLOW_FILTER),
+    "select_phasespace": (q_select_phasespace, O_SELECT_PHASESPACE),
+    "pip_join": (q_pip_join, O_PIP_JOIN),
+    "pip_anti": (q_pip_anti, O_PIP_ANTI),
+    "pip_tile_agg": (q_pip_tile_agg, O_PIP_TILE_AGG),
+    "knn": (q_knn, O_KNN),
+    "raster_join": (q_raster_join, O_RASTER_JOIN),
+    "binned_1d": (q_binned_1d, O_BINNED_1D),
+    "systematics": (q_systematics, O_SYSTEMATICS),
+    "skim": (q_skim, O_SKIM),
+}
