@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``      — exact brute-force top-k for a query subset: the
+  correctness baseline.  Dot products via zip_with/aggregate (ordered fold
+  in double -> bit-identical to the DuckDB oracle's ordered list_reduce).
+* ``lsh_cosine_topk``  — the scale path: random-hyperplane LSH buckets
+  (deterministic integer "hyperplanes", so the oracle reproduces them);
+  candidates only meet within a bucket — a hash shuffle join instead of a
+  cross join.  At 10^12 rows the bucket join is the only feasible shape;
+  brute force stays as the small-query / rerank kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+N_PLANES = 8
+DIM = 64
+
+
+def dot_sql(a: str, b: str, dialect: str) -> str:
+    """Ordered-fold dot product in double (identical in both engines)."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST(list_extract({a}, i) AS DOUBLE) * CAST(list_extract({b}, i) AS DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def norm_sql(a: str, dialect: str) -> str:
+    return f"SQRT({dot_sql(a, a, dialect)})"
+
+
+def cosine_sql(a: str, b: str, dialect: str) -> str:
+    return f"({dot_sql(a, b, dialect)} / ({norm_sql(a, dialect)} * {norm_sql(b, dialect)}))"
+
+
+def hyperplane_sql(j: int, dim: int, dialect: str) -> str:
+    """Deterministic pseudo-random hyperplane j as array<double>:
+    hp[i] = ((i * 2654435761 + j * 40503 + 12345) % 2000001) - 1000000."""
+    body = f"CAST(((i * 2654435761 + {j} * 40503 + 12345) % 2000001) - 1000000 AS DOUBLE)"
+    if dialect == "spark":
+        return f"transform(sequence(0, {dim - 1}), i -> {body})"
+    return f"list_transform(range(0, {dim}), i -> {body})"
+
+
+def lsh_bucket_sql(vec: str, dialect: str, n_planes: int = N_PLANES, dim: int = DIM) -> str:
+    """Sign-bit bucket id: bit j = (vec . hp_j) > 0."""
+    parts = []
+    for j in range(n_planes):
+        hp = hyperplane_sql(j, dim, dialect)
+        parts.append(
+            f"CASE WHEN {dot_sql(vec, hp, dialect)} > 0.0 THEN {1 << j} ELSE 0 END"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def cosine_topk(
+    emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5
+) -> DataFrame:
+    """Exact brute-force: top-k neighbours per query vector.
+    Output: (query_id, neighbor_id, rank, cos)."""
+    q = emb.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    pairs = F.broadcast(q).crossJoin(c).filter("query_id != neighbor_id")
+    pairs = pairs.withColumn("cos", F.expr(cosine_sql("qv", "cv", "spark")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def cosine_topk_oracle_sql(*, query_filter: str = "vec_id % 50 = 0", k: int = 5) -> str:
+    cos = cosine_sql("q.embedding", "c.embedding", "duck")
+    return f"""
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos} AS cos,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rank
+  FROM (SELECT * FROM embeddings WHERE {query_filter}) q
+  JOIN embeddings c ON q.vec_id != c.vec_id
+) WHERE rank <= {k}
+"""
+
+
+def lsh_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, bucket) — map-side only; the scale path groups/joins on this."""
+    return emb.select(
+        "vec_id", F.expr(lsh_bucket_sql("embedding", "spark")).alias("bucket")
+    )
+
+
+def lsh_bucket_oracle_sql() -> str:
+    return f"""
+SELECT vec_id, {lsh_bucket_sql('embedding', 'duck')} AS bucket FROM embeddings
+"""
+
+
+def lsh_cosine_topk(emb: DataFrame, *, k: int = 3) -> DataFrame:
+    """Bucketed ANN: exact cosine rank WITHIN each LSH bucket.
+    Output: (query_id, neighbor_id, rank, cos) — approximate global top-k."""
+    b = lsh_buckets(emb).join(emb, "vec_id")
+    a = b.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket"
+    )
+    pairs = a.join(c, "bucket").filter("query_id != neighbor_id")
+    pairs = pairs.withColumn("cos", F.expr(cosine_sql("qv", "cv", "spark")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def lsh_cosine_topk_oracle_sql(*, k: int = 3) -> str:
+    cos = cosine_sql("a.embedding", "b.embedding", "duck")
+    bucket_a = lsh_bucket_sql("a.embedding", "duck")
+    bucket_b = lsh_bucket_sql("b.embedding", "duck")
+    return f"""
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {cos} AS cos,
+         row_number() OVER (PARTITION BY a.vec_id ORDER BY {cos} DESC, b.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b
+    ON ({bucket_a}) = ({bucket_b}) AND a.vec_id != b.vec_id
+) WHERE rank <= {k}
+"""

@@ -1,0 +1,189 @@
+"""Deduplication at training-data scale: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.  All hot paths are Spark built-ins (transform / aggregate /
+explode / joins) — JVM codegen, no Python in the loop — and every
+arithmetic step has an exact DuckDB twin for the oracle.
+
+Scale notes (designed for 10^9+ docs):
+* exact dedup        — one hash-groupBy on the text fingerprint;
+* MinHash+LSH        — signatures map-side; candidate pairs come from a
+  shuffle self-join keyed by (band, band-hash): only same-bucket docs meet,
+  never the full cross product;
+* n-gram Jaccard     — posting-list self-join on shingle hash with
+  per-shingle frequency capping (hot shingles are dropped like hot cells);
+* SimHash            — 32-bit fingerprint map-side; near-dup = same
+  fingerprint bucket (or Hamming<=k via multi-probe of bit-flipped keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import HASH_MOD, ngram_hashes_sql, text_hash_sql, token_hashes_sql
+
+N_HASHES = 8  # minhash signature length
+N_BANDS = 4  # LSH bands (rows per band = N_HASHES / N_BANDS)
+LSH_MOD = 1_000_000_009
+
+
+def _minhash_j_sql(hashes: str, j: int, dialect: str) -> str:
+    """j-th minhash: min over token hashes of (a_j*h + b_j) % M, with
+    a_j = 2j+1 (odd), b_j = 12345*j + 1.  NULL for empty token sets."""
+    a, b = 2 * j + 1, 12345 * j + 1
+    if dialect == "spark":
+        return f"array_min(transform({hashes}, h -> ({a} * h + {b}) % {HASH_MOD}))"
+    return f"list_min(list_transform({hashes}, h -> ({a} * h + {b}) % {HASH_MOD}))"
+
+
+def minhash_signature_sql(text: str, dialect: str, n: int = N_HASHES) -> str:
+    hashes = token_hashes_sql(text, dialect)
+    parts = ", ".join(_minhash_j_sql("_th", j, dialect) for j in range(n))
+    if dialect == "spark":
+        body = f"array({parts})"
+        # bind _th once via a lambda-less trick: inline (hashes) everywhere
+        return body.replace("_th", f"({hashes})")
+    return f"[{parts}]".replace("_th", f"({hashes})")
+
+
+def band_keys_sql(sig: str, dialect: str, n_bands: int = N_BANDS) -> str:
+    """LSH band keys: band b hashes its signature rows together.
+    key_b = (sig[2b] * 1000003 + sig[2b+1]) % LSH_MOD  (rows-per-band = 2)."""
+    rows = N_HASHES // n_bands
+    assert rows == 2, "band key formula assumes 2 rows per band"
+    parts = []
+    for b in range(n_bands):
+        i, j = rows * b + 1, rows * b + 2
+        if dialect == "spark":
+            parts.append(
+                f"(try_element_at({sig}, {i}) * 1000003 + try_element_at({sig}, {j})) % {LSH_MOD}"
+            )
+        else:
+            parts.append(
+                f"(list_extract({sig}, {i}) * 1000003 + list_extract({sig}, {j})) % {LSH_MOD}"
+            )
+    return f"array({', '.join(parts)})" if dialect == "spark" else f"[{', '.join(parts)}]"
+
+
+def simhash_sql(text: str, dialect: str, bits: int = 32) -> str:
+    """SimHash fingerprint: bit k set iff sum over tokens of
+    (((h >> k) & 1) * 2 - 1) > 0.  NULL-free: empty docs -> 0."""
+    hashes = token_hashes_sql(text, dialect)
+    if dialect == "spark":
+        inner = (
+            f"aggregate(_th, CAST(0 AS BIGINT), "
+            f"(a, h) -> a + (CAST(shiftright(h, k) AS BIGINT) % 2) * 2 - 1)"
+        )
+        out = (
+            f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+            f"(acc, k) -> acc + CASE WHEN ({inner}) > 0 THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END)"
+        )
+    else:
+        inner = (
+            f"list_sum(list_transform(_th, h -> ((h >> k) & 1) * 2 - 1))"
+        )
+        out = (
+            f"list_sum(list_transform(range(0, {bits}), "
+            f"k -> CASE WHEN COALESCE(({inner}), 0) > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))"
+        )
+        out = f"COALESCE({out}, 0)"
+    return out.replace("_th", f"({hashes})")
+
+
+# ---------------------------------------------------------------------------
+# Spark pipelines
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fingerprint, canonical_doc_id, n_dups): exact duplicate groups via
+    one hash-groupBy on the rolling-hash fingerprint."""
+    fp = text_hash_sql(text_col, "spark")
+    return (
+        docs.withColumn("fingerprint", F.expr(fp))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) from MinHash band collisions,
+    verified with exact token-set Jaccard.  Shuffle key = (band, key)."""
+    sig = minhash_signature_sql("_text", "spark")
+    keys = band_keys_sql("sig", "spark")
+    with_keys = (
+        docs.select("doc_id", F.col(text_col).alias("_text"))
+        .withColumn("sig", F.expr(sig))
+        .withColumn("tokset", F.expr(
+            f"array_distinct({token_hashes_sql('_text', 'spark')})"
+        ))
+        .select("doc_id", "tokset", F.posexplode(F.expr(keys)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_key")
+    )
+    a = with_keys.select(
+        F.col("doc_id").alias("doc_a"), F.col("tokset").alias("tok_a"),
+        "band", "band_key",
+    )
+    b = with_keys.select(
+        F.col("doc_id").alias("doc_b"), F.col("tokset").alias("tok_b"),
+        "band", "band_key",
+    )
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "tok_a", "tok_b")
+        .distinct()
+    )
+    jac = (
+        "CAST(size(array_intersect(tok_a, tok_b)) AS DOUBLE) / "
+        "CAST(size(array_union(tok_a, tok_b)) AS DOUBLE)"
+    )
+    return (
+        pairs.withColumn("jaccard", F.expr(jac))
+        .select("doc_a", "doc_b", "jaccard")
+        .distinct()
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "doc_id", F.expr(simhash_sql(text_col, "spark")).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3,
+    threshold: float = 0.2, max_posting: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by n-gram shingle Jaccard via posting-list self-join.
+
+    Per-shingle postings above ``max_posting`` are dropped (hot-key cap —
+    the text analogue of hot-cell salting; a shingle shared by >1000 docs
+    carries no signal and would quadratically blow up the join)."""
+    shingles = ngram_hashes_sql(text_col, n, "spark")
+    base = docs.select(
+        "doc_id",
+        F.expr(f"array_distinct({shingles})").alias("sh"),
+    ).withColumn("n_sh", F.expr("size(sh)")).filter("n_sh > 0")
+    posts = base.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    hot = posts.groupBy("shingle").count().filter(F.col("count") > max_posting)
+    posts = posts.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a = posts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = posts.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.expr("CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE)"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

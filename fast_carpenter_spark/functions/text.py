@@ -1,0 +1,127 @@
+"""Text analysis for training-data pipelines: tokenization, portable token
+hashing, language-ID heuristic, quality scoring, document fingerprinting.
+
+Everything is expressed as SQL over built-ins (split / transform /
+aggregate) so Spark keeps it in whole-stage codegen; each helper emits both
+Spark SQL and DuckDB SQL from the same arithmetic so oracle checks are
+exact.  The token hash is a polynomial rolling hash over character codes:
+
+    h(tok) = fold over chars c: (acc * 31 + ascii(c)) % 1_000_000_007
+
+(DuckDB's list_reduce has no init value — it seeds with the first element,
+which equals Spark's aggregate(0, ...) after one step, so the folds agree.)
+"""
+
+from __future__ import annotations
+
+HASH_MOD = 1_000_000_007
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "los", "y"],
+    "fr": ["le", "les", "et", "des", "un"],
+}
+
+
+def tokens_sql(text: str, dialect: str) -> str:
+    """Whitespace tokenization, empties dropped."""
+    if dialect == "spark":
+        return f"filter(split({text}, ' '), t -> length(t) > 0)"
+    return f"list_filter(string_split({text}, ' '), t -> length(t) > 0)"
+
+
+def token_hash_sql(tok: str, dialect: str) -> str:
+    """Polynomial rolling hash of one token (BIGINT, < 1e9+7)."""
+    if dialect == "spark":
+        return (
+            f"aggregate(sequence(1, length({tok})), CAST(0 AS BIGINT), "
+            f"(acc, i) -> (acc * 31 + ascii(substring({tok}, i, 1))) % {HASH_MOD})"
+        )
+    return (
+        f"list_reduce(list_transform(range(1, length({tok}) + 1), "
+        f"i -> CAST(ascii(substr({tok}, i, 1)) AS BIGINT)), "
+        f"(acc, c) -> (acc * 31 + c) % {HASH_MOD})"
+    )
+
+
+def token_hashes_sql(text: str, dialect: str) -> str:
+    """array<bigint> of token hashes for a text column."""
+    toks = tokens_sql(text, dialect)
+    if dialect == "spark":
+        return f"transform({toks}, _t -> {token_hash_sql('_t', 'spark')})"
+    return f"list_transform({toks}, _t -> {token_hash_sql('_t', 'duck')})"
+
+
+def text_hash_sql(text: str, dialect: str) -> str:
+    """Whole-document rolling-hash fingerprint (includes spaces/order)."""
+    return token_hash_sql(text, dialect)
+
+
+def ngram_hashes_sql(text: str, n: int, dialect: str) -> str:
+    """Hashes of token n-gram shingles: h = sum_i h_tok[i] * 31^(n-1-i) mod M.
+    Empty when the document has fewer than ``n`` tokens."""
+    hs = token_hashes_sql(text, dialect)
+    if dialect == "spark":
+        parts = " + ".join(
+            f"try_element_at(_hs, _i + {j + 1}) * {31 ** (n - 1 - j)}" for j in range(n)
+        )
+        body = (
+            f"transform(sequence(0, size(_hs) - {n}), _i -> ({parts}) % {HASH_MOD})"
+        )
+        return (
+            f"(CASE WHEN size({hs}) >= {n} THEN {body.replace('_hs', f'({hs})')} "
+            f"ELSE CAST(array() AS ARRAY<BIGINT>) END)"
+        )
+    parts = " + ".join(
+        f"list_extract(_hs, _i + {j + 1}) * {31 ** (n - 1 - j)}" for j in range(n)
+    )
+    body = f"list_transform(range(0, len(_hs) - {n} + 1), _i -> ({parts}) % {HASH_MOD})"
+    return (
+        f"(CASE WHEN len({hs}) >= {n} THEN {body.replace('_hs', f'({hs})')} "
+        f"ELSE CAST([] AS BIGINT[]) END)"
+    )
+
+
+def langid_scores_sql(text: str, dialect: str) -> dict[str, str]:
+    """Per-language stopword counts (multiplicity-aware)."""
+    toks = tokens_sql(text, dialect)
+    out = {}
+    for lang, words in STOPWORDS.items():
+        lit = ", ".join(f"'{w}'" for w in words)
+        if dialect == "spark":
+            out[lang] = f"size(filter({toks}, t -> array_contains(array({lit}), t)))"
+        else:
+            out[lang] = f"len(list_filter({toks}, t -> list_contains([{lit}], t)))"
+    return out
+
+
+def langid_pred_sql(text: str, dialect: str) -> str:
+    """argmax language with deterministic ties (fixed CASE order)."""
+    s = langid_scores_sql(text, dialect)
+    langs = list(STOPWORDS)
+    best = f"GREATEST({', '.join(s[l] for l in langs)})"
+    cases = " ".join(f"WHEN {s[l]} = _best THEN '{l}'" for l in langs)
+    # evaluated in declared order -> first max wins (deterministic)
+    expr = f"(CASE {cases} ELSE 'unk' END)"
+    # inline _best
+    return expr.replace("_best", best)
+
+
+def quality_score_sql(text: str, dialect: str) -> str:
+    """Composite quality score from length / token / stopword features.
+    Pure arithmetic on identical doubles -> exact cross-engine parity."""
+    toks = tokens_sql(text, dialect)
+    n_tok = f"size({toks})" if dialect == "spark" else f"len({toks})"
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    lit = ", ".join(f"'{w}'" for w in all_stop)
+    if dialect == "spark":
+        n_stop = f"size(filter({toks}, t -> array_contains(array({lit}), t)))"
+    else:
+        n_stop = f"len(list_filter({toks}, t -> list_contains([{lit}], t)))"
+    n_chars = f"length({text})"
+    return (
+        f"(0.3 * LEAST(CAST({n_tok} AS DOUBLE) / 64.0, 1.0) "
+        f"+ 0.4 * (CAST({n_stop} AS DOUBLE) / CAST(GREATEST({n_tok}, 1) AS DOUBLE)) "
+        f"+ 0.3 * LEAST(CAST({n_chars} AS DOUBLE) / 512.0, 1.0))"
+    )

@@ -54,6 +54,12 @@ def axis_sql(coord_expr: str, res: int, *, lo: float, span: float, dialect: str)
     """
     n = 1 << res
     raw = f"FLOOR((({coord_expr}) - ({lo!r})) / {span!r} * {float(n)!r})"
+    if dialect == "spark":
+        # Spark FLOOR(double) -> BIGINT; clamp in integer space (bare 0.0
+        # literals would drag the whole expression onto the DECIMAL path)
+        return f"LEAST(GREATEST({raw}, CAST(0 AS BIGINT)), CAST({n - 1} AS BIGINT))"
+    # DuckDB FLOOR -> DOUBLE; clamp in double, cast once (identical values:
+    # both are integral and < 2^53)
     return f"CAST(LEAST(GREATEST({raw}, 0.0), {float(n - 1)!r}) AS BIGINT)"
 
 

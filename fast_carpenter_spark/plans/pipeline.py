@@ -1,0 +1,135 @@
+"""Config-driven pipeline: an ordered list of stages threaded through one
+DataFrame — the reference's YAML "sequence" re-imagined
+(ref: fast_carpenter/__main__.py:66-84; stage protocol
+docs/processing_config.rst:94-140).
+
+A stage is anything with ``apply(df) -> df``; stages are validated eagerly
+at construction (the reference validates configs in stage constructors).
+Unlike the reference there is no per-chunk loop: each stage contributes
+lazy transformations and Catalyst plans the whole DAG at the sink.
+
+Config shape (dict or YAML text):
+
+    stages:
+      - define:       {variables: [{r: "sqrt(lon**2 + lat**2)"}]}
+      - cell_encode:  {res: 16, out: cell}
+      - hilbert_layout: {res: 16, partitions: 256}
+      - cutflow:      {selection: {All: [...]}, weights: {w: w}}
+      - select_phasespace: {selection: "...", region_name: sig}
+      - spatial_join: {strategy: broadcast}
+      - systematics:  {weights: {...}}
+      - binned_dataframe: {binning: [...], weights: {...}}
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import grid
+from ..operators.binned import BinnedDataframeStage
+from ..operators.define import DefineStage
+from ..operators.selection import CutFlowStage, SelectPhaseSpaceStage
+from ..operators.skim import EventByEventDataframeStage
+from ..operators.systematics import SystematicWeightsStage
+from ..spatial.join import SpatialJoinStage
+
+
+@dataclass
+class CellEncodeStage:
+    """Batched cell-ID assignment — the Define-like 'new variable' stage of
+    the spatial pipeline (north_star); pure codegen SQL."""
+
+    name: str
+    res: int = 16
+    out: str = "cell"
+    lon_col: str = "lon"
+    lat_col: str = "lat"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self.out in df.columns:
+            raise ValueError(f"column {self.out!r} already exists")
+        return df.withColumn(
+            self.out, F.expr(grid.cell_sql(self.lon_col, self.lat_col, self.res, "spark"))
+        )
+
+
+@dataclass
+class HilbertLayoutStage:
+    """Physical layout: range-partition on the Hilbert key of the cell —
+    space-filling locality so neighbouring cells land in the same
+    partitions (SURVEY.md §4 'partitioning we must add').  Arrow-batched
+    numpy kernel; used for layout only, never for results."""
+
+    name: str
+    res: int = 16
+    partitions: int = 32
+    cell_col: str = "cell"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        res = self.res
+
+        @F.pandas_udf(T.LongType())
+        def hkey(cell: pd.Series) -> pd.Series:
+            import numpy as np
+
+            from .. import grid as g
+
+            arr = cell.to_numpy(dtype="int64", na_value=0)
+            _, x, y = g.unpack_cells(arr)
+            return pd.Series(g.hilbert_key(x, y, res))
+
+        out = df.withColumn("_hkey", hkey(F.col(self.cell_col)))
+        return out.repartitionByRange(self.partitions, "_hkey").drop("_hkey")
+
+
+STAGE_TYPES = {
+    "define": lambda name, cfg: DefineStage.from_config(name, cfg["variables"]),
+    "cell_encode": lambda name, cfg: CellEncodeStage(name=name, **cfg),
+    "hilbert_layout": lambda name, cfg: HilbertLayoutStage(name=name, **cfg),
+    "cutflow": lambda name, cfg: CutFlowStage(name=name, **cfg),
+    "select_phasespace": lambda name, cfg: SelectPhaseSpaceStage(name=name, **cfg),
+    "spatial_join": lambda name, cfg: SpatialJoinStage(name=name, **cfg),
+    "systematics": lambda name, cfg: SystematicWeightsStage(name=name, **cfg),
+    "binned_dataframe": lambda name, cfg: BinnedDataframeStage(name=name, **cfg),
+    "skim": lambda name, cfg: EventByEventDataframeStage(name=name, **cfg),
+}
+
+
+class Pipeline:
+    def __init__(self, stages: list):
+        self.stages = stages
+
+    @classmethod
+    def from_config(cls, config: dict | str) -> "Pipeline":
+        if isinstance(config, str):
+            import yaml  # optional dependency; dict configs never need it
+
+            config = yaml.safe_load(config)
+        stages = []
+        for i, item in enumerate(config["stages"]):
+            if len(item) != 1:
+                raise ValueError("each stage must be a single {type: config} mapping")
+            ((stype, cfg),) = item.items()
+            if stype not in STAGE_TYPES:
+                raise ValueError(f"unknown stage type {stype!r}")
+            stages.append(STAGE_TYPES[stype](f"{stype}_{i}", cfg or {}))
+        return cls(stages)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for stage in self.stages:
+            df = stage.apply(df)
+        return df
+
+    def metrics(self) -> dict[str, DataFrame]:
+        """Post-run lineage metrics (cutflow counters) per stage."""
+        out = {}
+        for stage in self.stages:
+            counters = getattr(stage, "_last_counters", None)
+            if counters is not None:
+                out[stage.name] = counters
+        return out

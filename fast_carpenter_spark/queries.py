@@ -447,6 +447,143 @@ SELECT doc_id, span_idx, kind, n_chars FROM ({O_SPANS_FLAT}) WHERE n_chars > 300
 
 
 # ---------------------------------------------------------------------------
+# 7. training-data ops: dedup / similarity / text analysis / multimodal
+# ---------------------------------------------------------------------------
+
+from .functions import ann as _ann  # noqa: E402
+from .functions import dedup as _dedup  # noqa: E402
+from .functions import text as _text  # noqa: E402
+from .functions.media import decode_media_oracle_sql, decode_media_spans  # noqa: E402
+
+
+def q_dedup_exact(spark, sf_dir):
+    return _dedup.exact_dedup(load_documents(spark, sf_dir))
+
+
+O_DEDUP_EXACT = f"""
+SELECT {_text.text_hash_sql('text', 'duck')} AS fingerprint,
+       min(doc_id) AS canonical_doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return _dedup.minhash_lsh_pairs(load_documents(spark, sf_dir))
+
+
+def _o_minhash() -> str:
+    sig = _dedup.minhash_signature_sql("text", "duck")
+    keys = _dedup.band_keys_sql(f"({sig})", "duck")
+    tokset = f"list_distinct({_text.token_hashes_sql('text', 'duck')})"
+    return f"""
+WITH wk AS (
+  SELECT doc_id, {tokset} AS tokset, {keys} AS keys FROM documents
+),
+banded AS (
+  SELECT doc_id, tokset, b.b AS band, list_extract(keys, b.b + 1) AS band_key
+  FROM wk, (SELECT unnest(range(0, {_dedup.N_BANDS})) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tokset AS tok_a, b.tokset AS tok_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT DISTINCT doc_a, doc_b,
+       CAST(len(list_intersect(tok_a, tok_b)) AS DOUBLE) /
+       CAST(len(list_distinct(list_concat(tok_a, tok_b))) AS DOUBLE) AS jaccard
+FROM pairs
+"""
+
+
+O_MINHASH_LSH = _o_minhash()
+
+
+def q_simhash(spark, sf_dir):
+    return _dedup.simhash_fingerprints(load_documents(spark, sf_dir))
+
+
+O_SIMHASH = f"""
+SELECT doc_id, {_dedup.simhash_sql('text', 'duck')} AS simhash FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return _dedup.ngram_jaccard_pairs(load_documents(spark, sf_dir), threshold=0.2)
+
+
+O_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_text.ngram_hashes_sql('text', 3, 'duck')}) AS sh
+  FROM documents
+), nz AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       CAST(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) > 0
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      CAST(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.2
+"""
+
+
+def q_text_features(spark, sf_dir):
+    """Language-ID + quality score + token stats per document."""
+    df = load_documents(spark, sf_dir)
+    return df.selectExpr(
+        "doc_id",
+        "lang AS lang_true",
+        f"{_text.langid_pred_sql('text', 'spark')} AS lang_pred",
+        f"{_text.quality_score_sql('text', 'spark')} AS quality",
+        f"size({_text.tokens_sql('text', 'spark')}) AS n_tokens",
+        f"{_text.text_hash_sql('text', 'spark')} AS fingerprint",
+    )
+
+
+O_TEXT_FEATURES = f"""
+SELECT doc_id, lang AS lang_true,
+       {_text.langid_pred_sql('text', 'duck')} AS lang_pred,
+       {_text.quality_score_sql('text', 'duck')} AS quality,
+       CAST(len({_text.tokens_sql('text', 'duck')}) AS INT) AS n_tokens,
+       {_text.text_hash_sql('text', 'duck')} AS fingerprint
+FROM documents
+"""
+
+
+def _load_embeddings(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.createOrReplaceTempView("embeddings")
+    return df
+
+
+def q_ann_cosine(spark, sf_dir):
+    return _ann.cosine_topk(_load_embeddings(spark, sf_dir))
+
+
+O_ANN_COSINE = _ann.cosine_topk_oracle_sql()
+
+
+def q_ann_lsh_bucket(spark, sf_dir):
+    return _ann.lsh_buckets(_load_embeddings(spark, sf_dir))
+
+
+O_ANN_LSH_BUCKET = _ann.lsh_bucket_oracle_sql()
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return _ann.lsh_cosine_topk(_load_embeddings(spark, sf_dir))
+
+
+O_ANN_LSH_TOPK = _ann.lsh_cosine_topk_oracle_sql()
+
+
+def q_media_decode(spark, sf_dir):
+    return decode_media_spans(flat_spans(spark, sf_dir))
+
+
+O_MEDIA_DECODE = decode_media_oracle_sql(O_SPANS_FLAT)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -469,4 +606,13 @@ QUERIES = {
     "binned_1d": (q_binned_1d, O_BINNED_1D),
     "systematics": (q_systematics, O_SYSTEMATICS),
     "skim": (q_skim, O_SKIM),
+    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_minhash_lsh, O_MINHASH_LSH),
+    "dedup_simhash": (q_simhash, O_SIMHASH),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
+    "text_features": (q_text_features, O_TEXT_FEATURES),
+    "ann_cosine_topk": (q_ann_cosine, O_ANN_COSINE),
+    "ann_lsh_bucket": (q_ann_lsh_bucket, O_ANN_LSH_BUCKET),
+    "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
+    "media_decode": (q_media_decode, O_MEDIA_DECODE),
 }

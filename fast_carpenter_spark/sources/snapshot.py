@@ -1,0 +1,150 @@
+"""Iceberg-style snapshot source: parquet data files + a JSON manifest.
+
+The sandbox's pyspark ships no Iceberg jars, so snapshot semantics are
+emulated: a table directory holds immutable parquet files plus
+``manifest-<snapshot_id>.json`` listing the member files with per-file
+column bounds (min/max).  The engine reads through ``SnapshotReader`` so a
+real Iceberg catalog is a config swap — and file-level pruning against the
+manifest bounds mirrors how fast-carpenter prunes branches before reading
+(ref: fast_carpenter/expressions.py:25-41 get_branches;
+summary/binned_dataframe.py:207-214 potential_inputs).
+
+The data-import plugin registry mirrors the reference's
+(ref: fast_carpenter/data_import/__init__.py:6-41): named reader factories,
+user-registrable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_PREFIX = "manifest-"
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    table_path: str
+    files: list[dict]  # {path, rows, bounds: {col: [min, max]}}
+
+    @property
+    def file_paths(self) -> list[str]:
+        return [os.path.join(self.table_path, f["path"]) for f in self.files]
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_path: str,
+    *,
+    snapshot_id: str | None = None,
+    bounds_cols: list[str] | None = None,
+) -> Snapshot:
+    """Write df as a new snapshot: parquet files + manifest with per-file
+    min/max bounds for ``bounds_cols`` (partition-pruning metadata)."""
+    import pyarrow.parquet as pq
+
+    snapshot_id = snapshot_id or f"snap-{int(time.monotonic_ns())}"
+    data_dir = os.path.join(table_path, snapshot_id)
+    df.write.mode("overwrite").parquet(data_dir)
+
+    files = []
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        fpath = os.path.join(data_dir, name)
+        meta = pq.read_metadata(fpath)
+        bounds: dict[str, list] = {}
+        if bounds_cols:
+            schema_names = meta.schema.to_arrow_schema().names
+            for col in bounds_cols:
+                if col not in schema_names:
+                    continue
+                idx = schema_names.index(col)
+                mins, maxs = [], []
+                for rg in range(meta.num_row_groups):
+                    stats = meta.row_group(rg).column(idx).statistics
+                    if stats is None or not stats.has_min_max:
+                        mins, maxs = [], []
+                        break
+                    mins.append(stats.min)
+                    maxs.append(stats.max)
+                if mins:
+                    bounds[col] = [min(mins), max(maxs)]
+        files.append(
+            {
+                "path": os.path.join(snapshot_id, name),
+                "rows": meta.num_rows,
+                "bounds": bounds,
+            }
+        )
+    snap = Snapshot(snapshot_id, table_path, files)
+    manifest = os.path.join(table_path, f"{MANIFEST_PREFIX}{snapshot_id}.json")
+    with open(manifest, "w") as f:
+        json.dump({"snapshot_id": snapshot_id, "files": files}, f, indent=1)
+    return snap
+
+
+def list_snapshots(table_path: str) -> list[str]:
+    out = []
+    for name in sorted(os.listdir(table_path)):
+        if name.startswith(MANIFEST_PREFIX) and name.endswith(".json"):
+            out.append(name[len(MANIFEST_PREFIX):-len(".json")])
+    return out
+
+
+class SnapshotReader:
+    """Read a snapshot, optionally pruning files via manifest bounds."""
+
+    def __init__(self, table_path: str, snapshot_id: str | None = None):
+        self.table_path = table_path
+        sids = list_snapshots(table_path)
+        if not sids:
+            raise FileNotFoundError(f"no snapshots under {table_path}")
+        self.snapshot_id = snapshot_id or sids[-1]
+        with open(
+            os.path.join(table_path, f"{MANIFEST_PREFIX}{self.snapshot_id}.json")
+        ) as f:
+            m = json.load(f)
+        self.snapshot = Snapshot(self.snapshot_id, table_path, m["files"])
+
+    def prune(self, col: str, lo, hi) -> list[str]:
+        """Files whose [min,max] for ``col`` may intersect [lo, hi] —
+        manifest-level pruning (the engine's partition-pruning hook)."""
+        keep = []
+        for f in self.snapshot.files:
+            b = f["bounds"].get(col)
+            if b is None or not (b[1] < lo or b[0] > hi):
+                keep.append(os.path.join(self.table_path, f["path"]))
+        return keep
+
+    def load(self, spark: SparkSession, *, col=None, lo=None, hi=None) -> DataFrame:
+        paths = (
+            self.prune(col, lo, hi) if col is not None else self.snapshot.file_paths
+        )
+        if not paths:
+            raise ValueError("pruning removed all files; nothing to read")
+        return spark.read.parquet(*paths)
+
+
+# --- data-import plugin registry (ref: data_import/__init__.py:6-41) -------
+
+_PLUGINS: dict[str, object] = {}
+
+
+def register_data_import_plugin(name: str, factory) -> None:
+    _PLUGINS[name] = factory
+
+
+def get_data_import_plugin(name: str, **cfg):
+    if name == "parquet":
+        return lambda spark, path: spark.read.parquet(path)
+    if name == "snapshot":
+        return lambda spark, path: SnapshotReader(path, **cfg).load(spark)
+    if name in _PLUGINS:
+        return _PLUGINS[name]
+    raise KeyError(f"unknown data import plugin {name!r}")

@@ -32,23 +32,26 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from .. import grid
-from .pip import pip_udf
+from .pip import edges_sql, pip_edges_condition_sql, pip_udf
 
 COVER_RESOLUTIONS = (2, 4, 6, 8)
 
 
-def polygon_covers(
-    spark,
+def polygon_covers_local(
     polys: list[dict],
     max_cells: int = 64,
     resolutions: tuple[int, ...] = COVER_RESOLUTIONS,
-) -> DataFrame:
-    """(poly_id, res, cell) candidate cells per polygon via numpy.
+):
+    """(pandas covers table, sorted distinct resolutions) — pure numpy.
 
-    Chooses the finest resolution whose bbox cover stays within
-    ``max_cells``; falls back to the coarsest level otherwise.
+    Chooses per polygon the finest resolution whose bbox cover stays within
+    ``max_cells`` (giant polygons get coarse cells, bounding cover size);
+    falls back to the coarsest level otherwise.  Driver-side on the small
+    polygon table: no Spark job, no collect.
     """
-    rows = []
+    import pandas as pd
+
+    ids, ress, cells = [], [], []
     for d in polys:
         lon = np.asarray(d["ring_lon"], dtype=np.float64)
         lat = np.asarray(d["ring_lat"], dtype=np.float64)
@@ -65,10 +68,23 @@ def polygon_covers(
         xs = np.arange(int(x0), int(x1) + 1, dtype=np.int64)
         ys = np.arange(int(y0), int(y1) + 1, dtype=np.int64)
         gx, gy = np.meshgrid(xs, ys)
-        cells = grid.pack_cells(chosen, gx.ravel(), gy.ravel())
-        for c in cells:
-            rows.append((d["poly_id"], int(chosen), int(c)))
-    return spark.createDataFrame(rows, schema="poly_id string, res int, cell bigint")
+        pc = grid.pack_cells(chosen, gx.ravel(), gy.ravel())
+        ids.extend([d["poly_id"]] * len(pc))
+        ress.extend([int(chosen)] * len(pc))
+        cells.extend(pc.tolist())
+    pdf = pd.DataFrame({"poly_id": ids, "res": ress, "cell": cells})
+    return pdf, sorted(set(ress))
+
+
+def polygon_covers(
+    spark,
+    polys: list[dict],
+    max_cells: int = 64,
+    resolutions: tuple[int, ...] = COVER_RESOLUTIONS,
+) -> DataFrame:
+    """(poly_id, res, cell) candidate cells per polygon, as a Spark DF."""
+    pdf, _ = polygon_covers_local(polys, max_cells, resolutions)
+    return spark.createDataFrame(pdf)
 
 
 def spatial_join(
@@ -81,53 +97,72 @@ def spatial_join(
     strategy: str = "broadcast",
     nsalt: int = 8,
     salt_key: str = "doc_uid",
+    refine: str = "sql",
+    resolutions: list[int] | None = None,
 ) -> DataFrame:
     """Join point rows to containing polygons.
+
+    The packed cell id encodes its resolution in the top bits
+    (grid.pack_sql), so all cover levels join on ONE BIGINT key: each point
+    explodes over its cell at the distinct cover resolutions (a tiny
+    constant-size array, built in codegen — single scan of the input), then
+    one hash equi-join against the cover set.
 
     Returns ``points`` columns + (poly_id, region, weight) of each matching
     polygon; points in no polygon are absent (inner join semantics — use
     ``left_anti`` on the result keys for the complement).
+
+    ``refine="sql"`` (default) runs the ray-casting parity test as a pure
+    codegen'd SQL expression; ``refine="udf"`` uses the Arrow-batched numpy
+    kernel (same semantics, kept for parity testing).
     """
-    resolutions = [r.res for r in covers.select("res").distinct().collect()]
+    if resolutions is None:
+        resolutions = sorted({r.res for r in covers.select("res").distinct().collect()})
+    if not resolutions:
+        raise ValueError("empty polygon cover set")
 
     point_cols = points.columns
-    enriched = points
-    for res in resolutions:
-        enriched = enriched.withColumn(
-            f"_cell_{res}", F.expr(grid.cell_sql(lon_col, lat_col, res, "spark"))
-        )
-
-    parts = []
-    for res in resolutions:
-        cov = covers.filter(F.col("res") == res).select(
-            "poly_id", F.col("cell").alias(f"_cell_{res}")
-        )
-        if strategy == "broadcast":
-            part = enriched.join(F.broadcast(cov), f"_cell_{res}", "inner")
-        elif strategy == "salted":
-            salted_pts = enriched.withColumn(
-                "_salt", F.pmod(F.xxhash64(F.col(salt_key)), F.lit(nsalt)).cast("int")
-            )
-            salted_cov = cov.withColumn(
-                "_salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))
-            )
-            part = salted_pts.join(salted_cov, [f"_cell_{res}", "_salt"], "inner").drop("_salt")
-        else:  # plain shuffle join; AQE skew handling applies
-            part = enriched.join(cov, f"_cell_{res}", "inner")
-        parts.append(part.select(*point_cols, "poly_id"))
-
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
-
-    cand = cand.join(
-        F.broadcast(polys_df.select("poly_id", "region", "weight", "ring_lon", "ring_lat")),
-        "poly_id",
+    cells_arr = "array({})".format(
+        ", ".join(grid.cell_sql(lon_col, lat_col, res, "spark") for res in resolutions)
     )
-    refined = cand.filter(
-        pip_udf(F.col(lon_col), F.col(lat_col), F.col("ring_lon"), F.col("ring_lat"))
-    )
-    return refined.drop("ring_lon", "ring_lat")
+    pts = points.withColumn("_cell", F.explode(F.expr(cells_arr)))
+
+    cov = covers.select("poly_id", F.col("cell").alias("_cell"))
+    if strategy == "broadcast":
+        cand = pts.join(F.broadcast(cov), "_cell", "inner")
+    elif strategy == "salted":
+        # hot-cell fan-out: points spread over nsalt sub-keys, covers
+        # replicated across all salts — bounds any single reducer's share
+        # of a hot cell to 1/nsalt
+        salted_pts = pts.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(salt_key)), F.lit(nsalt)).cast("int")
+        )
+        salted_cov = cov.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))
+        )
+        cand = salted_pts.join(salted_cov, ["_cell", "_salt"], "inner").drop("_salt")
+    else:  # plain shuffle join; AQE skew handling applies
+        cand = pts.join(cov, "_cell", "inner")
+    cand = cand.drop("_cell")
+
+    polys_small = polys_df.select(
+        "poly_id", "region", "weight", "ring_lon", "ring_lat"
+    ).withColumn("_edges", F.expr(edges_sql()))
+    if refine == "udf":
+        cand = cand.join(
+            F.broadcast(polys_small.drop("_edges")), "poly_id"
+        )
+        refined = cand.filter(
+            pip_udf(F.col(lon_col), F.col(lat_col), F.col("ring_lon"), F.col("ring_lat"))
+        )
+    else:
+        cand = cand.join(
+            F.broadcast(polys_small.drop("ring_lon", "ring_lat")), "poly_id"
+        )
+        refined = cand.filter(
+            F.expr(pip_edges_condition_sql(lon_col, lat_col, "_edges"))
+        )
+    return refined.select(*point_cols, "poly_id", "region", "weight")
 
 
 @dataclass
@@ -141,15 +176,18 @@ class SpatialJoinStage:
     strategy: str = "broadcast"
     nsalt: int = 8
     max_cells: int = 64
+    refine: str = "sql"
 
     def apply(self, df: DataFrame) -> DataFrame:
         from ..synth import polygons_df as _polys_df
 
         spark = df.sparkSession
-        covers = polygon_covers(spark, self.polygons, self.max_cells)
+        covers_pd, resolutions = polygon_covers_local(self.polygons, self.max_cells)
+        covers = spark.createDataFrame(covers_pd)
         pdf = _polys_df(spark, len(self.polygons))
         return spatial_join(
             df, pdf, covers,
             lon_col=self.lon_col, lat_col=self.lat_col,
-            strategy=self.strategy, nsalt=self.nsalt,
+            strategy=self.strategy, nsalt=self.nsalt, refine=self.refine,
+            resolutions=resolutions,
         )

