@@ -133,9 +133,14 @@ def main() -> None:
         name="cf", selection=CUTFLOW_SELECTION, weights=CUTFLOW_WEIGHTS
     ).counters(spans)
 
-    # q4: kNN neighbor lists over doc representative points
-    q4 = knn_bounded(
-        spans.filter("span_idx = 0").select("doc_id", "lon", "lat"), res=7, ring=1, k=3
+    # q4: kNN neighbor lists over doc representative points.
+    # Scale path: density-adaptive resolution + per-cell local search
+    # (hot-cell skew stays node-local; see spatial/knn.py knn_local).
+    from fast_carpenter_spark.spatial.knn import auto_res, knn_local
+
+    q4 = knn_local(
+        spans.filter("span_idx = 0").select("doc_id", "lon", "lat"),
+        res=auto_res(n_docs), ring=1, k=3,
     )
 
     # q5: salted-shuffle spatial join variant (hot-tile path)

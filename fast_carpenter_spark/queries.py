@@ -358,6 +358,15 @@ O_KNN = knn_oracle_sql(
 )
 
 
+def q_knn_local(spark, sf_dir):
+    """Scale-path kNN (per-cell local search via applyInPandas) — same
+    semantics and oracle as q_knn."""
+    from .spatial.knn import knn_local
+
+    pts = flat_spans(spark, sf_dir).filter("span_idx = 0").select("doc_id", "lon", "lat")
+    return knn_local(pts, res=KNN_RES, ring=KNN_RING, k=KNN_K)
+
+
 def q_raster_join(spark, sf_dir):
     df = flat_spans(spark, sf_dir).select("doc_id", "span_idx", "lon", "lat")
     return raster_vector_join(df, res=REGION_RES).select(
@@ -602,6 +611,7 @@ QUERIES = {
     "pip_anti": (q_pip_anti, O_PIP_ANTI),
     "pip_tile_agg": (q_pip_tile_agg, O_PIP_TILE_AGG),
     "knn": (q_knn, O_KNN),
+    "knn_local": (q_knn_local, O_KNN),
     "raster_join": (q_raster_join, O_RASTER_JOIN),
     "binned_1d": (q_binned_1d, O_BINNED_1D),
     "systematics": (q_systematics, O_SYSTEMATICS),
