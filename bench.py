@@ -9,6 +9,15 @@ with distinct doc_ids, so the flagship pipeline processes ~N*repl docs —
 the deterministic stand-in for larger SF inputs.  Results are consumed by
 scripts/run_scaling.py to evidence N -> 4N core scaling efficiency
 (BASELINE.json north_rule; local[8] vs local[32] on this host).
+
+Measurement protocol (hard-won correctness):
+* every timed run constructs a FRESH DataFrame from its factory — re-running
+  one DataFrame object lets Spark reuse the shuffle map outputs and skip the
+  whole expensive map stage, silently timing only the final reduce;
+* each query gets one untimed full warmup run first — Spark's generated code
+  is per-plan-shape, and HotSpot runs it interpreted until C2 compiles
+  (measured 3.5x CPU inflation on the first run);
+* reported time = min over SPARK_GRAFT_RUNS fresh-plan runs.
 """
 
 from __future__ import annotations
@@ -26,7 +35,6 @@ from fast_carpenter_spark import grid, synth
 from fast_carpenter_spark.operators.binned import BinnedDataframeStage
 from fast_carpenter_spark.operators.selection import CutFlowStage
 from fast_carpenter_spark.spatial.join import SpatialJoinStage
-from fast_carpenter_spark.spatial.knn import knn_bounded
 from fast_carpenter_spark.queries import (
     CUTFLOW_SELECTION,
     CUTFLOW_WEIGHTS,
@@ -49,6 +57,7 @@ def build_session() -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
@@ -81,10 +90,76 @@ def replicated_documents(spark: SparkSession):
     return spark.read.parquet(path)
 
 
-def sink(df) -> int:
+def sink(df) -> None:
     """Force full execution without driver materialization."""
     df.write.format("noop").mode("overwrite").save()
-    return 0
+
+
+def make_factories(spark: SparkSession, n_docs: int):
+    """name -> zero-arg factory building a FRESH DataFrame for one query.
+
+    A factory call re-derives the whole lineage (scan -> spans -> ...), so
+    no shuffle outputs or cached plan fragments can be reused across runs.
+    """
+    polys = synth.polygons()
+
+    def fresh_spans():
+        replicated_documents(spark).createOrReplaceTempView("documents")
+        return spark.sql(synth.flat_spans_sql("spark"))
+
+    def q1():
+        # FLAGSHIP: cell encode -> spatial join (cover + PIP refine) -> tile agg
+        joined = (
+            SpatialJoinStage(name="sj", polygons=polys).apply(fresh_spans())
+            .withColumn("cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark")))
+            .withColumn("pw", F.col("w") * F.col("weight"))
+        )
+        return BinnedDataframeStage(
+            name="tiles", binning=[{"in": "region"}, {"in": "cell"}], weights={"pw": "pw"}
+        ).apply(joined)
+
+    def q2():
+        # dense tile aggregation at res 8 over all spans
+        return BinnedDataframeStage(
+            name="t", binning=[{"in": "cell"}], weights={"w": "w"}
+        ).apply(
+            fresh_spans().withColumn(
+                "cell", F.expr(grid.cell_sql("lon", "lat", TILE_RES, "spark"))
+            )
+        )
+
+    def q3():
+        # cutflow counters (single-pass aggregation over the whole table)
+        return CutFlowStage(
+            name="cf", selection=CUTFLOW_SELECTION, weights=CUTFLOW_WEIGHTS
+        ).counters(fresh_spans())
+
+    def q4():
+        # kNN neighbor lists over doc representative points; density-adaptive
+        # per-cell local search (hot-cell skew stays node-local)
+        from fast_carpenter_spark.spatial.knn import auto_res, knn_local
+
+        return knn_local(
+            fresh_spans().filter("span_idx = 0").select("doc_id", "lon", "lat"),
+            res=auto_res(n_docs), ring=1, k=3,
+        )
+
+    def q5():
+        # salted-shuffle spatial join variant (hot-tile path)
+        return (
+            SpatialJoinStage(name="sj", polygons=polys, strategy="salted", nsalt=CPUS)
+            .apply(fresh_spans())
+            .groupBy("region")
+            .count()
+        )
+
+    return {
+        "q1_pip_tile_agg": q1,
+        "q2_tile_agg": q2,
+        "q3_cutflow": q3,
+        "q4_knn": q4,
+        "q5_salted_join": q5,
+    }
 
 
 def main() -> None:
@@ -95,70 +170,21 @@ def main() -> None:
     docs.createOrReplaceTempView("documents")
     n_docs = docs.count()
 
-    spans = spark.sql(synth.flat_spans_sql("spark"))
-    polys = synth.polygons()
-
+    factories = make_factories(spark, n_docs)
     timings: dict[str, float] = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
 
-    def run(name: str, df) -> None:
+    for name, make in factories.items():
+        sink(make())  # untimed warmup: codegen compile + HotSpot C2
         best = float("inf")
-        for _ in range(n_runs):  # min-of-N damps codegen/GC/page-cache noise
+        for _ in range(n_runs):
+            df = make()  # fresh lineage: no shuffle-output reuse
             t0 = time.time()
             sink(df)
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    # Each query DataFrame is constructed ONCE (a production pipeline plans
-    # once and executes over many partitions; re-planning per run would just
-    # re-measure codegen compilation).
-
-    # q1 FLAGSHIP: cell encode -> spatial join (cover + PIP refine) -> tile agg
-    joined = (
-        SpatialJoinStage(name="sj", polygons=polys).apply(spans)
-        .withColumn("cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark")))
-        .withColumn("pw", F.col("w") * F.col("weight"))
-    )
-    q1 = BinnedDataframeStage(
-        name="tiles", binning=[{"in": "region"}, {"in": "cell"}], weights={"pw": "pw"}
-    ).apply(joined)
-
-    # q2: dense tile aggregation at res 8 over all spans
-    q2 = BinnedDataframeStage(
-        name="t", binning=[{"in": "cell"}], weights={"w": "w"}
-    ).apply(spans.withColumn("cell", F.expr(grid.cell_sql("lon", "lat", TILE_RES, "spark"))))
-
-    # q3: cutflow counters (single-pass aggregation over the whole table)
-    q3 = CutFlowStage(
-        name="cf", selection=CUTFLOW_SELECTION, weights=CUTFLOW_WEIGHTS
-    ).counters(spans)
-
-    # q4: kNN neighbor lists over doc representative points.
-    # Scale path: density-adaptive resolution + per-cell local search
-    # (hot-cell skew stays node-local; see spatial/knn.py knn_local).
-    from fast_carpenter_spark.spatial.knn import auto_res, knn_local
-
-    q4 = knn_local(
-        spans.filter("span_idx = 0").select("doc_id", "lon", "lat"),
-        res=auto_res(n_docs), ring=1, k=3,
-    )
-
-    # q5: salted-shuffle spatial join variant (hot-tile path)
-    q5 = SpatialJoinStage(
-        name="sj", polygons=polys, strategy="salted", nsalt=CPUS
-    ).apply(spans).groupBy("region").count()
-
-    # warmup: JIT/codegen compile + parquet footer reads (not timed as a query)
-    sink(spans.limit(10_000).select("doc_id", "lon", "lat"))
-
-    t_all0 = time.time()
-    run("q1_pip_tile_agg", q1)
-    run("q2_tile_agg", q2)
-    run("q3_cutflow", q3)
-    run("q4_knn", q4)
-    run("q5_salted_join", q5)
-    total = round(time.time() - t_all0, 3)
-
+    total = round(sum(timings.values()), 3)
     flagship_docs_per_sec = round(n_docs / timings["q1_pip_tile_agg"], 1)
     print(
         json.dumps(

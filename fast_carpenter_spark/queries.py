@@ -593,6 +593,79 @@ O_MEDIA_DECODE = decode_media_oracle_sql(O_SPANS_FLAT)
 
 
 # ---------------------------------------------------------------------------
+# checkpoint / resume (north_rule: per-partition lineage + metrics)
+# ---------------------------------------------------------------------------
+
+
+def flagship_unit_job(spark):
+    """Per-work-unit flagship pipeline for CheckpointedRun: documents-unit ->
+    (partial (region, cell) aggregate, lineage metrics incl. cutflow
+    counters).  Counter lineage mirrors the reference's per-chunk Counter
+    protocol (ref: fast_carpenter/selection/filters.py:28-63)."""
+    polys = synth.polygons()
+
+    def job(df_unit):
+        df_unit.createOrReplaceTempView("ckpt_unit_docs")
+        spans = spark.sql(synth.flat_spans_sql("spark", docs="ckpt_unit_docs"))
+        joined = (
+            SpatialJoinStage(name="sj", polygons=polys).apply(spans)
+            .withColumn("cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark")))
+            .withColumn("pw", F.col("w") * F.col("weight"))
+        )
+        partial = BinnedDataframeStage(
+            name="tiles", binning=[{"in": "region"}, {"in": "cell"}], weights={"pw": "pw"}
+        ).apply(joined)
+        ctr_rows = (
+            CutFlowStage(name="cf", selection=CUTFLOW_SELECTION, weights=CUTFLOW_WEIGHTS)
+            .counters(spans)
+            .collect()
+        )
+        metrics = {
+            "docs": df_unit.count(),
+            "cutflow": {
+                f"{r['cut']}|{r['count_type']}|{r['weight_name']}": r["value"]
+                for r in ctr_rows
+            },
+        }
+        return partial, metrics
+
+    return job
+
+
+def q_checkpoint_resume(spark, sf_dir):
+    """Flagship spatial-join + tile-agg executed as a checkpointed,
+    RESUMABLE run over an Iceberg-style snapshot: 4 file-group work units,
+    simulated interruption after 2, restart from the ledger, associative
+    merge of per-unit partials.  Final table must equal the single-shot
+    pipeline bit-for-bit (same oracle as pip_tile_agg)."""
+    import os
+    import tempfile
+
+    from .checkpoint import CheckpointedRun
+    from .sources.snapshot import SnapshotReader, list_snapshots, write_snapshot
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    snap_dir = os.path.join(tempfile.gettempdir(), f"fcs_ckpt_snap_{tag}")
+    if not (os.path.isdir(snap_dir) and list_snapshots(snap_dir)):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        write_snapshot(
+            docs.repartition(4, "doc_id"),
+            snap_dir,
+            snapshot_id="snap-ckpt",
+            bounds_cols=["doc_id"],
+        )
+    reader = SnapshotReader(snap_dir)
+    run_dir = tempfile.mkdtemp(prefix="fcs_ckpt_run_")
+    job = flagship_unit_job(spark)
+    run = CheckpointedRun.from_snapshot(run_dir, reader, job, files_per_unit=1)
+    run.execute(spark, max_units=2)  # simulate a crash after two units
+    resumed = CheckpointedRun.from_snapshot(run_dir, reader, job, files_per_unit=1)
+    resumed.execute(spark)  # restart: ledger skips the finished units
+    final, _metrics = resumed.finalize(spark)
+    return final
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -625,4 +698,5 @@ QUERIES = {
     "ann_lsh_bucket": (q_ann_lsh_bucket, O_ANN_LSH_BUCKET),
     "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
     "media_decode": (q_media_decode, O_MEDIA_DECODE),
+    "checkpoint_resume": (q_checkpoint_resume, O_PIP_TILE_AGG),
 }

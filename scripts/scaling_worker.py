@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""One scaling-measurement level: run the flagship spatial-join + tile-binning
+job at local[$SPARK_GRAFT_CPUS] and print per-run wall times as JSON.
+
+Protocol (see bench.py docstring for the two measurement traps):
+* warm up Spark codegen + HotSpot C2 on a SMALL replica cache with the
+  IDENTICAL plan shape (generated code is keyed by plan structure, not data
+  size), then one untimed full-size run;
+* every timed run rebuilds the DataFrame from scratch — fresh lineage, so no
+  shuffle-output reuse;
+* print min / median / all samples; the caller computes efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import bench  # noqa: E402
+from fast_carpenter_spark import grid, synth  # noqa: E402
+from fast_carpenter_spark.operators.binned import BinnedDataframeStage  # noqa: E402
+from fast_carpenter_spark.spatial.join import SpatialJoinStage  # noqa: E402
+from fast_carpenter_spark.queries import REGION_RES  # noqa: E402
+
+WARM_REPL = int(os.environ.get("SPARK_GRAFT_WARM_REPL", "480"))
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "4"))
+
+
+def main() -> None:
+    spark = bench.build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = bench.replicated_documents(spark)
+    n_docs = docs.count()
+    polys = synth.polygons()
+
+    def q1_over(view_df):
+        view_df.createOrReplaceTempView("documents")
+        spans = spark.sql(synth.flat_spans_sql("spark"))
+        joined = (
+            SpatialJoinStage(name="sj", polygons=polys).apply(spans)
+            .withColumn("cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark")))
+            .withColumn("pw", F.col("w") * F.col("weight"))
+        )
+        return BinnedDataframeStage(
+            name="tiles", binning=[{"in": "region"}, {"in": "cell"}], weights={"pw": "pw"}
+        ).apply(joined)
+
+    # small-input warmup with identical plan shape (cheap C2 warm)
+    saved = bench.REPL
+    bench.REPL = WARM_REPL
+    small = bench.replicated_documents(spark)
+    bench.REPL = saved
+    for _ in range(2):
+        bench.sink(q1_over(small))
+    # one full-size untimed run (finishes JIT at real batch sizes)
+    bench.sink(q1_over(bench.replicated_documents(spark)))
+
+    times = []
+    for _ in range(RUNS):
+        df = q1_over(bench.replicated_documents(spark))
+        t0 = time.time()
+        bench.sink(df)
+        times.append(round(time.time() - t0, 3))
+
+    med = statistics.median(times)
+    print(
+        json.dumps(
+            {
+                "cpus": bench.CPUS,
+                "repl": bench.REPL,
+                "n_docs": n_docs,
+                "times": times,
+                "median_sec": round(med, 3),
+                "min_sec": min(times),
+                "docs_per_sec": round(n_docs / med, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
