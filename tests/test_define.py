@@ -116,3 +116,28 @@ def test_define_two_jagged_inputs(spark):
     out = stage.apply(df).orderBy("id").collect()
     assert list(out[0].ab) == pytest.approx([11.0, 22.0])
     assert list(out[1].ab) == pytest.approx([33.0])
+
+
+def test_nested_jagged_two_levels(spark):
+    """Multi-level jaggedness (ref: tests/test_expressions.py:63-97 3D
+    arrays): reductions compose one nesting level at a time —
+    inner reduce via transform(outer, xs -> <reduction over xs>), outer
+    reduce over the resulting 1-level array (SURVEY.md §1.2)."""
+    from fast_carpenter_spark.operators.define import reduction_sql
+
+    df = spark.createDataFrame(
+        [(1, [[1.0, 2.0], [3.0]]), (2, [[], [4.0, 5.0]]), (3, [])],
+        "id INT, a ARRAY<ARRAY<DOUBLE>>",
+    )
+    inner_sum = reduction_sql("sum", "xs")
+    out = df.selectExpr(
+        "id",
+        f"transform(a, xs -> {inner_sum}) AS per_inner",
+        f"{reduction_sql('sum', f'transform(a, xs -> {inner_sum})')} AS total",
+        f"{reduction_sql('counts', 'a')} AS n_outer",
+        "flatten(a) AS flat",
+    ).orderBy("id").collect()
+    assert out[0].per_inner == [3.0, 3.0] and out[0].total == 6.0
+    assert out[1].per_inner == [0.0, 9.0] and out[1].total == 9.0
+    assert out[1].flat == [4.0, 5.0]
+    assert out[2].total == 0.0 and out[2].n_outer == 0

@@ -1,0 +1,105 @@
+"""Config-driven pipeline: the reference's YAML "sequence" UX
+(ref: fast_carpenter/__main__.py:66-84, docs/demo_process_cfg.yml) as an
+ordered stage list threaded through one DataFrame."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fast_carpenter_spark import grid, synth
+from fast_carpenter_spark.plans.pipeline import Pipeline
+
+from conftest import SF_DIR
+
+
+@pytest.fixture()
+def spans(spark, docs):
+    return spark.sql(synth.flat_spans_sql("spark"))
+
+
+CONFIG = {
+    "stages": [
+        {"define": {"variables": [{"r2": "lon**2 + lat**2"}]}},
+        {"cell_encode": {"res": 6, "out": "cell"}},
+        {
+            "cutflow": {
+                "selection": {"All": ["n_chars > 100", "kind != 'table'"]},
+                "weights": {"w": "w"},
+            }
+        },
+        {
+            "binned_dataframe": {
+                "binning": [{"in": "cell"}],
+                "weights": {"w": "w"},
+            }
+        },
+    ]
+}
+
+
+def test_pipeline_from_config_matches_manual(spark, spans):
+    pipe = Pipeline.from_config(CONFIG)
+    got = sorted(tuple(r) for r in pipe.apply(spans).collect())
+
+    manual = (
+        spans.withColumn("r2", F.expr("pow(lon, 2) + pow(lat, 2)"))
+        .withColumn("cell", F.expr(grid.cell_sql("lon", "lat", 6, "spark")))
+        .filter("n_chars > 100 AND kind != 'table'")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("w_sumw"),
+            F.sum(F.col("w") * F.col("w")).alias("w_sumw2"),
+        )
+    )
+    assert got == sorted(tuple(r) for r in manual.collect())
+
+
+def test_pipeline_exposes_cutflow_metrics(spark, spans):
+    pipe = Pipeline.from_config(CONFIG)
+    pipe.apply(spans)
+    metrics = pipe.metrics()
+    assert len(metrics) == 1
+    (ctr,) = metrics.values()
+    rows = {(r["cut"], r["count_type"], r["weight_name"]): r["value"] for r in ctr.collect()}
+    total = spans.count()
+    assert rows[("n_chars > 100", "totals_incl", "unweighted")] == total
+    passed = spans.filter("n_chars > 100 AND kind != 'table'").count()
+    assert rows[("kind != 'table'", "passed_incl", "unweighted")] == passed
+
+
+def test_pipeline_spatial_join_stage(spark, spans):
+    cfg = {
+        "stages": [
+            {"spatial_join": {"polygons": synth.polygons()}},
+            {
+                "binned_dataframe": {
+                    "binning": [{"in": "region"}],
+                    "weights": {"w": "w"},
+                }
+            },
+        ]
+    }
+    out = Pipeline.from_config(cfg).apply(spans)
+    rows = {r["region"]: r["n"] for r in out.collect()}
+    assert set(rows) <= {"reg_0", "reg_1", "reg_2", "reg_3"} and sum(rows.values()) > 0
+
+
+def test_pipeline_yaml_text(spark, spans):
+    yaml = pytest.importorskip("yaml")  # noqa: F841
+    text = """
+stages:
+  - define:
+      variables:
+        - flag: "where(n_chars > 200, 1.0, 0.0)"
+  - binned_dataframe:
+      binning:
+        - in: flag
+"""
+    out = Pipeline.from_config(text).apply(spans).collect()
+    assert {r["flag"] for r in out} <= {0.0, 1.0}
+
+
+def test_pipeline_unknown_stage_raises():
+    with pytest.raises(ValueError, match="unknown stage"):
+        Pipeline.from_config({"stages": [{"nope": {}}]})
