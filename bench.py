@@ -44,7 +44,7 @@ from fast_carpenter_spark.queries import (
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPL = int(os.environ.get("SPARK_GRAFT_REPL", "24"))
+REPL = int(os.environ.get("SPARK_GRAFT_REPL", "480"))
 
 
 def build_session() -> SparkSession:
@@ -175,7 +175,16 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
 
     for name, make in factories.items():
-        sink(make())  # untimed warmup: codegen compile + HotSpot C2
+        # untimed warmups until JIT-converged: C2 keeps recompiling the hot
+        # generated methods for several runs (first run ~3.5-10x slower)
+        prev = None
+        for _ in range(4):
+            t0 = time.time()
+            sink(make())
+            dt = time.time() - t0
+            if prev is not None and dt < prev * 1.15:
+                break
+            prev = dt
         best = float("inf")
         for _ in range(n_runs):
             df = make()  # fresh lineage: no shuffle-output reuse
