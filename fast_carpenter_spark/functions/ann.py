@@ -138,3 +138,54 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM (
     ON ({bucket_a}) = ({bucket_b}) AND a.vec_id != b.vec_id
 ) WHERE rank <= {k}
 """
+
+
+def embedding_near_dup(emb: DataFrame, *, tau: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate assignment (the training-data dedup
+    variant of the ANN path): within each LSH bucket, any pair with
+    cosine >= tau is a duplicate pair; every vector maps to a canonical id
+    = min(own id, min duplicate-partner id).  One bucket-keyed shuffle
+    join (never a cross join) + one aggregation — the same shape that
+    holds at 10^12 vectors.  Output: (vec_id, canonical_id, n_dups)."""
+    b = lsh_buckets(emb).join(emb, "vec_id")
+    a = b.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("qv"), "bucket")
+    c = b.select(F.col("vec_id").alias("_nbr"), F.col("embedding").alias("cv"), "bucket")
+    pairs = (
+        a.join(c, "bucket")
+        .filter("_id != _nbr")
+        .withColumn("cos", F.expr(cosine_sql("qv", "cv", "spark")))
+        .filter(F.col("cos") >= tau)
+    )
+    dup_min = pairs.groupBy("_id").agg(
+        F.min("_nbr").alias("_mn"), F.count(F.lit(1)).alias("n_dups")
+    )
+    return (
+        emb.select(F.col("vec_id"))
+        .join(dup_min, emb.vec_id == dup_min._id, "left")
+        .select(
+            "vec_id",
+            F.least(F.col("vec_id"), F.coalesce("_mn", F.col("vec_id"))).alias("canonical_id"),
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+def embedding_near_dup_oracle_sql(*, tau: float = 0.4) -> str:
+    cos = cosine_sql("a.embedding", "b.embedding", "duck")
+    ba = lsh_bucket_sql("a.embedding", "duck")
+    bb = lsh_bucket_sql("b.embedding", "duck")
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS _id, b.vec_id AS _nbr
+  FROM embeddings a JOIN embeddings b
+    ON ({ba}) = ({bb}) AND a.vec_id != b.vec_id
+  WHERE {cos} >= {tau!r}
+),
+dup_min AS (
+  SELECT _id, min(_nbr) AS _mn, count(*) AS n_dups FROM pairs GROUP BY _id
+)
+SELECT e.vec_id,
+       least(e.vec_id, coalesce(d._mn, e.vec_id)) AS canonical_id,
+       CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups
+FROM embeddings e LEFT JOIN dup_min d ON e.vec_id = d._id
+"""

@@ -130,6 +130,11 @@ class BinnedDataframeStage:
     weights: dict[str, str] = field(default_factory=dict)
     dataset_col: str | None = None
     pad_missing: bool = False
+    # weights apply to MC datasets only unless weight_data=True; data
+    # datasets fill sumw with unweighted counts (ref:
+    # binned_dataframe.py:178,192,208 weight_data / eventtype == "mc")
+    eventtype: str = "mc"
+    weight_data: bool = False
 
     def __post_init__(self):
         self.dimensions = [Dimension.from_config(b) for b in self.binning]
@@ -151,8 +156,9 @@ class BinnedDataframeStage:
                 group_cols.append(dim.out_col)
 
         aggs = [F.count(F.lit(1)).alias("n")]
+        use_weights = self.eventtype == "mc" or self.weight_data
         for wname, wsql in self.weights.items():
-            w = f"CAST({wsql} AS DOUBLE)"
+            w = f"CAST({wsql} AS DOUBLE)" if use_weights else "CAST(1.0 AS DOUBLE)"
             aggs.append(F.expr(f"sum({w})").alias(f"{wname}_sumw"))
             aggs.append(F.expr(f"sum({w} * {w})").alias(f"{wname}_sumw2"))
         out = df.groupBy(*group_cols).agg(*aggs)

@@ -314,21 +314,30 @@ class CutFlowStage:
     selection: object
     weights: dict[str, str] = field(default_factory=dict)
     dataset_col: str | None = None
+    is_mc: bool = True
 
     def __post_init__(self):
         self.tree = parse_selection(self.selection)
         self._last_counters: DataFrame | None = None
+
+    def _weights(self) -> dict[str, str]:
+        # weights apply to MC only; data datasets count unweighted (the
+        # weighted columns then equal the unweighted counts), ref:
+        # selection/filters.py:48 `if not self._weight_names or not is_mc`
+        if self.is_mc:
+            return self.weights
+        return {wname: "1.0" for wname in self.weights}
 
     def compile(self, df: DataFrame) -> tuple[str, list[CounterSpec]]:
         return compile_tree(self.tree, spark_leaf_sql(df))
 
     def counters(self, df: DataFrame) -> DataFrame:
         _, specs = self.compile(df)
-        return counters_table(df, specs, self.weights, self.dataset_col)
+        return counters_table(df, specs, self._weights(), self.dataset_col)
 
     def apply(self, df: DataFrame) -> DataFrame:
         root_mask, specs = self.compile(df)
-        self._last_counters = counters_table(df, specs, self.weights, self.dataset_col)
+        self._last_counters = counters_table(df, specs, self._weights(), self.dataset_col)
         return df.filter(F.expr(root_mask))
 
 

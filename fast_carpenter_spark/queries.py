@@ -232,6 +232,32 @@ def _oracle_cutflow_sql() -> str:
 O_CUTFLOW = _oracle_cutflow_sql()
 
 
+def q_cutflow_data(spark, sf_dir):
+    """Data-eventtype cutflow: weights apply to MC only (ref:
+    selection/filters.py:48), so the weighted columns equal the unweighted
+    counts for a data dataset."""
+    df = flat_spans(spark, sf_dir)
+    stage = CutFlowStage(
+        name="cutflow", selection=CUTFLOW_SELECTION, weights=CUTFLOW_WEIGHTS, is_mc=False
+    )
+    return stage.counters(df)
+
+
+def _oracle_cutflow_data_sql() -> str:
+    tree = parse_selection(CUTFLOW_SELECTION)
+
+    def duck_leaf(node):
+        from .expressions import compile_expression
+
+        return compile_expression(node.config)
+
+    _, specs = compile_tree(tree, duck_leaf)
+    return oracle_counters_sql(specs, O_SPANS_FLAT, {w: "1.0" for w in CUTFLOW_WEIGHTS})
+
+
+O_CUTFLOW_DATA = _oracle_cutflow_data_sql()
+
+
 def q_cutflow_filter(spark, sf_dir):
     """Surviving spans after the cut tree — span fields preserved exactly
     (span-sequence equality invariant)."""
@@ -585,6 +611,14 @@ def q_ann_lsh_topk(spark, sf_dir):
 O_ANN_LSH_TOPK = _ann.lsh_cosine_topk_oracle_sql()
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup (LSH-bucketed pair join + canonical-min)."""
+    return _ann.embedding_near_dup(_load_embeddings(spark, sf_dir))
+
+
+O_DEDUP_EMBEDDING = _ann.embedding_near_dup_oracle_sql()
+
+
 def q_media_decode(spark, sf_dir):
     return decode_media_spans(flat_spans(spark, sf_dir))
 
@@ -678,6 +712,7 @@ QUERIES = {
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
     "jagged_reduce": (q_jagged_reduce, O_JAGGED_REDUCE),
     "cutflow": (q_cutflow, O_CUTFLOW),
+    "cutflow_data": (q_cutflow_data, O_CUTFLOW_DATA),
     "cutflow_filter": (q_cutflow_filter, O_CUTFLOW_FILTER),
     "select_phasespace": (q_select_phasespace, O_SELECT_PHASESPACE),
     "pip_join": (q_pip_join, O_PIP_JOIN),
@@ -697,6 +732,7 @@ QUERIES = {
     "ann_cosine_topk": (q_ann_cosine, O_ANN_COSINE),
     "ann_lsh_bucket": (q_ann_lsh_bucket, O_ANN_LSH_BUCKET),
     "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
+    "dedup_embedding_cosine": (q_dedup_embedding, O_DEDUP_EMBEDDING),
     "media_decode": (q_media_decode, O_MEDIA_DECODE),
     "checkpoint_resume": (q_checkpoint_resume, O_PIP_TILE_AGG),
 }

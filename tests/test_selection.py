@@ -149,3 +149,35 @@ def test_row_order_matches_reference(fake_tree):
     _, specs = compile_tree(tree, spark_leaf_sql(fake_tree))
     assert [s.cut_id for s in specs] == ["0", "0,0", "0,1", "0,1,0", "0,1,1"]
     assert [s.depth for s in specs] == [0, 1, 1, 2, 2]
+
+
+def test_data_eventtype_counts_unweighted(spark, docs):
+    """Weights apply to MC only (ref: selection/filters.py:48,
+    binned_dataframe.py:208): for a data dataset the weighted counters and
+    sumw equal the unweighted counts."""
+    from fast_carpenter_spark import synth
+    from fast_carpenter_spark.operators.binned import BinnedDataframeStage
+    from fast_carpenter_spark.operators.selection import CutFlowStage
+
+    spans = spark.sql(synth.flat_spans_sql("spark"))
+    sel = {"All": ["n_chars > 100"]}
+
+    mc = CutFlowStage(name="c", selection=sel, weights={"w": "w"}).counters(spans)
+    data = CutFlowStage(
+        name="c", selection=sel, weights={"w": "w"}, is_mc=False
+    ).counters(spans)
+    mc_rows = {(r["count_type"], r["weight_name"]): r["value"] for r in mc.collect()}
+    dt_rows = {(r["count_type"], r["weight_name"]): r["value"] for r in data.collect()}
+    assert dt_rows[("passed_incl", "w")] == dt_rows[("passed_incl", "unweighted")]
+    assert mc_rows[("passed_incl", "w")] != mc_rows[("passed_incl", "unweighted")]
+
+    b_data = BinnedDataframeStage(
+        name="b", binning=[{"in": "kind"}], weights={"w": "w"}, eventtype="data"
+    ).apply(spans)
+    for r in b_data.collect():
+        assert r["w_sumw"] == float(r["n"])
+    b_forced = BinnedDataframeStage(
+        name="b", binning=[{"in": "kind"}], weights={"w": "w"},
+        eventtype="data", weight_data=True,
+    ).apply(spans)
+    assert any(r["w_sumw"] != float(r["n"]) for r in b_forced.collect())
