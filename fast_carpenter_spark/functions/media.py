@@ -82,3 +82,84 @@ SELECT doc_id, span_idx, kind, media_ref,
                  ELSE 1 END AS INT) AS n_frames
 FROM ({flat_spans_sql}) WHERE kind != 'text'
 """
+
+
+RESIZE_SCHEMA = T.StructType(
+    DECODE_SCHEMA.fields
+    + [T.StructField("out_width", T.IntegerType()), T.StructField("out_height", T.IntegerType())]
+)
+
+
+def resize_media(decoded: DataFrame, *, max_dim: int = 256) -> DataFrame:
+    """Aspect-preserving resize plan over decoded media metadata
+    (mapInPandas; integer arithmetic so the oracle reproduces it).  The
+    STUB computes target dims only — a real deployment rescales pixels in
+    the same batch loop."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            m = w.combine(h, max)
+            scale_num = pd.Series(max_dim, index=pdf.index).where(m > max_dim, m)
+            out = pdf.copy()
+            out["out_width"] = ((w * scale_num) // m).astype("int32")
+            out["out_height"] = ((h * scale_num) // m).astype("int32")
+            yield out
+
+    return decoded.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def resize_media_oracle_sql(decode_sql: str, *, max_dim: int = 256) -> str:
+    return f"""
+SELECT *,
+       CAST((CAST(width AS BIGINT) * (CASE WHEN greatest(width, height) > {max_dim}
+             THEN {max_dim} ELSE greatest(width, height) END)) // greatest(width, height) AS INT) AS out_width,
+       CAST((CAST(height AS BIGINT) * (CASE WHEN greatest(width, height) > {max_dim}
+             THEN {max_dim} ELSE greatest(width, height) END)) // greatest(width, height) AS INT) AS out_height
+FROM ({decode_sql})
+"""
+
+
+SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("span_idx", T.IntegerType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(decoded: DataFrame, *, stride: int = 24) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (0, stride, 2*stride
+    ... < n_frames) — the 1->N batch shape of a real frame extractor,
+    via mapInPandas with numpy repeat/arange (no per-row Python)."""
+    import numpy as np
+
+    src = decoded.select("doc_id", "span_idx", "media_ref", "n_frames")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["n_frames"].to_numpy(dtype="int64")
+            counts = (n + stride - 1) // stride
+            idx = np.repeat(np.arange(len(pdf)), counts)
+            offsets = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.array([], dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[idx],
+                    "span_idx": pdf["span_idx"].to_numpy()[idx],
+                    "media_ref": pdf["media_ref"].to_numpy()[idx],
+                    "frame_idx": (offsets * stride).astype("int32"),
+                }
+            )
+
+    return src.mapInPandas(sample, schema=SAMPLE_SCHEMA)
+
+
+def sample_frames_oracle_sql(decode_sql: str, *, stride: int = 24) -> str:
+    return f"""
+SELECT doc_id, span_idx, media_ref,
+       CAST(unnest(range(0, n_frames, {stride})) AS INT) AS frame_idx
+FROM ({decode_sql})
+"""

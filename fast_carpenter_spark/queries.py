@@ -626,6 +626,76 @@ def q_media_decode(spark, sf_dir):
 O_MEDIA_DECODE = decode_media_oracle_sql(O_SPANS_FLAT)
 
 
+def q_media_resize(spark, sf_dir):
+    """Aspect-preserving resize plan over decoded media (mapInPandas)."""
+    from .functions.media import resize_media
+
+    return resize_media(decode_media_spans(flat_spans(spark, sf_dir)))
+
+
+def q_media_frames(spark, sf_dir):
+    """Frame sampling: 1->N rows per media span (mapInPandas batch shape)."""
+    from .functions.media import sample_frames
+
+    return sample_frames(decode_media_spans(flat_spans(spark, sf_dir)))
+
+
+def _media_oracles():
+    from .functions.media import resize_media_oracle_sql, sample_frames_oracle_sql
+
+    return (
+        resize_media_oracle_sql(O_MEDIA_DECODE),
+        sample_frames_oracle_sql(O_MEDIA_DECODE),
+    )
+
+
+O_MEDIA_RESIZE, O_MEDIA_FRAMES = _media_oracles()
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics: per-polygon aggregate of raster tile values (tiles
+    whose center passes the exact PIP against the polygon)."""
+    from .spatial.raster import zonal_stats
+
+    return zonal_stats(spark, synth.polygons(), res=REGION_RES)
+
+
+def _zonal_oracle_sql(res: int = REGION_RES) -> str:
+    n = 1 << res
+    x = grid.unpack_x_sql("tile_id", "duck")
+    y = grid.unpack_y_sql("tile_id", "duck")
+    return f"""
+WITH centers AS (
+  SELECT tile_id, tile_value,
+         (CAST({x} AS DOUBLE) + 0.5) / {float(n)!r} * 360.0 - 180.0 AS lon,
+         (CAST({y} AS DOUBLE) + 0.5) / {float(n)!r} * 180.0 - 90.0 AS lat
+  FROM ({synth.raster_sql('duck', res)})
+),
+edges AS (
+  SELECT poly_id, region,
+         list_extract(ring_lon, i) AS x1, list_extract(ring_lat, i) AS y1,
+         list_extract(ring_lon, 1 + i % len(ring_lon)) AS x2,
+         list_extract(ring_lat, 1 + i % len(ring_lon)) AS y2
+  FROM (SELECT *, unnest(range(1, len(ring_lon) + 1)) AS i FROM {synth.polygons_values_sql('duck')})
+),
+inpoly AS (
+  SELECT c.tile_id, c.tile_value, e.poly_id, e.region
+  FROM centers c, edges e
+  GROUP BY ALL
+  HAVING SUM(CASE WHEN ((y1 > lat) != (y2 > lat))
+                   AND (lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1)
+             THEN 1 ELSE 0 END) % 2 = 1
+)
+SELECT poly_id, region, count(*) AS n_tiles,
+       sum(tile_value) AS sum_value,
+       sum(tile_value * tile_value) AS sum_value2
+FROM inpoly GROUP BY 1, 2
+"""
+
+
+O_ZONAL_STATS = _zonal_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # checkpoint / resume (north_rule: per-partition lineage + metrics)
 # ---------------------------------------------------------------------------
@@ -734,5 +804,8 @@ QUERIES = {
     "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
     "dedup_embedding_cosine": (q_dedup_embedding, O_DEDUP_EMBEDDING),
     "media_decode": (q_media_decode, O_MEDIA_DECODE),
+    "media_resize": (q_media_resize, O_MEDIA_RESIZE),
+    "media_frame_sample": (q_media_frames, O_MEDIA_FRAMES),
+    "zonal_stats": (q_zonal_stats, O_ZONAL_STATS),
     "checkpoint_resume": (q_checkpoint_resume, O_PIP_TILE_AGG),
 }
