@@ -18,7 +18,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .text import HASH_MOD, ngram_hashes_sql, text_hash_sql, token_hashes_sql
+from .text import (
+    HASH_MOD,
+    ngram_hashes_from_col_sql,
+    ngram_hashes_sql,
+    text_hash_sql,
+    token_hashes_sql,
+)
 
 N_HASHES = 8  # minhash signature length
 N_BANDS = 4  # LSH bands (rows per band = N_HASHES / N_BANDS)
@@ -42,6 +48,14 @@ def minhash_signature_sql(text: str, dialect: str, n: int = N_HASHES) -> str:
         # bind _th once via a lambda-less trick: inline (hashes) everywhere
         return body.replace("_th", f"({hashes})")
     return f"[{parts}]".replace("_th", f"({hashes})")
+
+
+def minhash_signature_from_col_sql(hs_col: str, n: int = N_HASHES) -> str:
+    """Spark: minhash signature over an already-materialized token-hash
+    array COLUMN — each of the n hash families reads the attribute instead
+    of re-deriving the tokenization (n+1 fewer full-text passes per doc)."""
+    parts = ", ".join(_minhash_j_sql(hs_col, j, "spark") for j in range(n))
+    return f"array({parts})"
 
 
 def band_keys_sql(sig: str, dialect: str, n_bands: int = N_BANDS) -> str:
@@ -107,15 +121,21 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) from MinHash band collisions,
     verified with exact token-set Jaccard.  Shuffle key = (band, key)."""
-    sig = minhash_signature_sql("_text", "spark")
+    # two shuffle barriers so the token-hash array and the signature are
+    # each computed ONCE per doc — Catalyst's projection collapse would
+    # otherwise re-inline the full tokenize+hash chain into all 16 minhash
+    # families and every band key (measured ~2.5x the query's runtime)
+    hs = docs.select(
+        "doc_id", F.expr(token_hashes_sql(text_col, "spark")).alias("_th")
+    ).repartition("doc_id")
+    sigd = hs.select(
+        "doc_id",
+        F.expr(minhash_signature_from_col_sql("_th")).alias("sig"),
+        F.expr("array_distinct(_th)").alias("tokset"),
+    ).repartition("doc_id")
     keys = band_keys_sql("sig", "spark")
     with_keys = (
-        docs.select("doc_id", F.col(text_col).alias("_text"))
-        .withColumn("sig", F.expr(sig))
-        .withColumn("tokset", F.expr(
-            f"array_distinct({token_hashes_sql('_text', 'spark')})"
-        ))
-        .select("doc_id", "tokset", F.posexplode(F.expr(keys)))
+        sigd.select("doc_id", "tokset", F.posexplode(F.expr(keys)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_key")
     )
@@ -159,12 +179,30 @@ def ngram_jaccard_pairs(
     Per-shingle postings above ``max_posting`` are dropped (hot-key cap —
     the text analogue of hot-cell salting; a shingle shared by >1000 docs
     carries no signal and would quadratically blow up the join)."""
-    shingles = ngram_hashes_sql(text_col, n, "spark")
-    base = docs.select(
+    # Shingle derivation as codegen'd window algebra: posexplode the
+    # token-hash array (one higher-order eval per doc), then shingle hash
+    # via lead() — whole-stage codegen, provably linear.  The earlier
+    # lambda formulation (transform + array_distinct + explode over the
+    # inlined expression) cost ~460us per OUTPUT row in interpreted
+    # expression eval (12s for 500 docs; this shape: <2s).
+    from pyspark.sql import Window
+
+    toks = docs.select(
         "doc_id",
-        F.expr(f"array_distinct({shingles})").alias("sh"),
-    ).withColumn("n_sh", F.expr("size(sh)")).filter("n_sh > 0")
-    posts = base.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+        F.posexplode(F.expr(token_hashes_sql(text_col, "spark"))).alias("_idx", "_h"),
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("_idx")
+    shingle_expr = None
+    for j in range(n):
+        term = (F.col("_h") if j == 0 else F.lead("_h", j).over(wseq)) * (31 ** (n - 1 - j))
+        shingle_expr = term if shingle_expr is None else shingle_expr + term
+    sh = toks.select(
+        "doc_id", (shingle_expr % HASH_MOD).alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    uniq = sh.groupBy("doc_id", "shingle").agg(F.lit(1).alias("_one")).drop("_one")
+    posts = uniq.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).repartition(F.col("shingle"))
     hot = posts.groupBy("shingle").count().filter(F.col("count") > max_posting)
     posts = posts.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     a = posts.select(

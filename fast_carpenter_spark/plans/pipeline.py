@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 from .. import grid
@@ -68,7 +70,6 @@ class HilbertLayoutStage:
     cell_col: str = "cell"
 
     def apply(self, df: DataFrame) -> DataFrame:
-        import pandas as pd
         from pyspark.sql import types as T
 
         res = self.res

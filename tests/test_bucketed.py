@@ -16,8 +16,14 @@ def bucketed_tables(spark, docs):
     spans = spark.sql(synth.flat_spans_sql("spark")).withColumn(
         "cell", F.expr(grid.cell_sql("lon", "lat", 6, "spark"))
     )
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in ("spans_a", "cells_b", "spans_flatcopy"):
+        # DROP also removes the location, but a stale dir can survive from a
+        # previous test session whose metastore is gone — clear both
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     write_bucketed(
         spans.select("doc_id", "span_idx", "cell", "w"),
         "spans_a", bucket_col="cell", n_buckets=8,

@@ -103,3 +103,51 @@ stages:
 def test_pipeline_unknown_stage_raises():
     with pytest.raises(ValueError, match="unknown stage"):
         Pipeline.from_config({"stages": [{"nope": {}}]})
+
+
+def test_hilbert_layout_stage(spark, spans):
+    """Range partitioning on the Hilbert key: row-preserving, and each
+    partition holds a contiguous Hilbert range (space-filling locality)."""
+    import numpy as np
+
+    from fast_carpenter_spark import grid
+    from fast_carpenter_spark.plans.pipeline import CellEncodeStage, HilbertLayoutStage
+
+    df = CellEncodeStage(name="ce", res=8, out="cell").apply(spans)
+    out = HilbertLayoutStage(name="h", res=8, partitions=6).apply(df)
+    assert out.count() == spans.count()
+    assert out.rdd.getNumPartitions() == 6
+
+    # per-partition [min,max] hilbert ranges must not overlap
+    def part_range(it):
+        cells = np.array([r["cell"] for r in it], dtype=np.int64)
+        if len(cells) == 0:
+            return
+        _, x, y = grid.unpack_cells(cells)
+        h = grid.hilbert_key(x, y, 8)
+        yield (int(h.min()), int(h.max()))
+
+    ranges = sorted(out.rdd.mapPartitions(part_range).collect())
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+
+
+def test_config_validation_errors(spark, spans):
+    """Bad configs raise typed errors at construction or apply (the
+    reference validates eagerly in stage constructors, §5)."""
+    from fast_carpenter_spark.operators.binned import BinnedDataframeStage
+    from fast_carpenter_spark.operators.define import DefineStage, reduction_sql
+    from fast_carpenter_spark.plans.pipeline import CellEncodeStage
+
+    with pytest.raises(ValueError, match="unknown reduction"):
+        reduction_sql("median", "a")
+    with pytest.raises(ValueError, match="reduce must be"):
+        reduction_sql(True, "a")
+    with pytest.raises(ValueError):
+        # unsupported function: caught when the expression is compiled
+        # against the schema at apply time
+        DefineStage.from_config("d", [{"x": "foo(lon)"}]).apply(spans)
+    with pytest.raises(ValueError, match="already exists"):
+        CellEncodeStage(name="ce", res=8, out="lon").apply(spans)
+    with pytest.raises((KeyError, ValueError)):
+        BinnedDataframeStage(name="b", binning=[{}]).apply(spans)
