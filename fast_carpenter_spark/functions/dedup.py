@@ -23,6 +23,7 @@ from .text import (
     ngram_hashes_from_col_sql,
     ngram_hashes_sql,
     text_hash_sql,
+    token_hashes_column,
     token_hashes_sql,
 )
 
@@ -125,8 +126,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # each computed ONCE per doc — Catalyst's projection collapse would
     # otherwise re-inline the full tokenize+hash chain into all 16 minhash
     # families and every band key (measured ~2.5x the query's runtime)
+    # Arrow-batched token hashing (text.token_hashes_batch): ~60x the
+    # interpreted SQL fold, bit-identical values (oracle still checks the
+    # SQL twin)
     hs = docs.select(
-        "doc_id", F.expr(token_hashes_sql(text_col, "spark")).alias("_th")
+        "doc_id", token_hashes_column(text_col).alias("_th")
     ).repartition("doc_id")
     sigd = hs.select(
         "doc_id",
@@ -189,7 +193,7 @@ def ngram_jaccard_pairs(
 
     toks = docs.select(
         "doc_id",
-        F.posexplode(F.expr(token_hashes_sql(text_col, "spark"))).alias("_idx", "_h"),
+        F.posexplode(token_hashes_column(text_col)).alias("_idx", "_h"),
     )
     wseq = Window.partitionBy("doc_id").orderBy("_idx")
     shingle_expr = None
