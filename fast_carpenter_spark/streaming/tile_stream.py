@@ -111,3 +111,117 @@ class StreamingTileAgg:
                 F.sum("w_sumw2").alias("w_sumw2"),
             )
         )
+
+
+@dataclass
+class WindowedTileStream:
+    """Event-time windowed tile aggregation with watermarked late-data
+    handling — the bounded-lateness variant of StreamingTileAgg.
+
+    Event time is carried by the documents (synthesized deterministically
+    here: ``t0 + (doc_id % 90) minutes`` — a real table has its own
+    timestamp column).  The aggregation groups by (5-minute window, cell)
+    under ``withWatermark(delay)``: rows later than the watermark are
+    DROPPED, and append mode emits each window exactly once, when the
+    watermark passes its end — so the parquet sink accumulates closed
+    windows across restarts (checkpointed watermark state)."""
+
+    name: str
+    res: int = 4
+    window: str = "5 minutes"
+    delay: str = "10 minutes"
+    out_dir: str = "/tmp/fcs_wstream_out"
+    checkpoint_dir: str = "/tmp/fcs_wstream_ckpt"
+
+    EVENT_TIME_SQL = (
+        "timestamp'2026-01-01 00:00:00' + make_dt_interval(0, 0, doc_id % 90, 0)"
+    )
+
+    def _agg(self, docs: DataFrame) -> DataFrame:
+        docs.createOrReplaceTempView("wstream_docs")
+        spans = docs.sparkSession.sql(
+            synth.flat_spans_sql("spark", docs="wstream_docs")
+        ).withColumn("event_time", F.expr(self.EVENT_TIME_SQL))
+        cell = F.expr(grid.cell_sql("lon", "lat", self.res, "spark"))
+        return (
+            spans.withColumn("cell", cell)
+            .withWatermark("event_time", self.delay)
+            .groupBy(F.window("event_time", self.window).alias("win"), "cell")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("w_sumw"))
+            .select(
+                F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"),
+                "cell", "n", "w_sumw",
+            )
+        )
+
+    def start(self, spark: SparkSession, input_dir: str):
+        schema = spark.read.parquet(input_dir).schema
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        return (
+            self._agg(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", self.out_dir)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def result(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.out_dir)
+
+
+def stateful_cell_counters(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    res: int = 4,
+    out_dir: str = "/tmp/fcs_sstream_out",
+    checkpoint_dir: str = "/tmp/fcs_sstream_ckpt",
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a RUNNING per-cell counter (n, sumw) maintained in the state store
+    across micro-batches and restarts — the streaming analogue of the
+    cutflow Counter protocol (ref: fast_carpenter/selection/filters.py:28-63
+    Counter.increment/add; state merge is the same associative sum).
+
+    Each update emits the cell's new running totals; the state store (and
+    therefore resumability) is handled by the engine's checkpoint."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(input_dir).schema
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    docs.createOrReplaceTempView("sstream_docs")
+    spans = spark.sql(synth.flat_spans_sql("spark", docs="sstream_docs"))
+    keyed = spans.withColumn(
+        "cell", F.expr(grid.cell_sql("lon", "lat", res, "spark"))
+    ).select("cell", "w")
+
+    def update(key, pdfs, state: GroupState):
+        n, sumw = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            sumw += float(pdf["w"].sum())
+        state.update((n, sumw))
+        yield pd.DataFrame({"cell": [key[0]], "n": [n], "w_sumw": [sumw]})
+
+    counts = keyed.groupBy("cell").applyInPandasWithState(
+        update,
+        outputStructType="cell long, n long, w_sumw double",
+        stateStructType="n long, w_sumw double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, bid: df.withColumn("_batch", F.lit(bid))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch={bid}"))
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -67,3 +67,114 @@ def test_streaming_equals_batch_and_is_incremental(spark, docs, tmp_path):
     # incrementality evidence: second drain added delta dirs, not rewrites
     batches = sorted(os.listdir(stage.deltas_dir))
     assert len(batches) >= 2
+
+
+def test_windowed_watermark_drops_late_rows(spark, docs, tmp_path):
+    """Event-time windows + watermark: closed windows are emitted exactly
+    once (append mode), and rows arriving behind the watermark are dropped
+    — verified across two drains with checkpointed watermark state."""
+    from pyspark.sql import functions as F
+
+    from fast_carpenter_spark.streaming.tile_stream import WindowedTileStream
+
+    input_dir = str(tmp_path / "in")
+    stage = WindowedTileStream(
+        name="ws",
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # event_time = t0 + (doc_id % 90) minutes
+    on_time = docs.filter("doc_id % 90 < 60")      # events in [0, 60) min
+    late = docs.filter("doc_id % 90 = 20").limit(1)  # lands in closed [20,25)
+    ahead = docs.filter("doc_id % 90 >= 80")       # events in [80, 90) min
+
+    on_time.write.mode("overwrite").parquet(input_dir)
+    q = stage.start(spark, input_dir)
+    q.awaitTermination(120)
+    run1 = stage.result(spark)
+    # watermark after drain 1 = 59 - 10 = 49 min -> windows ending <= 45 closed
+    assert run1.agg(F.max("win_end")).first()[0].minute <= 45
+    n_run1 = run1.count()
+    assert n_run1 > 0
+
+    # drain 2: a LATE row (behind the watermark -> dropped) + fresh rows
+    # that push the watermark to 79 min
+    late.union(ahead).write.mode("append").parquet(input_dir)
+    q = stage.start(spark, input_dir)
+    q.awaitTermination(120)
+    final = stage.result(spark)
+
+    # each (window, cell) emitted exactly once across both drains
+    assert final.groupBy("win_start", "cell").count().filter("count > 1").count() == 0
+
+    # expected: batch aggregate over on-time docs only, for windows that
+    # have closed (end <= 79 min); the late row contributes nothing
+    closed = final.filter(F.expr(
+        "win_end <= timestamp'2026-01-01 00:00:00' + make_dt_interval(0, 0, 79, 0)"
+    ))
+    spark.createDataFrame(on_time.collect(), on_time.schema) \
+        .createOrReplaceTempView("wexp_docs")
+    from fast_carpenter_spark import grid, synth
+
+    exp = (
+        spark.sql(synth.flat_spans_sql("spark", docs="wexp_docs"))
+        .withColumn("event_time", F.expr(WindowedTileStream.EVENT_TIME_SQL))
+        .withColumn("cell", F.expr(grid.cell_sql("lon", "lat", 4, "spark")))
+        .groupBy(F.window("event_time", "5 minutes").alias("win"), "cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("w_sumw"))
+        .select(
+            F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"),
+            "cell", "n", "w_sumw",
+        )
+        .filter(F.expr(
+            "win_end <= timestamp'2026-01-01 00:00:00' + make_dt_interval(0, 0, 79, 0)"
+        ))
+    )
+    got = sorted(tuple(r) for r in closed.collect())
+    want = sorted(tuple(r) for r in exp.collect())
+    assert got == want
+
+
+def test_stateful_counters_survive_restart(spark, docs, tmp_path):
+    """applyInPandasWithState: running per-cell counters persist in the
+    state store across drains; after the second drain the latest emitted
+    totals equal the batch aggregate over ALL input."""
+    from pyspark.sql import functions as F
+
+    from fast_carpenter_spark import grid, synth
+    from fast_carpenter_spark.streaming.tile_stream import stateful_cell_counters
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs.filter("doc_id % 2 = 0").write.mode("overwrite").parquet(input_dir)
+    q = stateful_cell_counters(spark, input_dir, out_dir=out_dir, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(input_dir)
+    q = stateful_cell_counters(spark, input_dir, out_dir=out_dir, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    updates = spark.read.option("recursiveFileLookup", "true").option(
+        "basePath", out_dir
+    ).parquet(out_dir)
+    # latest update per cell = running total after all batches
+    latest = updates.withColumn(
+        "_rk",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("cell").orderBy(F.col("_batch").desc())
+        ),
+    ).filter("_rk = 1").select("cell", "n", "w_sumw")
+
+    docs.createOrReplaceTempView("sexp_docs")
+    exp = (
+        spark.sql(synth.flat_spans_sql("spark", docs="sexp_docs"))
+        .withColumn("cell", F.expr(grid.cell_sql("lon", "lat", 4, "spark")))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("w_sumw"))
+    )
+    got = sorted(tuple(r) for r in latest.collect())
+    want = sorted(tuple(r) for r in exp.collect())
+    assert got == want
