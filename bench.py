@@ -17,7 +17,9 @@ Measurement protocol (hard-won correctness):
 * each query gets one untimed full warmup run first — Spark's generated code
   is per-plan-shape, and HotSpot runs it interpreted until C2 compiles
   (measured 3.5x CPU inflation on the first run);
-* reported time = min over SPARK_GRAFT_RUNS fresh-plan runs.
+* reported time = min over SPARK_GRAFT_RUNS fresh-plan runs (the host VM
+  has noisy neighbours: observed 4-5x run-to-run swings; min-of-N with
+  every query fully warmed is the stable estimator).
 """
 
 from __future__ import annotations
@@ -172,7 +174,7 @@ def main() -> None:
 
     factories = make_factories(spark, n_docs)
     timings: dict[str, float] = {}
-    n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
 
     for name, make in factories.items():
         # untimed warmups until JIT-converged: C2 keeps recompiling the hot
