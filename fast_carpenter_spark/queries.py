@@ -25,7 +25,7 @@ from .operators.selection import (
 )
 from .operators.systematics import SystematicWeightsStage
 from .spatial.join import SpatialJoinStage
-from .spatial.knn import knn_bounded, knn_oracle_sql
+from .spatial.knn import knn_bounded, knn_oracle_sql, radius_join, radius_join_oracle_sql
 from .spatial.pip import pip_oracle_sql
 from .spatial.raster import raster_vector_join
 
@@ -367,6 +367,23 @@ SELECT region, {grid.cell_sql('lon', 'lat', REGION_RES, 'duck')} AS cell,
 FROM pairs
 GROUP BY 1, 2
 """
+
+
+RADIUS_DEG = 12.0
+
+
+def q_radius_join(spark, sf_dir):
+    """Distance (DWithin) self-join: document pairs whose representative
+    points lie within RADIUS_DEG planar degrees — cell-ring candidates +
+    exact refine (includes the deliberately hot clustered docs)."""
+    pts = flat_spans(spark, sf_dir).filter("span_idx = 0").select("doc_id", "lon", "lat")
+    return radius_join(pts, radius=RADIUS_DEG)
+
+
+O_RADIUS_JOIN = radius_join_oracle_sql(
+    f"SELECT doc_id, lon, lat FROM ({O_SPANS_FLAT}) WHERE span_idx = 0",
+    radius=RADIUS_DEG,
+)
 
 
 KNN_RES, KNN_RING, KNN_K = 5, 1, 3
@@ -789,6 +806,7 @@ QUERIES = {
     "pip_anti": (q_pip_anti, O_PIP_ANTI),
     "pip_tile_agg": (q_pip_tile_agg, O_PIP_TILE_AGG),
     "knn": (q_knn, O_KNN),
+    "radius_join": (q_radius_join, O_RADIUS_JOIN),
     "knn_local": (q_knn_local, O_KNN),
     "raster_join": (q_raster_join, O_RASTER_JOIN),
     "binned_1d": (q_binned_1d, O_BINNED_1D),

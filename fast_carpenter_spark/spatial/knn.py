@@ -283,3 +283,79 @@ SELECT doc_id, neighbor_id, CAST(rank AS INT) AS rank, dist2 FROM (
   FROM cand
 ) WHERE rank <= {k}
 """
+
+
+def radius_join(
+    points: DataFrame,
+    *,
+    radius: float,
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int | None = None,
+) -> DataFrame:
+    """Distance (DWithin) self-join: all pairs (a < b) within planar
+    ``radius`` degrees.  Candidates come from an asymmetric cell ring —
+    rx = ceil(radius / lon_cell_width), ry = ceil(radius / lat_cell_height)
+    — which is a superset of the disk, then the exact distance filter
+    refines.  One BIGINT-keyed shuffle join; resolution defaults to cells
+    about one radius tall so the ring stays ~3x3."""
+    if res is None:
+        res = max(1, min(20, int(math.floor(math.log2(180.0 / radius)))))
+    n = 1 << res
+    rx = max(1, math.ceil(radius / (360.0 / n)))
+    ry = max(1, math.ceil(radius / (180.0 / n)))
+    pts = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(lon_col).alias("_lon"),
+        F.col(lat_col).alias("_lat"),
+        F.expr(grid.cell_x_sql(lon_col, res, "spark")).alias("_cx"),
+        F.expr(grid.cell_y_sql(lat_col, res, "spark")).alias("_cy"),
+    )
+    ring_cells = pts.select(
+        "_id", "_lon", "_lat",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-{rx}, {rx}), dx -> "
+                f"transform(sequence(-{ry}, {ry}), dy -> "
+                f"struct(_cx + dx AS x, _cy + dy AS y))))"
+            )
+        ).alias("_nc"),
+    ).filter(
+        (F.col("_nc.x") >= 0) & (F.col("_nc.x") < n)
+        & (F.col("_nc.y") >= 0) & (F.col("_nc.y") < n)
+    ).select(
+        "_id", "_lon", "_lat",
+        F.expr(grid.pack_sql(res, "_nc.x", "_nc.y")).alias("_cell"),
+    )
+    others = pts.select(
+        F.col("_id").alias("_nbr"),
+        F.col("_lon").alias("_nlon"),
+        F.col("_lat").alias("_nlat"),
+        F.expr(grid.pack_sql(res, "_cx", "_cy")).alias("_cell"),
+    )
+    cand = ring_cells.join(others, "_cell").filter(F.col("_id") < F.col("_nbr"))
+    d2 = (
+        (F.col("_lon") - F.col("_nlon")) * (F.col("_lon") - F.col("_nlon"))
+        + (F.col("_lat") - F.col("_nlat")) * (F.col("_lat") - F.col("_nlat"))
+    )
+    return (
+        cand.withColumn("dist2", d2)
+        .filter(F.col("dist2") <= radius * radius)
+        .select(
+            F.col("_id").alias("doc_a"),
+            F.col("_nbr").alias("doc_b"),
+            "dist2",
+        )
+    )
+
+
+def radius_join_oracle_sql(points_sql: str, *, radius: float) -> str:
+    """DuckDB ground truth: brute-force all pairs, exact distance filter."""
+    return f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat) AS dist2
+FROM ({points_sql}) a JOIN ({points_sql}) b
+  ON a.doc_id < b.doc_id
+WHERE (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat) <= {radius!r} * {radius!r}
+"""
