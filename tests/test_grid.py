@@ -116,3 +116,73 @@ def test_k_ring():
 def test_parent_res_validation():
     with pytest.raises(ValueError):
         grid.parent_sql("cell", 4, 8, "spark")
+
+
+def test_arrow_encoder_matches_sql(spark):
+    """cell_encode_column (Arrow/numpy) == cell_sql (codegen) on real span
+    geometry — the north-star's pandas-UDF encoder and the engine default
+    produce identical cell ids."""
+    from pyspark.sql import functions as F
+
+    from fast_carpenter_spark import synth
+
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    spans = spark.sql(synth.flat_spans_sql("spark"))
+    both = spans.select(
+        grid.cell_encode_column("lon", "lat", 9).alias("via_udf"),
+        F.expr(grid.cell_sql("lon", "lat", 9, "spark")).alias("via_sql"),
+    )
+    assert both.filter("via_udf != via_sql").count() == 0
+
+
+def test_grid_properties_hypothesis():
+    """Property-based invariants (the reference only mused about
+    hypothesis, tests/test_expressions.py:110 — we use it): pack/unpack
+    round-trips, parent containment, Hilbert bijectivity on random cells."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    res_st = st.integers(min_value=1, max_value=20)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+        st.floats(min_value=-90.0, max_value=90.0, allow_nan=False),
+        res_st,
+    )
+    def roundtrip(lon, lat, res):
+        cell = grid.encode_cells(np.array([lon]), np.array([lat]), res)
+        r, x, y = grid.unpack_cells(cell)
+        n = 1 << res
+        assert r[0] == res and 0 <= x[0] < n and 0 <= y[0] < n
+        # re-pack is identity
+        assert grid.pack_cells(res, x, y)[0] == cell[0]
+        # parent at res-1 contains the child cell's halved coordinates
+        if res > 1:
+            p = grid.parent_cells(cell, res - 1)
+            _, px, py = grid.unpack_cells(p)
+            assert px[0] == x[0] // 2 and py[0] == y[0] // 2
+
+    roundtrip()
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(min_value=1, max_value=8), st.data())
+    def hilbert_bijective(order, data):
+        n = 1 << order
+        pts = data.draw(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=n - 1),
+                    st.integers(min_value=0, max_value=n - 1),
+                ),
+                min_size=1, max_size=64, unique=True,
+            )
+        )
+        x = np.array([p[0] for p in pts], dtype=np.int64)
+        y = np.array([p[1] for p in pts], dtype=np.int64)
+        h = grid.hilbert_key(x, y, order)
+        assert len(set(h.tolist())) == len(pts)  # injective
+        assert h.min() >= 0 and h.max() < n * n  # within range
+
+    hilbert_bijective()
