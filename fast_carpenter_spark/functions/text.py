@@ -197,3 +197,15 @@ def token_hashes_column(text_col: str):
         return pd.Series(token_hashes_batch(text.fillna("").tolist()))
 
     return _udf(F.col(text_col))
+
+
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def subword_count_sql(text: str, dialect: str) -> str:
+    """BPE-ish subword count: runs of letters, runs of digits, and single
+    punctuation marks each count as one token (the pre-tokenization split
+    most BPE vocabularies start from)."""
+    if dialect == "spark":
+        return f"size(regexp_extract_all({text}, '{BPE_TOKEN_RE}', 0))"
+    return f"len(regexp_extract_all({text}, '{BPE_TOKEN_RE}'))"

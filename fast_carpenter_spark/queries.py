@@ -587,6 +587,7 @@ def q_text_features(spark, sf_dir):
         f"{_text.langid_pred_sql('text', 'spark')} AS lang_pred",
         f"{_text.quality_score_sql('text', 'spark')} AS quality",
         f"size({_text.tokens_sql('text', 'spark')}) AS n_tokens",
+        f"{_text.subword_count_sql('text', 'spark')} AS n_subwords",
         f"{_text.text_hash_sql('text', 'spark')} AS fingerprint",
     )
 
@@ -596,6 +597,7 @@ SELECT doc_id, lang AS lang_true,
        {_text.langid_pred_sql('text', 'duck')} AS lang_pred,
        {_text.quality_score_sql('text', 'duck')} AS quality,
        CAST(len({_text.tokens_sql('text', 'duck')}) AS INT) AS n_tokens,
+       {_text.subword_count_sql('text', 'duck')} AS n_subwords,
        {_text.text_hash_sql('text', 'duck')} AS fingerprint
 FROM documents
 """

@@ -112,6 +112,7 @@ def knn_local(
     k: int = 3,
     hot_threshold: int = 4000,
     nsalt: int = 16,
+    group_offset: int = 5,
 ) -> DataFrame:
     """Scale-path kNN: identical semantics to ``knn_bounded`` (ring
     candidates, (dist2, id) tie-break) but executed as per-cell LOCAL
@@ -254,7 +255,11 @@ def knn_local(
             }
         )
 
-    group_res = max(res - 4, 0)
+    # parent-cell grouping at res - group_offset: offset 5 => 4^5 = 1024
+    # subcells per Arrow group — measured 2x faster and far less variance
+    # than offset 4 (bigger batches amortize the Arrow/pandas per-group
+    # cost) while keeping >= 1024 groups of parallelism
+    group_res = max(res - group_offset, 0)
     members = members.withColumn(
         "_pcell", F.expr(grid.parent_sql("_cell", res, group_res, "spark"))
     )
