@@ -1,0 +1,50 @@
+"""Iceberg-style snapshot source: time travel across snapshot ids and
+manifest-bounds file pruning (the engine's partition-pruning hook — ref
+analogue: fast_carpenter/expressions.py:25-41 branch pruning)."""
+
+from fast_carpenter_spark.sources.snapshot import (
+    SnapshotReader,
+    get_data_import_plugin,
+    list_snapshots,
+    write_snapshot,
+)
+
+
+def test_time_travel_and_pruning(spark, docs, tmp_path):
+    table = str(tmp_path / "tbl")
+    # snapshot 1: even docs; snapshot 2: all docs (an "append" commit)
+    write_snapshot(
+        docs.filter("doc_id % 2 = 0").repartition(2, "doc_id"),
+        table, snapshot_id="snap-001", bounds_cols=["doc_id"],
+    )
+    write_snapshot(
+        docs.repartition(4, "doc_id"),
+        table, snapshot_id="snap-002", bounds_cols=["doc_id"],
+    )
+    assert list_snapshots(table) == ["snap-001", "snap-002"]
+
+    # default = latest snapshot; explicit id = time travel
+    latest = SnapshotReader(table)
+    old = SnapshotReader(table, snapshot_id="snap-001")
+    assert latest.load(spark).count() == docs.count()
+    assert old.load(spark).count() == docs.filter("doc_id % 2 = 0").count()
+
+    # manifest-bounds pruning: a range that no file's [min, max] intersects
+    lo = docs.agg({"doc_id": "max"}).first()[0] + 10
+    assert latest.prune("doc_id", lo, lo + 5) == []
+    # a full-range predicate keeps every file
+    assert len(latest.prune("doc_id", 0, lo)) == len(latest.snapshot.files)
+    # pruned load returns exactly the rows in range (correctness of the
+    # superset property: file-level pruning + row-level filter)
+    mid = docs.approxQuantile("doc_id", [0.5], 0.01)[0]
+    pruned = latest.load(spark, col="doc_id", lo=0, hi=mid).filter(
+        f"doc_id <= {mid}"
+    )
+    assert pruned.count() == docs.filter(f"doc_id <= {mid}").count()
+
+
+def test_data_import_plugin_registry(spark, tmp_path, docs):
+    path = str(tmp_path / "p.parquet")
+    docs.limit(10).write.parquet(path)
+    reader = get_data_import_plugin("parquet")
+    assert reader(spark, path).count() == 10

@@ -68,3 +68,28 @@ def test_polygon_values_parity(spark, duck):
         assert list(sdf.ring_lon[i]) == list(ddf.ring_lon[i])
         assert list(sdf.ring_lat[i]) == list(ddf.ring_lat[i])
     assert (sdf.weight.values == ddf.weight.values).all()
+
+
+def test_span_sequence_equality_through_stages(spark, docs):
+    """input_hint per-row invariant: engine stages must preserve each
+    document's span sequence exactly — (kind, text, media_ref, offset) in
+    order — the analogue of the reference's rule that masks never reorder
+    or truncate arrays (ref: tree_adapter.py:574-600 Masked keeps arrays
+    intact)."""
+    from fast_carpenter_spark.operators.define import DefineStage
+    from fast_carpenter_spark.operators.selection import SelectPhaseSpaceStage
+
+    nested = spark.sql(synth.spans_table_sql("spark"))
+    before = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in nested.collect()}
+
+    # Define adds a derived column; SelectPhaseSpace adds a region mask —
+    # both must leave the spans column untouched, row-aligned, unreordered
+    out = DefineStage.from_config(
+        "d", [{"n_media": "0 + 1"}]
+    ).apply(nested.withColumn("x", nested.doc_id.substr(5, 12).cast("long")))
+    out = SelectPhaseSpaceStage(
+        name="sp", selection="x % 2 == 0", region_name="even"
+    ).apply(out)
+    after = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in out.collect()}
+
+    assert after == before  # same docs, same spans, same order, same fields
