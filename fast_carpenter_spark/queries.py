@@ -479,6 +479,42 @@ FROM documents
 """
 
 
+def q_systematics_binned(spark, sf_dir):
+    """Reference end-to-end workflow: systematic weight variations feeding
+    the binned dataframe — per-(region-cell) sumw for nominal and each
+    variation in ONE aggregation pass (ref: define/systematics.py:61-94
+    building variations consumed by summary/binned_dataframe.py weights)."""
+    df = flat_spans(spark, sf_dir)
+    df = SystematicWeightsStage(
+        name="syst",
+        weights={"scale": {"nominal": "w", "up": "w * 1.25", "down": "w * 0.75"}},
+    ).apply(df)
+    df = df.withColumn("cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark")))
+    return BinnedDataframeStage(
+        name="tiles",
+        binning=[{"in": "cell"}],
+        weights={
+            "nominal": "weight_nominal",
+            "scale_up": "weight_scale_up",
+            "scale_down": "weight_scale_down",
+        },
+    ).apply(df)
+
+
+O_SYSTEMATICS_BINNED = f"""
+SELECT {grid.cell_sql('lon', 'lat', REGION_RES, 'duck')} AS cell,
+       count(*) AS n,
+       sum(w * 1.0) AS nominal_sumw,
+       sum((w * 1.0) * (w * 1.0)) AS nominal_sumw2,
+       sum((w * 1.25) * 1.0) AS scale_up_sumw,
+       sum(((w * 1.25) * 1.0) * ((w * 1.25) * 1.0)) AS scale_up_sumw2,
+       sum((w * 0.75) * 1.0) AS scale_down_sumw,
+       sum(((w * 0.75) * 1.0) * ((w * 0.75) * 1.0)) AS scale_down_sumw2
+FROM ({O_SPANS_FLAT})
+GROUP BY 1
+"""
+
+
 def q_skim(spark, sf_dir):
     """Event-level skim (A10): masked projection of span collections."""
     from .operators.skim import EventByEventDataframeStage
@@ -813,6 +849,7 @@ QUERIES = {
     "raster_join": (q_raster_join, O_RASTER_JOIN),
     "binned_1d": (q_binned_1d, O_BINNED_1D),
     "systematics": (q_systematics, O_SYSTEMATICS),
+    "systematics_binned": (q_systematics_binned, O_SYSTEMATICS_BINNED),
     "skim": (q_skim, O_SKIM),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_minhash_lsh, O_MINHASH_LSH),
