@@ -119,6 +119,28 @@ GROUP BY 1, 2
 """
 
 
+def q_tile_distinct(spark, sf_dir):
+    """Distinct-document tile stats: per cell, exact count(DISTINCT doc)
+    alongside span counts (the de-duplicated coverage statistic; at 10^12
+    docs swap countDistinct for approx_count_distinct — same plan shape,
+    sketch merge instead of exact set union)."""
+    df = flat_spans(spark, sf_dir).withColumn(
+        "cell", F.expr(grid.cell_sql("lon", "lat", COARSE_RES, "spark"))
+    )
+    return df.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+O_TILE_DISTINCT = f"""
+SELECT {grid.cell_sql('lon', 'lat', COARSE_RES, 'duck')} AS cell,
+       count(*) AS n_spans, count(DISTINCT doc_id) AS n_docs
+FROM ({O_SPANS_FLAT})
+GROUP BY 1
+"""
+
+
 def q_tile_rollup(spark, sf_dir):
     """Zoom-out re-aggregation: tile level 8 -> 4 via parent cells — the
     hypertable-rollup analogue (grouping-set rollup over the hierarchy)."""
@@ -834,6 +856,7 @@ QUERIES = {
     "tile_agg": (q_tile_agg, O_TILE_AGG),
     "tile_agg_dataset": (q_tile_agg_dataset, O_TILE_AGG_DATASET),
     "tile_rollup": (q_tile_rollup, O_TILE_ROLLUP),
+    "tile_distinct": (q_tile_distinct, O_TILE_DISTINCT),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
     "jagged_reduce": (q_jagged_reduce, O_JAGGED_REDUCE),
     "cutflow": (q_cutflow, O_CUTFLOW),
