@@ -41,15 +41,49 @@ def polygon_covers_local(
     polys: list[dict],
     max_cells: int = 64,
     resolutions: tuple[int, ...] = COVER_RESOLUTIONS,
+    max_total_rows: int = 65536,
 ):
     """(pandas covers table, sorted distinct resolutions) — pure numpy.
 
-    Chooses per polygon the finest resolution whose bbox cover stays within
-    ``max_cells`` (giant polygons get coarse cells, bounding cover size);
-    falls back to the coarsest level otherwise.  Driver-side on the small
-    polygon table: no Spark job, no collect.
+    Strategy (measured on the flagship):
+    1. **Single-level** when affordable: the finest resolution whose TOTAL
+       bbox-cover across all polygons stays under ``max_total_rows`` (still
+       broadcast-small).  One cover level means the point side needs NO
+       cell explode at all — a single withColumn + one hash probe per span
+       (~1.5x faster than the multi-level plan at small polygon counts).
+    2. **Multi-level** otherwise (large polygon sets): per polygon the
+       finest resolution with <= ``max_cells`` bbox cells — cover size per
+       polygon stays bounded, points explode over the distinct levels.
+    Driver-side on the small polygon table: no Spark job, no collect.
     """
     import pandas as pd
+
+    # try single-level first (finest affordable)
+    for res in sorted(resolutions, reverse=True):
+        total = 0
+        for d in polys:
+            lon = np.asarray(d["ring_lon"], dtype=np.float64)
+            lat = np.asarray(d["ring_lat"], dtype=np.float64)
+            x0, y0 = grid.encode_xy(lon.min(), lat.min(), res)
+            x1, y1 = grid.encode_xy(lon.max(), lat.max(), res)
+            total += int(x1 - x0 + 1) * int(y1 - y0 + 1)
+            if total > max_total_rows:
+                break
+        if total <= max_total_rows:
+            ids, ress, cells = [], [], []
+            for d in polys:
+                lon = np.asarray(d["ring_lon"], dtype=np.float64)
+                lat = np.asarray(d["ring_lat"], dtype=np.float64)
+                x0, y0 = grid.encode_xy(lon.min(), lat.min(), res)
+                x1, y1 = grid.encode_xy(lon.max(), lat.max(), res)
+                xs = np.arange(int(x0), int(x1) + 1, dtype=np.int64)
+                ys = np.arange(int(y0), int(y1) + 1, dtype=np.int64)
+                gx, gy = np.meshgrid(xs, ys)
+                pc = grid.pack_cells(res, gx.ravel(), gy.ravel())
+                ids.extend([d["poly_id"]] * len(pc))
+                ress.extend([res] * len(pc))
+                cells.extend(pc.tolist())
+            return pd.DataFrame({"poly_id": ids, "res": ress, "cell": cells}), [res]
 
     ids, ress, cells = [], [], []
     for d in polys:
@@ -122,10 +156,16 @@ def spatial_join(
         raise ValueError("empty polygon cover set")
 
     point_cols = points.columns
-    cells_arr = "array({})".format(
-        ", ".join(grid.cell_sql(lon_col, lat_col, res, "spark") for res in resolutions)
-    )
-    pts = points.withColumn("_cell", F.explode(F.expr(cells_arr)))
+    if len(resolutions) == 1:
+        # single-level cover: no explode — one cell per span, one probe
+        pts = points.withColumn(
+            "_cell", F.expr(grid.cell_sql(lon_col, lat_col, resolutions[0], "spark"))
+        )
+    else:
+        cells_arr = "array({})".format(
+            ", ".join(grid.cell_sql(lon_col, lat_col, res, "spark") for res in resolutions)
+        )
+        pts = points.withColumn("_cell", F.explode(F.expr(cells_arr)))
 
     cov = covers.select("poly_id", F.col("cell").alias("_cell"))
     if strategy == "broadcast":
