@@ -171,7 +171,7 @@ def main() -> None:
     engine_eff = round(raw_eff / ceiling, 3) if ceiling else None
 
     result = {
-        "flagship": "spatial join (multi-res cell cover + exact PIP refine) -> per-(region, tile) weighted aggregation",
+        "flagship": "spatial join (adaptive cell cover + exact PIP refine) -> per-(region, tile) weighted aggregation",
         "n_small": N_SMALL,
         "n_big": N_BIG,
         "repl": int(REPL),
