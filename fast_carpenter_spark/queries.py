@@ -825,7 +825,18 @@ def q_checkpoint_resume(spark, sf_dir):
     from .checkpoint import CheckpointedRun
     from .sources.snapshot import SnapshotReader, list_snapshots, write_snapshot
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # cache key includes a fingerprint of the source parquet (path, size,
+    # mtime) so a regenerated testdata set can never hit a stale snapshot
+    import hashlib
+
+    src = f"{sf_dir}/documents.parquet"
+    parts = []
+    for root, _, files in os.walk(src):
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            parts.append(f"{fn}:{st.st_size}:{int(st.st_mtime)}")
+    fp = hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
     snap_dir = os.path.join(tempfile.gettempdir(), f"fcs_ckpt_snap_{tag}")
     if not (os.path.isdir(snap_dir) and list_snapshots(snap_dir)):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
