@@ -92,6 +92,25 @@ def replicated_documents(spark: SparkSession):
     return spark.read.parquet(path)
 
 
+def materialized_spans(spark: SparkSession):
+    """Span geometry at rest (doc_id, span_idx, lon, lat, w as parquet) —
+    the storage-bound input path of a real table, vs the CPU-bound
+    synthesized path the other queries exercise.  Built once per replica
+    cache."""
+    tag = f"{os.path.basename(os.path.normpath(SF_DIR))}_x{REPL}"
+    path = os.path.join(CACHE_DIR, f"spans_{tag}.parquet")
+    if not os.path.exists(path):
+        replicated_documents(spark).createOrReplaceTempView("documents")
+        (
+            spark.sql(synth.flat_spans_sql("spark"))
+            .select("doc_id", "span_idx", "lon", "lat", "w")
+            .repartition(128, "doc_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 def sink(df) -> None:
     """Force full execution without driver materialization."""
     df.write.format("noop").mode("overwrite").save()
@@ -155,8 +174,20 @@ def make_factories(spark: SparkSession, n_docs: int):
             .count()
         )
 
+    def q6():
+        # flagship over spans AT REST (parquet scan instead of synthesis)
+        joined = (
+            SpatialJoinStage(name="sj", polygons=polys).apply(materialized_spans(spark))
+            .withColumn("cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark")))
+            .withColumn("pw", F.col("w") * F.col("weight"))
+        )
+        return BinnedDataframeStage(
+            name="tiles", binning=[{"in": "region"}, {"in": "cell"}], weights={"pw": "pw"}
+        ).apply(joined)
+
     return {
         "q1_pip_tile_agg": q1,
+        "q6_pip_tile_agg_at_rest": q6,
         "q2_tile_agg": q2,
         "q3_cutflow": q3,
         "q4_knn": q4,
