@@ -50,18 +50,18 @@ REPL = int(os.environ.get("SPARK_GRAFT_REPL", "480"))
 
 
 def build_session() -> SparkSession:
-    return (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("fast_carpenter_spark_bench")
-        .config("spark.sql.shuffle.partitions", str(CPUS))
-        .config("spark.default.parallelism", str(CPUS))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
+    from fast_carpenter_spark.session import build_session as _build
+
+    return _build(
+        master=f"local[{CPUS}]",
+        app_name="fast_carpenter_spark_bench",
+        shuffle_partitions=CPUS,
+        extra_conf={
+            "spark.default.parallelism": str(CPUS),
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
 
 
