@@ -477,6 +477,32 @@ FROM base GROUP BY nchars_bin
 """
 
 
+def q_binned_1d_padded(spark, sf_dir):
+    """pad_missing densify (A6): every bin index appears, empty bins carry
+    n=0 / sumw=0 (ref: binned_dataframe.py:103-114 densify_dataframe —
+    reindex to the full product of bin edges)."""
+    df = load_documents(spark, sf_dir).withColumn("w", F.expr(synth.doc_weight_sql()))
+    stage = BinnedDataframeStage(
+        name="hist", binning=[_NCHARS_DIM], weights={"w": "w"}, pad_missing=True
+    )
+    return stage.apply(df)
+
+
+O_BINNED_1D_PADDED = f"""
+WITH idxs AS (
+  SELECT unnest(range(0, {len(_dim.edges) - 1})) AS nchars_bin
+),
+obs AS ({O_BINNED_1D})
+SELECT i.nchars_bin,
+       coalesce(o.n, 0) AS n,
+       coalesce(o.w_sumw, 0.0) AS w_sumw,
+       coalesce(o.w_sumw2, 0.0) AS w_sumw2,
+       {_dim.lo_hi_sql('i.nchars_bin', 'duck')[0]} AS nchars_bin_lo,
+       {_dim.lo_hi_sql('i.nchars_bin', 'duck')[1]} AS nchars_bin_hi
+FROM idxs i LEFT JOIN obs o ON i.nchars_bin = o.nchars_bin
+"""
+
+
 def q_systematics(spark, sf_dir):
     df = load_documents(spark, sf_dir).withColumn("w", F.expr(synth.doc_weight_sql()))
     stage = SystematicWeightsStage(
@@ -882,6 +908,7 @@ QUERIES = {
     "knn_local": (q_knn_local, O_KNN),
     "raster_join": (q_raster_join, O_RASTER_JOIN),
     "binned_1d": (q_binned_1d, O_BINNED_1D),
+    "binned_1d_padded": (q_binned_1d_padded, O_BINNED_1D_PADDED),
     "systematics": (q_systematics, O_SYSTEMATICS),
     "systematics_binned": (q_systematics_binned, O_SYSTEMATICS_BINNED),
     "skim": (q_skim, O_SKIM),
