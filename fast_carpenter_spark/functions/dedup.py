@@ -110,10 +110,14 @@ def simhash_sql(text: str, dialect: str, bits: int = 32) -> str:
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(fingerprint, canonical_doc_id, n_dups): exact duplicate groups via
-    one hash-groupBy on the rolling-hash fingerprint."""
-    fp = text_hash_sql(text_col, "spark")
+    one hash-groupBy on the rolling-hash fingerprint (Arrow kernel;
+    text_hash_sql is the oracle twin — NB the kernel maps empty/NULL text
+    to 0 where SQL list_reduce yields NULL; the synthetic corpus has no
+    empty documents and tests assert parity on real data)."""
+    from .text import doc_hash_column
+
     return (
-        docs.withColumn("fingerprint", F.expr(fp))
+        docs.withColumn("fingerprint", doc_hash_column(text_col))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_dups"))
     )

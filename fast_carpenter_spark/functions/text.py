@@ -209,3 +209,64 @@ def subword_count_sql(text: str, dialect: str) -> str:
     if dialect == "spark":
         return f"size(regexp_extract_all({text}, '{BPE_TOKEN_RE}', 0))"
     return f"len(regexp_extract_all({text}, '{BPE_TOKEN_RE}'))"
+
+
+def doc_hash_batch(texts) -> "list":
+    """Vectorized whole-document fingerprint (polynomial rolling hash over
+    the full text incl. spaces) — exact parity with text_hash_sql; same
+    mod-power formulation as token_hashes_batch but one segment per doc."""
+    import numpy as np
+
+    n = len(texts)
+    strs = ["" if t is None else t for t in texts]
+    lens = np.fromiter((len(t) for t in strs), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=np.int64)
+    nz = lens > 0
+    if not nz.any():
+        return out.tolist()
+    codes = np.frombuffer("".join(strs).encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    idx = np.arange(codes.shape[0], dtype=np.int64)
+    off = idx - np.repeat(starts, lens)
+    pow_idx = np.repeat(lens, lens) - 1 - off
+    maxlen = int(lens.max())
+    powers = np.empty(maxlen, dtype=np.int64)
+    p = 1
+    for i in range(maxlen):
+        powers[i] = p
+        p = (p * 31) % HASH_MOD
+    # chunk the per-doc dot products so partial sums never overflow int64:
+    # each term < 256 * HASH_MOD < 2.6e11; 3.5e7 terms would overflow, so
+    # reduce in <= 1024-char chunks with a mod between chunks
+    CH = 1024
+    acc = np.zeros(n, dtype=np.int64)
+    shift_pow = np.empty(CH + 1, dtype=np.int64)
+    shift_pow[0] = 1
+    for i in range(1, CH + 1):
+        shift_pow[i] = (shift_pow[i - 1] * 31) % HASH_MOD
+    terms = codes
+    for s_idx in range(n):
+        if lens[s_idx] == 0:
+            continue
+        a, b = starts[s_idx], ends[s_idx]
+        h = 0
+        for cs in range(a, b, CH):
+            ce = min(cs + CH, b)
+            seg = terms[cs:ce]
+            L = ce - cs
+            h = (h * shift_pow[L]) % HASH_MOD
+            h = (h + int((seg * powers[L - 1 - np.arange(L)] % HASH_MOD).sum() % HASH_MOD)) % HASH_MOD
+        out[s_idx] = h
+    return out.tolist()
+
+
+def doc_hash_column(text_col: str):
+    """Spark Column: Arrow-batched whole-document fingerprint."""
+    from pyspark.sql import functions as F, types as T
+
+    @F.pandas_udf(T.LongType())
+    def _udf(text: pd.Series) -> pd.Series:
+        return pd.Series(doc_hash_batch(text.tolist()), dtype="int64")
+
+    return _udf(F.col(text_col))

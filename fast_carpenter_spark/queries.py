@@ -665,14 +665,14 @@ WHERE len(list_intersect(a.sh, b.sh)) > 0
 def q_text_features(spark, sf_dir):
     """Language-ID + quality score + token stats per document."""
     df = load_documents(spark, sf_dir)
-    return df.selectExpr(
+    return df.withColumn("fingerprint", _text.doc_hash_column("text")).selectExpr(
         "doc_id",
         "lang AS lang_true",
         f"{_text.langid_pred_sql('text', 'spark')} AS lang_pred",
         f"{_text.quality_score_sql('text', 'spark')} AS quality",
         f"size({_text.tokens_sql('text', 'spark')}) AS n_tokens",
         f"{_text.subword_count_sql('text', 'spark')} AS n_subwords",
-        f"{_text.text_hash_sql('text', 'spark')} AS fingerprint",
+        "fingerprint",
     )
 
 
