@@ -119,6 +119,35 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_tile_agg(spark, sf_dir):
+    """Structured-Streaming tile aggregation, drained with availableNow:
+    the accumulated micro-batch partial deltas merged at read time must
+    equal the batch aggregate EXACTLY (same oracle as tile_agg) — the
+    streaming path passes the same bit-exact correctness gate as batch."""
+    import tempfile
+
+    from .streaming.tile_stream import StreamingTileAgg
+
+    import os
+
+    stage = StreamingTileAgg(
+        name="st",
+        res=TILE_RES,
+        out_dir=tempfile.mkdtemp(prefix="fcs_stream_q_"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="fcs_stream_ckpt_q_"),
+    )
+    # the file stream source needs a DIRECTORY; the test tables ship as
+    # single parquet files — expose via a symlinked temp dir
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="fcs_stream_in_")
+        os.symlink(src, os.path.join(d, "part-000.parquet"))
+        src = d
+    q = stage.start(spark, src, available_now=True)
+    q.awaitTermination(300)
+    return stage.result(spark)
+
+
 def q_tile_distinct(spark, sf_dir):
     """Distinct-document tile stats: per cell, exact count(DISTINCT doc)
     alongside span counts (the de-duplicated coverage statistic; at 10^12
@@ -894,6 +923,7 @@ QUERIES = {
     "tile_agg_dataset": (q_tile_agg_dataset, O_TILE_AGG_DATASET),
     "tile_rollup": (q_tile_rollup, O_TILE_ROLLUP),
     "tile_distinct": (q_tile_distinct, O_TILE_DISTINCT),
+    "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
     "jagged_reduce": (q_jagged_reduce, O_JAGGED_REDUCE),
     "cutflow": (q_cutflow, O_CUTFLOW),
