@@ -88,6 +88,39 @@ class HilbertLayoutStage:
         return out.repartitionByRange(self.partitions, "_hkey").drop("_hkey")
 
 
+@dataclass
+class KnnStage:
+    """kNN neighbor lists over per-row points (density-adaptive local
+    search; see spatial/knn.py)."""
+
+    name: str
+    res: int = 6
+    ring: int = 1
+    k: int = 3
+    id_col: str = "doc_id"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ..spatial.knn import knn_local
+
+        return knn_local(
+            df.select(self.id_col, "lon", "lat"),
+            id_col=self.id_col, res=self.res, ring=self.ring, k=self.k,
+        )
+
+
+@dataclass
+class RasterJoinStage:
+    """Sample the raster tile containing each point (spatial/raster.py)."""
+
+    name: str
+    res: int = 6
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ..spatial.raster import raster_vector_join
+
+        return raster_vector_join(df, res=self.res)
+
+
 STAGE_TYPES = {
     "define": lambda name, cfg: DefineStage.from_config(name, cfg["variables"]),
     "cell_encode": lambda name, cfg: CellEncodeStage(name=name, **cfg),
@@ -95,6 +128,8 @@ STAGE_TYPES = {
     "cutflow": lambda name, cfg: CutFlowStage(name=name, **cfg),
     "select_phasespace": lambda name, cfg: SelectPhaseSpaceStage(name=name, **cfg),
     "spatial_join": lambda name, cfg: SpatialJoinStage(name=name, **cfg),
+    "knn": lambda name, cfg: KnnStage(name=name, **cfg),
+    "raster_join": lambda name, cfg: RasterJoinStage(name=name, **cfg),
     "systematics": lambda name, cfg: SystematicWeightsStage(name=name, **cfg),
     "binned_dataframe": lambda name, cfg: BinnedDataframeStage(name=name, **cfg),
     "skim": lambda name, cfg: EventByEventDataframeStage(name=name, **cfg),

@@ -151,3 +151,15 @@ def test_config_validation_errors(spark, spans):
         CellEncodeStage(name="ce", res=8, out="lon").apply(spans)
     with pytest.raises((KeyError, ValueError)):
         BinnedDataframeStage(name="b", binning=[{}]).apply(spans)
+
+
+def test_pipeline_knn_and_raster_stages(spark, spans):
+    out = Pipeline.from_config(
+        {"stages": [{"knn": {"res": 5, "k": 2}}]}
+    ).apply(spans.filter("span_idx = 0").select("doc_id", "lon", "lat"))
+    assert out.columns == ["doc_id", "neighbor_id", "rank", "dist2"]
+    assert out.filter("rank > 2").count() == 0 and out.count() > 0
+
+    r = Pipeline.from_config({"stages": [{"raster_join": {"res": 6}}]}).apply(spans)
+    assert {"tile_id", "tile_value"} <= set(r.columns)
+    assert r.count() == spans.count()
