@@ -170,6 +170,63 @@ GROUP BY 1
 """
 
 
+def q_tile_smooth(spark, sf_dir):
+    """k-ring neighborhood smoothing (grid convolution): each res-6 cell's
+    smoothed aggregate sums its own and its 8 ring-1 neighbours' tile
+    stats — the cell-ring expansion of the north_star applied to
+    aggregation.  One explode over 9 constant offsets + re-aggregation;
+    no joins."""
+    n = 1 << REGION_RES
+    tiles = (
+        flat_spans(spark, sf_dir)
+        .withColumn("cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark")))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("w_sumw"))
+    )
+    x = grid.unpack_x_sql("cell", "spark")
+    y = grid.unpack_y_sql("cell", "spark")
+    ring = (
+        "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> "
+        f"struct({x} + dx AS x, {y} + dy AS y))))"
+    )
+    contrib = (
+        tiles.select("n", "w_sumw", F.explode(F.expr(ring)).alias("_nc"))
+        .filter(
+            (F.col("_nc.x") >= 0) & (F.col("_nc.x") < n)
+            & (F.col("_nc.y") >= 0) & (F.col("_nc.y") < n)
+        )
+        .select(
+            F.expr(grid.pack_sql(REGION_RES, "_nc.x", "_nc.y")).alias("cell"),
+            "n", "w_sumw",
+        )
+    )
+    return contrib.groupBy("cell").agg(
+        F.sum("n").alias("n_smooth"), F.sum("w_sumw").alias("w_smooth")
+    )
+
+
+_n6 = 1 << REGION_RES
+O_TILE_SMOOTH = f"""
+WITH tiles AS (
+  SELECT {grid.cell_sql('lon', 'lat', REGION_RES, 'duck')} AS cell,
+         count(*) AS n, sum(w) AS w_sumw
+  FROM ({O_SPANS_FLAT})
+  GROUP BY 1
+),
+contrib AS (
+  SELECT {grid.pack_sql(REGION_RES, f"({grid.unpack_x_sql('cell', 'duck')} + dx)", f"({grid.unpack_y_sql('cell', 'duck')} + dy)")} AS tcell,
+         n, w_sumw
+  FROM tiles,
+       (SELECT unnest(range(-1, 2)) AS dx),
+       (SELECT unnest(range(-1, 2)) AS dy)
+  WHERE {grid.unpack_x_sql('cell', 'duck')} + dx BETWEEN 0 AND {_n6 - 1}
+    AND {grid.unpack_y_sql('cell', 'duck')} + dy BETWEEN 0 AND {_n6 - 1}
+)
+SELECT tcell AS cell, sum(n) AS n_smooth, sum(w_sumw) AS w_smooth
+FROM contrib GROUP BY 1
+"""
+
+
 def q_tile_rollup(spark, sf_dir):
     """Zoom-out re-aggregation: tile level 8 -> 4 via parent cells — the
     hypertable-rollup analogue (grouping-set rollup over the hierarchy)."""
@@ -922,6 +979,7 @@ QUERIES = {
     "tile_agg": (q_tile_agg, O_TILE_AGG),
     "tile_agg_dataset": (q_tile_agg_dataset, O_TILE_AGG_DATASET),
     "tile_rollup": (q_tile_rollup, O_TILE_ROLLUP),
+    "tile_smooth": (q_tile_smooth, O_TILE_SMOOTH),
     "tile_distinct": (q_tile_distinct, O_TILE_DISTINCT),
     "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
