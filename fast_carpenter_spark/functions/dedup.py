@@ -173,6 +173,14 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) via the Arrow kernel (text.simhash_batch);
+    simhash_sql is the oracle twin."""
+    from .text import simhash_column
+
+    return docs.select("doc_id", simhash_column(text_col).alias("simhash"))
+
+
+def _simhash_fingerprints_sql(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", F.expr(simhash_sql(text_col, "spark")).alias("simhash")
     )

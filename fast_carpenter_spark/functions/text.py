@@ -270,3 +270,37 @@ def doc_hash_column(text_col: str):
         return pd.Series(doc_hash_batch(text.tolist()), dtype="int64")
 
     return _udf(F.col(text_col))
+
+
+def simhash_batch(texts, bits: int = 32) -> "list":
+    """Vectorized SimHash over a batch: token hashes via token_hashes_batch,
+    then bit k of the fingerprint = sign of sum over tokens of
+    ((h >> k & 1) * 2 - 1).  Exact parity with dedup.simhash_sql, which
+    re-derives the token hashes once PER BIT (32x) in interpreted SQL."""
+    import numpy as np
+
+    th = token_hashes_batch(texts)
+    n_toks = np.fromiter((len(a) for a in th), dtype=np.int64, count=len(th))
+    out = np.zeros(len(th), dtype=np.int64)
+    nz = n_toks > 0
+    if not nz.any():
+        return out.tolist()
+    flat = np.concatenate([a for a in th if len(a)])
+    ks = np.arange(bits, dtype=np.int64)
+    pm = (((flat[:, None] >> ks) & 1) * 2 - 1)  # (n_tokens_total, bits) of +-1
+    starts = np.concatenate([[0], np.cumsum(n_toks[nz])[:-1]])
+    sums = np.add.reduceat(pm, starts, axis=0)  # (n_nonempty_docs, bits)
+    fp = ((sums > 0).astype(np.int64) << ks).sum(axis=1)
+    out[nz] = fp
+    return out.tolist()
+
+
+def simhash_column(text_col: str, bits: int = 32):
+    """Spark Column: Arrow-batched SimHash fingerprint."""
+    from pyspark.sql import functions as F, types as T
+
+    @F.pandas_udf(T.LongType())
+    def _udf(text: pd.Series) -> pd.Series:
+        return pd.Series(simhash_batch(text.tolist(), bits), dtype="int64")
+
+    return _udf(F.col(text_col))
