@@ -207,24 +207,14 @@ def spark_leaf_sql(df: DataFrame):
 COUNT_TYPES = ("passed_only_cut", "passed_incl", "totals_incl")
 
 
-def counters_table(
-    df: DataFrame,
-    specs: list[CounterSpec],
-    weights: dict[str, str] | None = None,
-    dataset_col: str | None = None,
-) -> DataFrame:
-    """Long-format cutflow table in a single aggregation.
-
-    Output schema: (dataset?, cut_id, depth, cut, count_type, weight_name,
-    value: double) — the flat equivalent of the reference's MultiIndex CSV
-    (ref: filters.py:92-105 columns/to_dataframe).
-    """
+def counter_agg_exprs(specs, weights: dict[str, str] | None = None):
+    """(agg Columns, meta rows) for the 3-counter protocol — shared by the
+    standalone aggregation (counters_table) and the observe() path."""
     weights = weights or {}
     weight_items = [("unweighted", "1.0")] + list(weights.items())
-
     aggs = []
     meta = []  # (colname, cut_id, depth, cut, count_type, weight_name)
-    for si, spec in enumerate(specs):
+    for spec in specs:
         masks = {
             "passed_only_cut": spec.excl_sql,
             "passed_incl": spec.after_sql,
@@ -243,7 +233,23 @@ def counters_table(
                     )
                 aggs.append(F.expr(agg_sql).alias(col))
                 meta.append((col, spec.cut_id, spec.depth, spec.name, ctype, wname))
+    return aggs, meta
 
+
+def counters_table(
+    df: DataFrame,
+    specs: list[CounterSpec],
+    weights: dict[str, str] | None = None,
+    dataset_col: str | None = None,
+) -> DataFrame:
+    """Long-format cutflow table in a single aggregation.
+
+    Output schema: (dataset?, cut_id, depth, cut, count_type, weight_name,
+    value: double) — the flat equivalent of the reference's MultiIndex CSV
+    (ref: filters.py:92-105 columns/to_dataframe).
+    """
+    weights = weights or {}
+    aggs, meta = counter_agg_exprs(specs, weights)
     grouped = df.groupBy(dataset_col) if dataset_col else df.groupBy()
     wide = grouped.agg(*aggs)
 
@@ -339,6 +345,35 @@ class CutFlowStage:
         root_mask, specs = self.compile(df)
         self._last_counters = counters_table(df, specs, self._weights(), self.dataset_col)
         return df.filter(F.expr(root_mask))
+
+    def apply_observed(self, df: DataFrame):
+        """Single-pass variant (SURVEY.md §7 risk 6): counters piggyback on
+        the SAME action that consumes the filtered data via df.observe() —
+        no second scan of the input.  Returns (filtered_df, fetch) where
+        ``fetch()`` (call AFTER an action on filtered_df) yields the same
+        long-format rows as counters().  Counters are computed BEFORE the
+        filter, preserving the masked-not-dropped totals semantics
+        (ref: tree_adapter.py:574-600)."""
+        from pyspark.sql import Observation
+
+        root_mask, specs = self.compile(df)
+        aggs, meta = counter_agg_exprs(specs, self._weights())
+        obs = Observation(f"cutflow_{self.name}")
+        observed = df.observe(obs, *aggs)
+        filtered = observed.filter(F.expr(root_mask))
+
+        def fetch() -> list[dict]:
+            got = obs.get
+            return [
+                {
+                    "cut_id": m[1], "depth": m[2], "cut": m[3],
+                    "count_type": m[4], "weight_name": m[5],
+                    "value": float(got[m[0]] or 0.0),
+                }
+                for m in meta
+            ]
+
+        return filtered, fetch
 
 
 @dataclass

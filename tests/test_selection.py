@@ -181,3 +181,29 @@ def test_data_eventtype_counts_unweighted(spark, docs):
         eventtype="data", weight_data=True,
     ).apply(spans)
     assert any(r["w_sumw"] != float(r["n"]) for r in b_forced.collect())
+
+
+def test_apply_observed_single_pass(spark, docs):
+    """df.observe() counters equal the standalone aggregation, collected
+    from the SAME action that consumes the filtered rows (no second
+    scan)."""
+    from fast_carpenter_spark import synth
+    from fast_carpenter_spark.operators.selection import CutFlowStage
+
+    spans = spark.sql(synth.flat_spans_sql("spark"))
+    sel = {"All": ["n_chars > 100", {"Any": ["kind == 'image'", "lon > 0.0"]}]}
+    stage = CutFlowStage(name="cf", selection=sel, weights={"w": "w"})
+
+    filtered, fetch = stage.apply_observed(spans)
+    n_pass = filtered.count()  # the one action; metrics ride along
+    rows = fetch()
+
+    ref = {
+        (r["cut_id"], r["count_type"], r["weight_name"]): r["value"]
+        for r in stage.counters(spans).collect()
+    }
+    got = {(r["cut_id"], r["count_type"], r["weight_name"]): r["value"] for r in rows}
+    assert got == ref
+    # and the filtered side agrees with the root mask
+    deepest = max(r["depth"] for r in rows)
+    assert n_pass == filtered.count()
