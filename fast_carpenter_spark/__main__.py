@@ -25,6 +25,7 @@ import argparse
 import dataclasses
 import json
 import os
+import re
 import sys
 import time
 
@@ -37,11 +38,17 @@ from .plans.pipeline import Pipeline
 from .session import build_session
 
 
-def load_dataset(spark, cfg: dict, input_table: str):
+def _safe_view_name(name: str, idx: int) -> str:
+    """Dataset names often contain '-', '.', spaces — illegal in view
+    identifiers; sanitize and uniquify by position."""
+    return f"cli_docs_{idx}_{re.sub(r'[^A-Za-z0-9_]', '_', name)}"
+
+
+def load_dataset(spark, cfg: dict, input_table: str, idx: int = 0):
     """One dataset -> its spans DataFrame (+ dataset/eventtype columns)."""
     paths = cfg["files"]
     docs = spark.read.parquet(*paths)
-    view = f"cli_docs_{cfg['name']}"
+    view = _safe_view_name(cfg["name"], idx)
     docs.createOrReplaceTempView(view)
     if input_table == "documents":
         df = docs
@@ -87,10 +94,12 @@ def main(argv=None) -> int:
 
     results = []
     counter_frames = []
-    for ds in datasets:
+    if not datasets:
+        sys.exit("config error: 'datasets' list is empty — nothing to process")
+    for i, ds in enumerate(datasets):
         is_mc = ds.get("eventtype", "mc") == "mc"
         pipe = specialize(pipeline, is_mc)
-        out = pipe.apply(load_dataset(spark, ds, input_table))
+        out = pipe.apply(load_dataset(spark, ds, input_table, i))
         results.append(out)
         for stage_name, ctr in pipe.metrics().items():
             counter_frames.append(

@@ -132,8 +132,12 @@ class CheckpointedRun:
                     entry = json.loads(line)
                 except json.JSONDecodeError:
                     continue  # torn write from a crash: unit will be redone
-                if entry.get("unit_id") in self.units:
-                    done[entry["unit_id"]] = entry
+                uid = entry.get("unit_id")
+                # the unit is complete only if it covered the SAME files this
+                # run would assign it — a ledger written against a different
+                # snapshot or files_per_unit must not be merged as done
+                if uid in self.units and entry.get("files") == self.units[uid]:
+                    done[uid] = entry
         return done
 
     def _partial_dir(self, unit_id: str) -> str:

@@ -99,7 +99,8 @@ def simhash_sql(text: str, dialect: str, bits: int = 32) -> str:
             f"list_sum(list_transform(range(0, {bits}), "
             f"k -> CASE WHEN COALESCE(({inner}), 0) > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))"
         )
-        out = f"COALESCE({out}, 0)"
+        # DuckDB list_sum returns HUGEINT; cast so the oracle frame hashes as int64.
+        out = f"CAST(COALESCE({out}, 0) AS BIGINT)"
     return out.replace("_th", f"({hashes})")
 
 

@@ -168,7 +168,10 @@ def token_hashes_batch(texts) -> "list":
     if not all_toks:
         return [np.empty(0, dtype=np.int64) for _ in doc_toks]
     lens = np.fromiter((len(t) for t in all_toks), dtype=np.int64, count=len(all_toks))
-    codes = np.frombuffer("".join(all_toks).encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    # UTF-32-LE: one uint32 per code point, so offsets (len() in code points)
+    # align with the code buffer and values equal ascii()/ord — UTF-8 bytes
+    # would desync on any non-ASCII char and hash the wrong values.
+    codes = np.frombuffer("".join(all_toks).encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
     ends = np.cumsum(lens)
     starts = ends - lens
     idx = np.arange(codes.shape[0], dtype=np.int64)
@@ -180,7 +183,9 @@ def token_hashes_batch(texts) -> "list":
     for i in range(maxlen):
         powers[i] = p
         p = (p * 31) % HASH_MOD
-    terms = codes * powers[pow_idx]
+    # mod per term: code points reach 0x10FFFF, so an unreduced sum could
+    # overflow int64 on pathological tokens; reduced terms are < 1e9+7
+    terms = (codes * powers[pow_idx]) % HASH_MOD
     tok_hash = np.add.reduceat(terms, starts) % HASH_MOD
     doc_ends = np.cumsum(n_toks)
     doc_starts = doc_ends - n_toks
@@ -224,7 +229,9 @@ def doc_hash_batch(texts) -> "list":
     nz = lens > 0
     if not nz.any():
         return out.tolist()
-    codes = np.frombuffer("".join(strs).encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    # code points (UTF-32-LE), not UTF-8 bytes: keeps offsets aligned with
+    # len() and values equal to the oracle's ascii() fold on non-ASCII text
+    codes = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
     ends = np.cumsum(lens)
     starts = ends - lens
     idx = np.arange(codes.shape[0], dtype=np.int64)
@@ -286,11 +293,15 @@ def simhash_batch(texts, bits: int = 32) -> "list":
     if not nz.any():
         return out.tolist()
     flat = np.concatenate([a for a in th if len(a)])
-    ks = np.arange(bits, dtype=np.int64)
-    pm = (((flat[:, None] >> ks) & 1) * 2 - 1)  # (n_tokens_total, bits) of +-1
     starts = np.concatenate([[0], np.cumsum(n_toks[nz])[:-1]])
-    sums = np.add.reduceat(pm, starts, axis=0)  # (n_nonempty_docs, bits)
-    fp = ((sums > 0).astype(np.int64) << ks).sum(axis=1)
+    # accumulate one bit at a time: peak memory stays O(total_tokens)
+    # instead of the O(total_tokens * bits) dense +-1 matrix, which at
+    # 64Ki-record Arrow batches with realistic doc lengths is multiple GB
+    fp = np.zeros(int(nz.sum()), dtype=np.int64)
+    for k in range(bits):
+        bit_pm = (((flat >> k) & 1) * 2 - 1)  # +-1 per token, this bit only
+        sums_k = np.add.reduceat(bit_pm, starts)
+        fp |= (sums_k > 0).astype(np.int64) << k
     out[nz] = fp
     return out.tolist()
 

@@ -222,7 +222,7 @@ contrib AS (
   WHERE {grid.unpack_x_sql('cell', 'duck')} + dx BETWEEN 0 AND {_n6 - 1}
     AND {grid.unpack_y_sql('cell', 'duck')} + dy BETWEEN 0 AND {_n6 - 1}
 )
-SELECT tcell AS cell, sum(n) AS n_smooth, sum(w_sumw) AS w_smooth
+SELECT tcell AS cell, CAST(sum(n) AS BIGINT) AS n_smooth, sum(w_sumw) AS w_smooth
 FROM contrib GROUP BY 1
 """
 
@@ -244,7 +244,7 @@ def q_tile_rollup(spark, sf_dir):
 
 O_TILE_ROLLUP = f"""
 SELECT {grid.parent_sql('cell', TILE_RES, COARSE_RES, 'duck')} AS cell4,
-       sum(n) AS n, sum(w_sumw) AS w_sumw, sum(w_sumw2) AS w_sumw2
+       CAST(sum(n) AS BIGINT) AS n, sum(w_sumw) AS w_sumw, sum(w_sumw2) AS w_sumw2
 FROM ({O_TILE_AGG})
 GROUP BY 1
 """
@@ -757,7 +757,7 @@ def q_text_features(spark, sf_dir):
         f"{_text.langid_pred_sql('text', 'spark')} AS lang_pred",
         f"{_text.quality_score_sql('text', 'spark')} AS quality",
         f"size({_text.tokens_sql('text', 'spark')}) AS n_tokens",
-        f"{_text.subword_count_sql('text', 'spark')} AS n_subwords",
+        f"CAST({_text.subword_count_sql('text', 'spark')} AS BIGINT) AS n_subwords",
         "fingerprint",
     )
 

@@ -120,3 +120,26 @@ def test_merge_metrics_nested_sum():
     b = {"docs": 3, "cutflow": {"c1": 0.5, "c2": 7}}
     m = merge_metrics(a, b)
     assert m == {"docs": 5, "cutflow": {"c1": 2.0, "c2": 7}, "tag": "x"}
+
+
+def test_resume_rejects_stale_unit_layout(spark, docs, snap_dir, tmp_path):
+    """A ledger written with a different files_per_unit (or snapshot) must
+    NOT be treated as complete: unit ids collide but cover different files,
+    so merging the old partials would silently corrupt the final result."""
+    reader = SnapshotReader(snap_dir)
+    job = flagship_unit_job(spark)
+    run_dir = str(tmp_path / "run_stale")
+
+    first = CheckpointedRun.from_snapshot(run_dir, reader, job, files_per_unit=1)
+    first.execute(spark, max_units=2)
+
+    # same run_dir, different unit layout: u00000/u00001 ids exist in the
+    # ledger but map to 2-file groups now — all units must be redone
+    regrouped = CheckpointedRun.from_snapshot(run_dir, reader, job, files_per_unit=2)
+    assert regrouped.completed_units() == {}
+    s = regrouped.execute(spark)
+    assert len(s["processed"]) == 2 and not s["skipped"]
+
+    final, _ = regrouped.finalize(spark)
+    expected = q_pip_tile_agg(spark, SF_DIR)
+    assert rows_sorted(final) == rows_sorted(expected)

@@ -39,3 +39,54 @@ def test_spark_column_matches_sql(spark, docs):
     a = {r["doc_id"]: list(r["h"]) for r in via_udf}
     b = {r["doc_id"]: list(r["h"]) for r in via_sql}
     assert a == b
+
+
+NON_ASCII = [
+    "héllo wörld",
+    "日本語 の テスト 文",
+    "mixed ascii ünd ßpecial",
+    "кириллица и текст",
+    "emoji 😀 astral 𝕏 chars",
+    "",
+    "é",
+]
+
+
+def test_kernel_non_ascii_matches_duckdb(duck):
+    """Code-point fold parity on non-ASCII text (the round-1 kernels indexed
+    UTF-8 byte buffers with character offsets and crashed on any of these)."""
+    exp = [
+        duck.execute(
+            f"SELECT {token_hashes_sql('t', 'duck')} FROM (SELECT ? AS t)", [s]
+        ).fetchone()[0]
+        for s in NON_ASCII
+    ]
+    got = token_hashes_batch(NON_ASCII)
+    for e, g in zip(exp, got):
+        assert list(g) == (list(e) if e is not None else [])
+
+
+def test_doc_hash_non_ascii_matches_duckdb(duck):
+    from fast_carpenter_spark.functions.text import doc_hash_batch, text_hash_sql
+
+    exp = [
+        duck.execute(
+            f"SELECT CASE WHEN length(t) = 0 THEN 0 ELSE "
+            f"COALESCE({text_hash_sql('t', 'duck')}, 0) END FROM (SELECT ? AS t)", [s]
+        ).fetchone()[0]
+        for s in NON_ASCII
+    ]
+    assert doc_hash_batch(NON_ASCII) == exp
+
+
+def test_simhash_non_ascii_matches_duckdb(duck):
+    from fast_carpenter_spark.functions.text import simhash_batch
+    from fast_carpenter_spark.functions.dedup import simhash_sql
+
+    exp = [
+        duck.execute(
+            f"SELECT {simhash_sql('t', 'duck')} FROM (SELECT ? AS t)", [s]
+        ).fetchone()[0]
+        for s in NON_ASCII
+    ]
+    assert simhash_batch(NON_ASCII) == exp
