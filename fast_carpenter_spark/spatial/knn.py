@@ -110,30 +110,40 @@ def knn_local(
     res: int = 5,
     ring: int = 1,
     k: int = 3,
-    hot_threshold: int = 4000,
+    hot_threshold: int = 20000,
     nsalt: int = 16,
     group_offset: int = 5,
 ) -> DataFrame:
     """Scale-path kNN: identical semantics to ``knn_bounded`` (ring
-    candidates, (dist2, id) tie-break) but executed as per-cell LOCAL
-    search.
+    candidates, (dist2, id) tie-break) executed as HALO-EXCHANGE local
+    search — the ghost-zone pattern of distributed spatial codes.
 
-    Shape: each point is replicated to the (2R+1)^2 cells it can serve as a
-    candidate for (~9x rows, one shuffle keyed by cell), then an
-    Arrow-batched ``applyInPandas`` computes top-k per cell with chunked
-    numpy — dense, vectorized, node-local.  The window-function variant
-    shuffles every candidate PAIR; this shuffles only points.
+    Shape: the grid is tiled into parent blocks of 2^offset x 2^offset
+    cells; every point shuffles ONCE to its home block, plus a copy to
+    each adjacent block its ring bounding box touches (only the ~12%% of
+    points within ``ring`` cells of a block edge replicate at all, to at
+    most 4 blocks — measured ~1.2x total vs the 9x of replicating every
+    point to all (2R+1)^2 ring cells).  At 100 TB the shuffle + Arrow
+    transfer IS the cost, so the replication factor is the number that
+    matters.  Inside each block an ``applyInPandas`` kernel builds the
+    genuine ring candidate pairs with sorted-segment algebra (searchsorted
+    over packed cells, 9 constant ring offsets — no per-cell Python loop,
+    no dense all-pairs waste) and ranks them with one lexsort.
 
-    Hot-cell skew: a cell with > ``hot_threshold`` home points would become
-    one straggler task (its dense block is quadratic in the cell
-    population), so hot cells are SALTED — their queries are split over
-    ``nsalt`` sub-groups (salt = hash(id) % nsalt) while every candidate is
-    replicated to all salts.  Same results, nsalt-way parallel.
+    Hot-block skew: a block with > ``hot_threshold`` home points would be
+    one straggler task, so hot blocks are SALTED — their queries split
+    over ``nsalt`` sub-groups (salt = hash(id) %% nsalt) while every
+    candidate is replicated to all salts.  Same results, nsalt-way
+    parallel.
     """
     import numpy as np
     import pandas as pd
 
+    if ring >= (1 << group_offset):
+        raise ValueError("ring must be smaller than the parent block size")
     n = 1 << res
+    shift = res - max(res - group_offset, 0)
+    group_res = res - shift
     pts = points.select(
         F.col(id_col).alias("_id"),
         F.col(lon_col).alias("_lon"),
@@ -141,36 +151,46 @@ def knn_local(
         F.expr(grid.cell_x_sql(lon_col, res, "spark")).alias("_cx"),
         F.expr(grid.cell_y_sql(lat_col, res, "spark")).alias("_cy"),
     )
-    # replicate each point into every ring cell it could serve; mark whether
-    # this row is in its home cell (a "core" point needing neighbours here)
+    # parent blocks of the ring bounding-box corners: with ring < block
+    # size the box spans <= 2 block columns and <= 2 block rows, so the
+    # (deduplicated) corner parents are exactly the blocks this point can
+    # serve as a candidate in; interior points (the vast majority) yield a
+    # single block and are NOT replicated
+    corners = (
+        f"array_distinct(array("
+        f"struct(shiftright(greatest(_cx - {ring}, 0), {shift}) AS px, "
+        f"       shiftright(greatest(_cy - {ring}, 0), {shift}) AS py), "
+        f"struct(shiftright(least(_cx + {ring}, {n - 1}), {shift}) AS px, "
+        f"       shiftright(greatest(_cy - {ring}, 0), {shift}) AS py), "
+        f"struct(shiftright(greatest(_cx - {ring}, 0), {shift}) AS px, "
+        f"       shiftright(least(_cy + {ring}, {n - 1}), {shift}) AS py), "
+        f"struct(shiftright(least(_cx + {ring}, {n - 1}), {shift}) AS px, "
+        f"       shiftright(least(_cy + {ring}, {n - 1}), {shift}) AS py)))"
+    )
     members = pts.select(
-        "_id", "_lon", "_lat", "_cx", "_cy",
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(-{ring}, {ring}), dx -> "
-                f"transform(sequence(-{ring}, {ring}), dy -> "
-                f"struct(_cx + dx AS x, _cy + dy AS y))))"
-            )
-        ).alias("_nc"),
-    ).filter(
-        (F.col("_nc.x") >= 0) & (F.col("_nc.x") < n)
-        & (F.col("_nc.y") >= 0) & (F.col("_nc.y") < n)
-    ).select(
         "_id", "_lon", "_lat",
-        F.expr(grid.pack_sql(res, "_nc.x", "_nc.y")).alias("_cell"),
-        ((F.col("_cx") == F.col("_nc.x")) & (F.col("_cy") == F.col("_nc.y"))).alias("_core"),
+        F.expr(grid.pack_sql(res, "_cx", "_cy")).alias("_cell"),
+        F.expr(grid.pack_sql(group_res, f"shiftright(_cx, {shift})",
+                             f"shiftright(_cy, {shift})")).alias("_home_g"),
+        F.explode(F.expr(corners)).alias("_pc"),
+    ).select(
+        "_id", "_lon", "_lat", "_cell",
+        F.expr(grid.pack_sql(group_res, "_pc.px", "_pc.py")).alias("_gcell"),
+        (F.col("_home_g") == F.expr(grid.pack_sql(group_res, "_pc.px", "_pc.py"))).alias("_core"),
     )
 
-    # hot-cell detection: tiny aggregate over home cells, broadcast back
-    home_cell = grid.pack_sql(res, "_cx", "_cy")
+    # hot-BLOCK detection: tiny aggregate over home blocks, broadcast back
     hot = (
-        pts.groupBy(F.expr(home_cell).alias("_cell"))
+        pts.groupBy(
+            F.expr(grid.pack_sql(group_res, f"shiftright(_cx, {shift})",
+                                 f"shiftright(_cy, {shift})")).alias("_gcell")
+        )
         .count()
         .filter(F.col("count") > hot_threshold)
-        .select("_cell")
+        .select("_gcell")
     )
     members = members.join(
-        F.broadcast(hot.withColumn("_hot", F.lit(True))), "_cell", "left"
+        F.broadcast(hot.withColumn("_hot", F.lit(True))), "_gcell", "left"
     ).withColumn("_hot", F.coalesce("_hot", F.lit(False)))
     members = (
         members.withColumn(
@@ -185,67 +205,103 @@ def knn_local(
                 .otherwise(F.expr("array(0)"))
             ),
         )
-        # a point is core only in its own salt sub-group of its home cell
+        # a point is a QUERY only in its own salt sub-group of its home block
         .withColumn("_core", F.col("_core") & (F.col("_salt") == F.col("_my_salt")))
-        .drop("_hot", "_my_salt")
+        .drop("_hot", "_my_salt", "_home_g")
     )
 
-    out_schema = (
-        f"{id_col} long, neighbor_id long, rank int, dist2 double"
+    out_schema = f"{id_col} long, neighbor_id long, rank int, dist2 double"
+    empty = pd.DataFrame(
+        {id_col: [], "neighbor_id": [], "rank": [], "dist2": []}
+    ).astype(
+        {id_col: "int64", "neighbor_id": "int64", "rank": "int32", "dist2": "float64"}
     )
-
-    def _dense_topk(ids, lon, lat, core, acc):
-        """Exact top-k inside one cell segment — all numpy.  STABLE argsort:
-        equal distances keep column order, and candidates are pre-sorted by
-        id, so ties break (dist2 asc, id asc) exactly."""
-        q_idx = np.nonzero(core)[0]
-        if len(q_idx) == 0 or len(ids) < 2:
-            return
-        order = np.argsort(ids, kind="stable")
-        ids_s, lon_s, lat_s = ids[order], lon[order], lat[order]
-        q_ids, q_lon, q_lat = ids[q_idx], lon[q_idx], lat[q_idx]
-        kk = min(k, len(ids_s))
-        chunk = max(1, int(4_000_000 // max(len(ids_s), 1)))  # bound dense block
-        for s in range(0, len(q_idx), chunk):
-            dlon = q_lon[s : s + chunk][:, None] - lon_s[None, :]
-            dlat = q_lat[s : s + chunk][:, None] - lat_s[None, :]
-            d2 = dlon * dlon + dlat * dlat
-            d2[q_ids[s : s + chunk][:, None] == ids_s[None, :]] = np.inf
-            idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
-            vals = np.take_along_axis(d2, idx, axis=1)
-            mask = np.isfinite(vals).ravel()
-            acc.append(
-                (
-                    np.repeat(q_ids[s : s + chunk], kk)[mask],
-                    ids_s[idx].ravel()[mask],
-                    np.tile(np.arange(1, kk + 1, dtype=np.int32), d2.shape[0])[mask],
-                    vals.ravel()[mask],
-                )
-            )
 
     def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one group = one PARENT cell (x salt): loop its subcell segments in
-        # numpy — ~4^offset fewer Python/Arrow round trips than per-cell
-        # grouping, which dominated wall time at fine resolutions
-        cells = pdf["_cell"].to_numpy()
-        order = np.argsort(cells, kind="stable")
-        cells = cells[order]
+        # rows sorted by (cell, id): packed ids order columns by x then y,
+        # so each x-column is one contiguous run ordered by y — a 3x3 ring
+        # neighborhood is (2R+1) contiguous slices, one per column
+        cell = pdf["_cell"].to_numpy()
+        order = np.lexsort((pdf["_id"].to_numpy(), cell))
+        cell = cell[order]
         ids = pdf["_id"].to_numpy()[order]
         lon = pdf["_lon"].to_numpy()[order]
         lat = pdf["_lat"].to_numpy()[order]
         core = pdf["_core"].to_numpy()[order]
-        bounds = np.nonzero(np.diff(cells))[0] + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(cells)]])
+        if not core.any() or len(ids) < 2:
+            return empty.copy()
+        # occupied QUERY cells and their segment bounds
+        qcells = np.unique(cell[core])
+        _, qcx, qcy = grid.unpack_cells(qcells)
+        qseg_s = np.searchsorted(cell, qcells, side="left")
+        qseg_e = np.searchsorted(cell, qcells, side="right")
+        # per query cell, one candidate slice per ring column — all bounds
+        # found with vectorized searchsorted over packed (x', y +- ring)
+        ncols = 2 * ring + 1
+        col_s = np.empty((ncols, len(qcells)), dtype=np.int64)
+        col_e = np.empty((ncols, len(qcells)), dtype=np.int64)
+        ylo = np.maximum(qcy - ring, 0)
+        yhi = np.minimum(qcy + ring, n - 1)
+        for j, dx in enumerate(range(-ring, ring + 1)):
+            tx = qcx + dx
+            lo = grid.pack_cells(res, tx, ylo)
+            # +1 on the packed value of the last ring row = exclusive end
+            hi = grid.pack_cells(res, tx, yhi) + 1
+            s = np.searchsorted(cell, lo, side="left")
+            e = np.searchsorted(cell, hi, side="left")
+            oob = (tx < 0) | (tx >= n)
+            s[oob] = 0
+            e[oob] = 0
+            col_s[j] = s
+            col_e[j] = e
         acc: list = []
-        for s, e in zip(starts, ends):
-            _dense_topk(ids[s:e], lon[s:e], lat[s:e], core[s:e], acc)
-        if not acc:
-            return pd.DataFrame(
-                {id_col: [], "neighbor_id": [], "rank": [], "dist2": []}
-            ).astype(
-                {id_col: "int64", "neighbor_id": "int64", "rank": "int32", "dist2": "float64"}
+        for ci in range(len(qcells)):
+            q_rows = np.arange(qseg_s[ci], qseg_e[ci])
+            q_rows = q_rows[core[qseg_s[ci]:qseg_e[ci]]]
+            if len(q_rows) == 0:
+                continue
+            cand = np.concatenate(
+                [np.arange(col_s[j, ci], col_e[j, ci]) for j in range(ncols)]
             )
+            if len(cand) < 2:
+                continue
+            # candidates id-sorted so the stable argsort's tie order is id
+            cand = cand[np.argsort(ids[cand], kind="stable")]
+            c_ids, c_lon, c_lat = ids[cand], lon[cand], lat[cand]
+            q_ids, q_lon, q_lat = ids[q_rows], lon[q_rows], lat[q_rows]
+            # top k+1 INCLUDING self, which is dropped from the small
+            # selected matrix afterwards — cheaper than masking self with a
+            # dense eq matrix + inf assignment (two full passes saved)
+            kk = min(k + 1, len(cand))
+            # chunked dense blocks: distance evals are the Theta(sum of
+            # density^2) bulk of kNN — keep them as SIMD matrix ops; in-place
+            # square/add halves the temporaries
+            chunk = max(1, int(4_000_000 // len(cand)))
+            for s0 in range(0, len(q_rows), chunk):
+                d2 = q_lon[s0:s0 + chunk][:, None] - c_lon[None, :]
+                np.multiply(d2, d2, out=d2)
+                t = q_lat[s0:s0 + chunk][:, None] - c_lat[None, :]
+                np.multiply(t, t, out=t)
+                d2 += t
+                # stable argsort on id-ordered candidates = exact
+                # (dist2, id) tie-break even with duplicate coordinates
+                idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+                vals = np.take_along_axis(d2, idx, axis=1)
+                sel_ids = c_ids[idx]
+                keep = sel_ids != q_ids[s0:s0 + chunk][:, None]
+                rank = np.cumsum(keep, axis=1, dtype=np.int32)
+                keep &= rank <= k
+                m = keep.ravel()
+                acc.append(
+                    (
+                        np.repeat(q_ids[s0:s0 + chunk], kk)[m],
+                        sel_ids.ravel()[m],
+                        rank.ravel()[m],
+                        vals.ravel()[m],
+                    )
+                )
+        if not acc:
+            return empty.copy()
         return pd.DataFrame(
             {
                 id_col: np.concatenate([a[0] for a in acc]),
@@ -255,15 +311,7 @@ def knn_local(
             }
         )
 
-    # parent-cell grouping at res - group_offset: offset 5 => 4^5 = 1024
-    # subcells per Arrow group — measured 2x faster and far less variance
-    # than offset 4 (bigger batches amortize the Arrow/pandas per-group
-    # cost) while keeping >= 1024 groups of parallelism
-    group_res = max(res - group_offset, 0)
-    members = members.withColumn(
-        "_pcell", F.expr(grid.parent_sql("_cell", res, group_res, "spark"))
-    )
-    return members.groupBy("_pcell", "_salt").applyInPandas(local_topk, schema=out_schema)
+    return members.groupBy("_gcell", "_salt").applyInPandas(local_topk, schema=out_schema)
 
 
 def knn_oracle_sql(points_sql: str, *, res: int, ring: int, k: int) -> str:
