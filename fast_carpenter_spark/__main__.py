@@ -52,6 +52,16 @@ def load_dataset(spark, cfg: dict, input_table: str, idx: int = 0):
     docs.createOrReplaceTempView(view)
     if input_table == "documents":
         df = docs
+    elif input_table == "spans_nested":
+        # the interleaved doc-level view (doc_id, spans:array<struct>) plus
+        # jagged/scalar derivations the reference-style Define/CutFlow
+        # configs operate on (nBJets-like reductions need a jagged column)
+        df = spark.sql(
+            f"SELECT t.*, transform(t.spans, s -> s.offset) AS offsets, "
+            f"size(t.spans) AS n_spans, "
+            f"CAST(1.0 + size(t.spans) / 10.0 AS DOUBLE) AS weight_nominal "
+            f"FROM ({synth.spans_table_sql('spark', docs=view)}) t"
+        )
     else:
         df = spark.sql(synth.flat_spans_sql("spark", docs=view))
     return df.withColumn("dataset", F.lit(cfg["name"]))
@@ -111,11 +121,26 @@ def main(argv=None) -> int:
     for r in results[1:]:
         final = final.unionByName(r)
 
+    # extension-map sink (ref: summary/binned_dataframe.py:14-51): parquet is
+    # always written (the at-scale output); csv/json per config.  xlsx, h5,
+    # msgpack, stata and pickle are deliberate non-goals — niche single-node
+    # formats a Spark engine's users export from the csv/parquet instead.
+    formats = processing.get("output_formats", ["csv"])
+    unknown_formats = set(formats) - {"csv", "json"}
+    if unknown_formats:
+        sys.exit(f"config error: unsupported output_formats {sorted(unknown_formats)}"
+                 " (supported: csv, json; parquet is always written)")
     final.write.mode("overwrite").parquet(os.path.join(args.outdir, "result.parquet"))
     pdf = final.toPandas()
-    pdf.to_csv(
-        os.path.join(args.outdir, "result.csv"), index=False, float_format="%.17g"
-    )
+    if "csv" in formats:
+        pdf.to_csv(
+            os.path.join(args.outdir, "result.csv"), index=False, float_format="%.17g"
+        )
+    if "json" in formats:
+        pdf.to_json(
+            os.path.join(args.outdir, "result.json"), orient="records",
+            lines=True, double_precision=15,
+        )
     n_counter_rows = 0
     if counter_frames:
         ctr = counter_frames[0]

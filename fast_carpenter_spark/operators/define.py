@@ -105,6 +105,15 @@ def _array_cols(df: DataFrame, names: list[str]) -> list[str]:
     return [n for n in names if isinstance(fields.get(n), T.ArrayType)]
 
 
+def _array_depth(dt) -> int:
+    """Nesting depth of an ArrayType (array<double> -> 1, array<array<..>> -> 2)."""
+    d = 0
+    while isinstance(dt, T.ArrayType):
+        d += 1
+        dt = dt.elementType
+    return d
+
+
 def compile_variable(df: DataFrame, var: Variable) -> str:
     """Compile one Variable against ``df``'s schema into a SQL fragment."""
     valid = set(df.columns)
@@ -125,27 +134,47 @@ def compile_variable(df: DataFrame, var: Variable) -> str:
     # Jagged path: lambda over the first array, index-aligned access to the
     # rest (equal jaggedness is the caller's invariant, as in the reference's
     # explode guard — ref: summary/binned_dataframe.py:310).
+    fields = {f.name: f.dataType for f in df.schema.fields}
     lead = arrays[0]
+    depth = _array_depth(fields[lead])
+    if depth > 1 and len(arrays) > 1:
+        # mirrors the reference's broadcast failure on mismatched 3D
+        # jaggedness (ref: tests/test_expressions.py:93-97 "cannot broadcast")
+        raise ExpressionError(
+            f"variable {var.name!r}: cannot broadcast distinct nested jagged "
+            f"arrays ({arrays})"
+        )
     subs = {lead: "_x"}
     for other in arrays[1:]:
         subs[other] = f"try_element_at({other}, _i + 1)"
     body = compile_expression(var.formula, subs=subs, valid=valid)
 
+    # innermost level: elementwise transform (+ optional element mask), as
+    # in awkward's axis=-1 broadcasting the reference relies on for 3D
+    # (ref: tests/test_expressions.py:63-91 Fake3D * 2, .count())
     if var.mask is not None:
         mask_branches = get_branches(var.mask, valid)
         mask_arrays = _array_cols(df, mask_branches)
         msubs = dict(subs) if mask_arrays else {}
         mask_body = compile_expression(var.mask, subs=msubs, valid=valid)
         zipped = (
-            f"transform({lead}, (_x, _i) -> struct({body} AS v, {mask_body} AS m))"
+            "transform(__SRC__, (_x, _i) -> struct("
+            f"{body} AS v, {mask_body} AS m))"
         )
-        arr = f"transform(filter({zipped}, _s -> _s.m), _s -> _s.v)"
+        inner = f"transform(filter({zipped}, _s -> _s.m), _s -> _s.v)"
     else:
-        arr = f"transform({lead}, (_x, _i) -> {body})"
-
+        inner = f"transform(__SRC__, (_x, _i) -> {body})"
+    # reduce collapses the innermost level only (awkward axis=-1 default):
+    # depth-2 input + reduce -> depth-1 output
     if var.reduce is not None:
-        return reduction_sql(var.reduce, arr, var.fill_missing)
-    return arr
+        inner = reduction_sql(var.reduce, inner, var.fill_missing)
+
+    def wrap(src: str, d: int) -> str:
+        if d == 1:
+            return inner.replace("__SRC__", src)
+        return f"transform({src}, _o{d} -> {wrap(f'_o{d}', d - 1)})"
+
+    return wrap(lead, depth)
 
 
 @dataclass

@@ -136,12 +136,44 @@ STAGE_TYPES = {
 }
 
 
+# reference class name -> our stage type (ref: fast_carpenter/__init__.py:16-23
+# known_stages); BuildAghast is deliberately scoped out (SURVEY.md §2.1)
+_REF_CLASS_MAP = {
+    "Define": "define",
+    "CutFlow": "cutflow",
+    "SelectPhaseSpace": "select_phasespace",
+    "SystematicWeights": "systematics",
+    "BinnedDataframe": "binned_dataframe",
+    "EventByEventDataframe": "skim",
+}
+
+
+def _normalize_cfg(stype: str, cfg: dict) -> dict:
+    """Accept the reference's looser config spellings: ``weights`` may be a
+    string or list of names (ref: summary/binned_dataframe.py:120-135
+    _create_weights), normalized to our {out_name: column} dict."""
+    w = cfg.get("weights")
+    if isinstance(w, str):
+        cfg = {**cfg, "weights": {w: w}}
+    elif isinstance(w, list):
+        cfg = {**cfg, "weights": {x: x for x in w}}
+    return cfg
+
+
 class Pipeline:
     def __init__(self, stages: list):
         self.stages = stages
 
     @classmethod
     def from_config(cls, config: dict | str) -> "Pipeline":
+        """Accepts BOTH config layouts:
+
+        * native: ``stages: [- define: {variables: [...]}]`` — type as key,
+          config inline;
+        * reference: ``stages: [- jet_cleaning: fast_carpenter.Define]``
+          with the stage's config under the top-level ``jet_cleaning`` key
+          (ref: docs/demo_process_cfg.yml, docs/processing_config.rst:23-33).
+        """
         if isinstance(config, str):
             import yaml  # optional dependency; dict configs never need it
 
@@ -150,10 +182,24 @@ class Pipeline:
         for i, item in enumerate(config["stages"]):
             if len(item) != 1:
                 raise ValueError("each stage must be a single {type: config} mapping")
-            ((stype, cfg),) = item.items()
+            ((key, val),) = item.items()
+            if isinstance(val, str):
+                # reference layout: stage NAME -> dotted class path
+                cls_name = val.rsplit(".", 1)[-1]
+                if cls_name == "BuildAghast":
+                    raise ValueError(
+                        "BuildAghast is not supported (scoped out, SURVEY.md "
+                        "§2.1); use binned_dataframe + the metadata sidecar"
+                    )
+                stype = _REF_CLASS_MAP.get(cls_name)
+                if stype is None:
+                    raise ValueError(f"unknown reference stage class {val!r}")
+                cfg, name = config.get(key) or {}, key
+            else:
+                stype, cfg, name = key, val or {}, f"{key}_{i}"
             if stype not in STAGE_TYPES:
                 raise ValueError(f"unknown stage type {stype!r}")
-            stages.append(STAGE_TYPES[stype](f"{stype}_{i}", cfg or {}))
+            stages.append(STAGE_TYPES[stype](name, _normalize_cfg(stype, cfg)))
         return cls(stages)
 
     def apply(self, df: DataFrame) -> DataFrame:

@@ -305,6 +305,71 @@ FROM ({synth.spans_table_sql('duck')})
 """
 
 
+def q_jagged_nested(spark, sf_dir):
+    """3-level jagged parity (ref: tests/test_expressions.py:63-97
+    test_3D_jagged): a deterministic array<array<double>> built per doc —
+    [[t + doc_id for t in 0..i-1] for i in 1..doc_id%3] — pushed through
+    DefineStage: elementwise math broadcasts to the innermost level,
+    ``reduce`` collapses one innermost level (awkward axis=-1), and chained
+    variables compose R1/R2/R7 across both levels down to scalars."""
+    load_documents(spark, sf_dir)
+    df = spark.sql(
+        "SELECT doc_id, "
+        "transform(filter(sequence(1, 2), i -> i <= doc_id % 3), "
+        "          i -> transform(sequence(0, i - 1), t -> CAST(t + doc_id AS DOUBLE))"
+        ") AS fake3d FROM documents"
+    )
+    stage = DefineStage.from_config(
+        "nested",
+        [
+            # P1 on 3D: innermost elementwise broadcast (ref Fake3D * 2)
+            {"doubled": "fake3d * 2"},
+            # R2 innermost: array of per-inner sums, then R2 again -> scalar
+            {"inner_sums": {"formula": "doubled", "reduce": "sum"}},
+            {"total_doubled": {"formula": "inner_sums", "reduce": "sum"}},
+            # R7 innermost (ref fake_3d.count() -> JaggedArray), then R2
+            {"inner_counts": {"formula": "fake3d", "reduce": "counts"}},
+            {"n_elems": {"formula": "inner_counts", "reduce": "sum"}},
+            # R1 composition with fill: first of each inner, then first overall
+            {"firsts": {"formula": "fake3d", "reduce": 0}},
+            {"first_first": {"formula": "firsts", "reduce": 0, "fill_missing": -1.0}},
+            # innermost element mask before reduction (P3 on 3D)
+            {"odd_sums": {"formula": "fake3d", "mask": "fake3d % 2 == 1", "reduce": "sum"}},
+            {"odd_total": {"formula": "odd_sums", "reduce": "sum"}},
+        ],
+    )
+    return stage.apply(df).select(
+        "doc_id",
+        F.expr("size(fake3d)").alias("n_outer"),
+        "total_doubled",
+        F.col("n_elems").cast("long").alias("n_elems"),
+        "first_first",
+        "odd_total",
+    )
+
+
+O_JAGGED_NESTED = """
+WITH nested AS (
+  SELECT doc_id,
+         list_transform(list_filter([1, 2], i -> i <= doc_id % 3),
+                        i -> list_transform(range(0, i), t -> CAST(t + doc_id AS DOUBLE))
+         ) AS fake3d
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(fake3d) AS INT) AS n_outer,
+       CAST(COALESCE(list_sum(list_transform(fake3d,
+            a -> COALESCE(list_sum(list_transform(a, x -> x * 2)), 0.0))), 0.0)
+            AS DOUBLE) AS total_doubled,
+       CAST(COALESCE(list_sum(list_transform(fake3d, a -> len(a))), 0) AS BIGINT) AS n_elems,
+       COALESCE(list_extract(list_transform(fake3d, a -> list_extract(a, 1)), 1), -1.0) AS first_first,
+       CAST(COALESCE(list_sum(list_transform(fake3d,
+            a -> COALESCE(list_sum(list_filter(a, x -> x % 2 = 1)), 0.0))), 0.0)
+            AS DOUBLE) AS odd_total
+FROM nested
+"""
+
+
 # ---------------------------------------------------------------------------
 # 4. CutFlow (F1-F6, A7-A9) / SelectPhaseSpace (F7)
 # ---------------------------------------------------------------------------
@@ -984,6 +1049,7 @@ QUERIES = {
     "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
     "jagged_reduce": (q_jagged_reduce, O_JAGGED_REDUCE),
+    "jagged_nested": (q_jagged_nested, O_JAGGED_NESTED),
     "cutflow": (q_cutflow, O_CUTFLOW),
     "cutflow_data": (q_cutflow_data, O_CUTFLOW_DATA),
     "cutflow_filter": (q_cutflow_filter, O_CUTFLOW_FILTER),

@@ -97,3 +97,108 @@ def test_cli_cutflow_values(cli_run, spark, docs):
     row = ctr[(ctr.dataset == "mc_half") & (ctr.count_type == "totals_incl")
               & (ctr.weight_name == "unweighted")]
     assert row["value"].iloc[0] == mc_total
+
+
+# Structural translation of the reference's demo processing config
+# (ref: docs/demo_process_cfg.yml): reference LAYOUT verbatim — stage
+# name -> dotted class path, per-stage config under the top-level stage-name
+# key, string weights, reduce-in-selection, edges binning with out rename —
+# with our table's columns standing in for the HEP branch names.
+DEMO_PROCESSING = """
+input: spans_nested
+output_formats: [csv, json]
+
+stages:
+    - span_cleaning: fast_carpenter.Define
+    - event_selection: fast_carpenter.CutFlow
+    - histogram: fast_carpenter.BinnedDataframe
+
+span_cleaning:
+    variables:
+        - big_offsets: "offsets > 10"
+        - n_big: {reduce: count_nonzero, formula: big_offsets}
+
+event_selection:
+    selection:
+        All:
+            - "n_spans > 1"
+            - {reduce: -1, formula: "offsets > 10"}
+            - Any:
+                - "n_big >= 2"
+                - "n_spans >= 3"
+    weights: weight_nominal
+
+histogram:
+    binning:
+        - {in: n_big}
+        - {in: n_spans, out: nsp, bins: {edges: [0, 2, 4, 8]}}
+    weights: weight_nominal
+"""
+
+
+@pytest.fixture(scope="module")
+def demo_run(spark, docs, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli_demo")
+    mc = str(tmp / "mc.parquet")
+    docs.write.mode("overwrite").parquet(mc)
+    (tmp / "datasets.yml").write_text(
+        DATASETS.format(mc=mc, data=mc).split("  - name: data_half")[0]
+    )
+    (tmp / "processing.yml").write_text(DEMO_PROCESSING)
+    outdir = str(tmp / "out")
+    proc = subprocess.run(
+        [sys.executable, "-m", "fast_carpenter_spark",
+         str(tmp / "datasets.yml"), str(tmp / "processing.yml"),
+         "--outdir", outdir, "--master", "local[4]"],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return outdir, proc
+
+
+def test_demo_config_outputs(demo_run, spark):
+    """Reference-layout config end-to-end: golden-check the binned table and
+    cutflow totals against direct DataFrame computation (the analogue of the
+    reference A/B harness, ref: benchmarks/compare_carpenter_versions/run.sh:60-83)."""
+    from fast_carpenter_spark import synth
+
+    outdir, _ = demo_run
+    res = pd.read_csv(os.path.join(outdir, "result.csv"))
+    assert {"n_big", "nsp", "n", "weight_nominal_sumw"} <= set(res.columns)
+    # K2 extension-map sink: json twin carries the same table
+    jres = pd.read_json(os.path.join(outdir, "result.json"), lines=True)
+    assert len(jres) == len(res) and jres["n"].sum() == res["n"].sum()
+
+    nested = spark.sql(
+        "SELECT size(spans) AS n_spans, "
+        "size(filter(spans, s -> s.offset > 10)) AS n_big, "
+        "element_at(spans, -1).offset AS last_offset, "
+        "CAST(1.0 + size(spans) / 10.0 AS DOUBLE) AS w "
+        f"FROM ({synth.spans_table_sql('spark')})"
+    )
+    surviving = nested.filter(
+        "n_spans > 1 AND last_offset > 10 AND (n_big >= 2 OR n_spans >= 3)"
+    )
+    assert res["n"].sum() == surviving.count()
+    import pytest as _pt
+    assert res["weight_nominal_sumw"].sum() == _pt.approx(
+        surviving.selectExpr("sum(w)").collect()[0][0], rel=1e-12
+    )
+
+    ctr = pd.read_csv(os.path.join(outdir, "cutflow.csv"))
+    deepest = ctr[(ctr.count_type == "passed_incl")
+                  & (ctr.weight_name == "unweighted")]
+    # the All-combinator root's passed count equals the surviving rows
+    root = ctr[(ctr.depth == 0) & (ctr.count_type == "passed_incl")
+               & (ctr.weight_name == "unweighted")]
+    assert root["value"].sum() == surviving.count()
+    assert (ctr.weight_name == "weight_nominal").any()
+
+
+def test_buildaghast_rejected():
+    from fast_carpenter_spark.plans.pipeline import Pipeline
+
+    with pytest.raises(ValueError, match="BuildAghast"):
+        Pipeline.from_config(
+            {"stages": [{"agh": "fast_carpenter.BuildAghast"}], "agh": {}}
+        )

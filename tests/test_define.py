@@ -141,3 +141,41 @@ def test_nested_jagged_two_levels(spark):
     assert out[1].per_inner == [0.0, 9.0] and out[1].total == 9.0
     assert out[1].flat == [4.0, 5.0]
     assert out[2].total == 0.0 and out[2].n_outer == 0
+
+
+def test_3d_jagged_define_stage(spark):
+    """DefineStage on array<array<double>> columns directly (ref:
+    tests/test_expressions.py:63-97 test_3D_jagged): elementwise formulas
+    broadcast to the innermost level, reduce collapses one innermost
+    level, masks filter innermost elements, and mismatched nested arrays
+    refuse to broadcast."""
+    from fast_carpenter_spark.expressions import ExpressionError
+    from fast_carpenter_spark.operators.define import compile_variable, Variable
+
+    df = spark.createDataFrame(
+        [
+            (0, [], [[9.0]]),
+            (1, [[1.0]], [[8.0], [7.0]]),
+            (2, [[2.0], [2.0, 3.0]], [[]]),
+        ],
+        "j INT, fake3d ARRAY<ARRAY<DOUBLE>>, other3d ARRAY<ARRAY<DOUBLE>>",
+    )
+    stage = DefineStage.from_config(
+        "n",
+        [
+            {"doubled": "fake3d * 2"},
+            {"counts2d": {"formula": "fake3d", "reduce": "counts"}},
+            {"odd": {"formula": "fake3d", "mask": "fake3d % 2 == 1"}},
+        ],
+    )
+    out = {r.j: r for r in stage.apply(df).collect()}
+    # ref asserts: doubled[1,0,:]==[2]; doubled[2,0,:]==[4]; doubled[2,1,:]==[4,6]
+    assert out[0].doubled == []
+    assert out[1].doubled == [[2.0]]
+    assert out[2].doubled == [[4.0], [4.0, 6.0]]
+    # ref: fake_3d.count() is a JaggedArray (per-outer counts)
+    assert out[2].counts2d == [1, 2]
+    assert out[2].odd == [[], [3.0]]
+    # ref: "SecondFake3D + Fake3D" -> "cannot broadcast"
+    with pytest.raises(ExpressionError, match="cannot broadcast"):
+        compile_variable(df, Variable(name="bad", formula="fake3d + other3d"))
