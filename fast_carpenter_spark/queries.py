@@ -491,6 +491,18 @@ O_PIP_JOIN = pip_oracle_sql(
 )
 
 
+def q_pip_join_salted(spark, sf_dir):
+    """Skew-stress twin of pip_join: the salted shuffle-join strategy on the
+    same input (which deliberately contains hot clustered cells).  The salt
+    column spreads each hot cover cell over ``nsalt`` shuffle keys so no
+    single reducer owns a hot tile; result is identical to the broadcast
+    plan, so it shares pip_join's oracle."""
+    df = flat_spans(spark, sf_dir)
+    stage = SpatialJoinStage(name="sj", polygons=synth.polygons(), strategy="salted")
+    out = stage.apply(df)
+    return out.select("doc_id", "span_offset", "poly_id", "region")
+
+
 def q_pip_anti(spark, sf_dir):
     """Documents whose spans match NO polygon (anti-join complement)."""
     df = flat_spans(spark, sf_dir)
@@ -865,6 +877,22 @@ def q_ann_lsh_topk(spark, sf_dir):
 O_ANN_LSH_TOPK = _ann.lsh_cosine_topk_oracle_sql()
 
 
+def q_ann_lsh_rerank(spark, sf_dir):
+    """Multi-probe LSH candidates (equi join on probe key) + exact rerank."""
+    return _ann.lsh_rerank_topk(_load_embeddings(spark, sf_dir))
+
+
+O_ANN_LSH_RERANK = _ann.lsh_rerank_oracle_sql()
+
+
+def q_ann_rerank_recall(spark, sf_dir):
+    """Recall@k of the rerank path vs the exact brute-force baseline."""
+    return _ann.rerank_recall(_load_embeddings(spark, sf_dir))
+
+
+O_ANN_RERANK_RECALL = _ann.rerank_recall_oracle_sql()
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup (LSH-bucketed pair join + canonical-min)."""
     return _ann.embedding_near_dup(_load_embeddings(spark, sf_dir))
@@ -1055,6 +1083,7 @@ QUERIES = {
     "cutflow_filter": (q_cutflow_filter, O_CUTFLOW_FILTER),
     "select_phasespace": (q_select_phasespace, O_SELECT_PHASESPACE),
     "pip_join": (q_pip_join, O_PIP_JOIN),
+    "pip_join_salted": (q_pip_join_salted, O_PIP_JOIN),
     "pip_anti": (q_pip_anti, O_PIP_ANTI),
     "pip_tile_agg": (q_pip_tile_agg, O_PIP_TILE_AGG),
     "knn": (q_knn, O_KNN),
@@ -1074,6 +1103,8 @@ QUERIES = {
     "ann_cosine_topk": (q_ann_cosine, O_ANN_COSINE),
     "ann_lsh_bucket": (q_ann_lsh_bucket, O_ANN_LSH_BUCKET),
     "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
+    "ann_lsh_rerank": (q_ann_lsh_rerank, O_ANN_LSH_RERANK),
+    "ann_rerank_recall": (q_ann_rerank_recall, O_ANN_RERANK_RECALL),
     "dedup_embedding_cosine": (q_dedup_embedding, O_DEDUP_EMBEDDING),
     "media_decode": (q_media_decode, O_MEDIA_DECODE),
     "media_resize": (q_media_resize, O_MEDIA_RESIZE),

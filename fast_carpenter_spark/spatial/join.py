@@ -180,7 +180,14 @@ def spatial_join(
         salted_cov = cov.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))
         )
-        cand = salted_pts.join(salted_cov, ["_cell", "_salt"], "inner").drop("_salt")
+        # shuffle_hash hint: the salted strategy is chosen precisely when the
+        # cover side is too big to broadcast; without the hint Catalyst
+        # re-plans the small test-scale cover as a broadcast join and the
+        # salt becomes dead overhead (and the salted exchange never runs).
+        cand = (
+            salted_pts.join(salted_cov.hint("shuffle_hash"), ["_cell", "_salt"], "inner")
+            .drop("_salt")
+        )
     else:  # plain shuffle join; AQE skew handling applies
         cand = pts.join(cov, "_cell", "inner")
     cand = cand.drop("_cell")
