@@ -106,6 +106,17 @@ def parent_sql(cell_expr: str, res_from: int, res_to: int, dialect: str) -> str:
     return pack_sql(res_to, px, py)
 
 
+def parent1_sql(cell_expr: str, dialect: str) -> str:
+    """One-level zoom-out with the resolution taken FROM the packed id
+    (works on mixed-resolution cell columns): res-1, x>>1, y>>1."""
+    res = unpack_res_sql(cell_expr, dialect)
+    px = _idiv(unpack_x_sql(cell_expr, dialect), "2", dialect)
+    py = _idiv(unpack_y_sql(cell_expr, dialect), "2", dialect)
+    return (
+        f"((({res}) - 1) * {1 << RES_SHIFT} + ({px}) * {1 << XY_BITS} + ({py}))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # numpy kernels (Arrow / pandas-UDF path)
 # ---------------------------------------------------------------------------

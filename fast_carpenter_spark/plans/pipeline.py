@@ -121,8 +121,29 @@ class RasterJoinStage:
         return raster_vector_join(df, res=self.res)
 
 
+@dataclass
+class TilePyramidStage:
+    """Adaptive quadtree tiling: split cells holding > threshold points
+    (spatial/pyramid.py)."""
+
+    name: str
+    res_max: int = 8
+    res_min: int = 4
+    threshold: int = 64
+    weight_col: str | None = "w"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ..spatial.pyramid import tile_pyramid
+
+        return tile_pyramid(
+            df, res_max=self.res_max, res_min=self.res_min,
+            threshold=self.threshold, weight_col=self.weight_col,
+        )
+
+
 STAGE_TYPES = {
     "define": lambda name, cfg: DefineStage.from_config(name, cfg["variables"]),
+    "tile_pyramid": lambda name, cfg: TilePyramidStage(name=name, **cfg),
     "cell_encode": lambda name, cfg: CellEncodeStage(name=name, **cfg),
     "hilbert_layout": lambda name, cfg: HilbertLayoutStage(name=name, **cfg),
     "cutflow": lambda name, cfg: CutFlowStage(name=name, **cfg),

@@ -250,6 +250,27 @@ GROUP BY 1
 """
 
 
+PYRAMID_KW = dict(res_max=TILE_RES, res_min=COARSE_RES, threshold=16)
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Adaptive quadtree pyramid: split cells while they hold > threshold
+    points — variable-resolution tiling (dense regions fine, sparse coarse),
+    each point covered by exactly one leaf."""
+    from .spatial.pyramid import tile_pyramid
+
+    return tile_pyramid(flat_spans(spark, sf_dir), **PYRAMID_KW)
+
+
+def _pyramid_oracle():
+    from .spatial.pyramid import tile_pyramid_oracle_sql
+
+    return tile_pyramid_oracle_sql(O_SPANS_FLAT, **PYRAMID_KW)
+
+
+O_TILE_PYRAMID = _pyramid_oracle()
+
+
 # ---------------------------------------------------------------------------
 # 3. Define (P1-P5) + jagged reductions (R1-R9)
 # ---------------------------------------------------------------------------
@@ -1072,6 +1093,7 @@ QUERIES = {
     "tile_agg": (q_tile_agg, O_TILE_AGG),
     "tile_agg_dataset": (q_tile_agg_dataset, O_TILE_AGG_DATASET),
     "tile_rollup": (q_tile_rollup, O_TILE_ROLLUP),
+    "tile_pyramid": (q_tile_pyramid, O_TILE_PYRAMID),
     "tile_smooth": (q_tile_smooth, O_TILE_SMOOTH),
     "tile_distinct": (q_tile_distinct, O_TILE_DISTINCT),
     "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),
