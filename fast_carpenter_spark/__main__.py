@@ -122,25 +122,32 @@ def main(argv=None) -> int:
         final = final.unionByName(r)
 
     # extension-map sink (ref: summary/binned_dataframe.py:14-51): parquet is
-    # always written (the at-scale output); csv/json per config.  xlsx, h5,
-    # msgpack, stata and pickle are deliberate non-goals — niche single-node
-    # formats a Spark engine's users export from the csv/parquet instead.
+    # always written (the at-scale output); the rest per config, each a
+    # pandas writer over the collected result like the reference's.  xlsx,
+    # h5 and msgpack need libraries absent from this environment and stay
+    # deliberate non-goals — users export those from the csv/parquet.
+    sink_writers = {
+        "csv": lambda pdf, path: pdf.to_csv(
+            path + ".csv", index=False, float_format="%.17g"
+        ),
+        "json": lambda pdf, path: pdf.to_json(
+            path + ".json", orient="records", lines=True, double_precision=15
+        ),
+        "pickle": lambda pdf, path: pdf.to_pickle(path + ".pkl"),
+        # Stata has no +-inf: open-ended bin edges become missing values
+        "dta": lambda pdf, path: pdf.replace(
+            [float("inf"), float("-inf")], float("nan")
+        ).to_stata(path + ".dta", write_index=False),
+    }
     formats = processing.get("output_formats", ["csv"])
-    unknown_formats = set(formats) - {"csv", "json"}
+    unknown_formats = set(formats) - set(sink_writers)
     if unknown_formats:
         sys.exit(f"config error: unsupported output_formats {sorted(unknown_formats)}"
-                 " (supported: csv, json; parquet is always written)")
+                 f" (supported: {sorted(sink_writers)}; parquet is always written)")
     final.write.mode("overwrite").parquet(os.path.join(args.outdir, "result.parquet"))
     pdf = final.toPandas()
-    if "csv" in formats:
-        pdf.to_csv(
-            os.path.join(args.outdir, "result.csv"), index=False, float_format="%.17g"
-        )
-    if "json" in formats:
-        pdf.to_json(
-            os.path.join(args.outdir, "result.json"), orient="records",
-            lines=True, double_precision=15,
-        )
+    for fmt in formats:
+        sink_writers[fmt](pdf, os.path.join(args.outdir, "result"))
     n_counter_rows = 0
     if counter_frames:
         ctr = counter_frames[0]

@@ -106,7 +106,7 @@ def test_cli_cutflow_values(cli_run, spark, docs):
 # with our table's columns standing in for the HEP branch names.
 DEMO_PROCESSING = """
 input: spans_nested
-output_formats: [csv, json]
+output_formats: [csv, json, pickle, dta]
 
 stages:
     - span_cleaning: fast_carpenter.Define
@@ -165,9 +165,13 @@ def test_demo_config_outputs(demo_run, spark):
     outdir, _ = demo_run
     res = pd.read_csv(os.path.join(outdir, "result.csv"))
     assert {"n_big", "nsp", "n", "weight_nominal_sumw"} <= set(res.columns)
-    # K2 extension-map sink: json twin carries the same table
+    # K2 extension-map sink: every configured format carries the same table
     jres = pd.read_json(os.path.join(outdir, "result.json"), lines=True)
     assert len(jres) == len(res) and jres["n"].sum() == res["n"].sum()
+    pres = pd.read_pickle(os.path.join(outdir, "result.pkl"))
+    assert len(pres) == len(res) and pres["n"].sum() == res["n"].sum()
+    dres = pd.read_stata(os.path.join(outdir, "result.dta"))
+    assert len(dres) == len(res) and dres["n"].sum() == res["n"].sum()
 
     nested = spark.sql(
         "SELECT size(spans) AS n_spans, "
