@@ -148,6 +148,31 @@ def q_streaming_tile_agg(spark, sf_dir):
     return stage.result(spark)
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Structured-Streaming exact dedup, drained with availableNow: the
+    delta-partials merge must equal the batch dedup table EXACTLY (same
+    oracle as dedup_exact); cross-batch group merging is exercised in
+    tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from .streaming.dedup_stream import StreamingExactDedup
+
+    stage = StreamingExactDedup(
+        name="sdq",
+        out_dir=tempfile.mkdtemp(prefix="fcs_sdedup_q_"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="fcs_sdedup_ckpt_q_"),
+    )
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="fcs_sdedup_in_")
+        os.symlink(src, os.path.join(d, "part-000.parquet"))
+        src = d
+    q = stage.start(spark, src, available_now=True)
+    q.awaitTermination(300)
+    return stage.result(spark)
+
+
 def q_tile_distinct(spark, sf_dir):
     """Distinct-document tile stats: per cell, exact count(DISTINCT doc)
     alongside span counts (the de-duplicated coverage statistic; at 10^12
@@ -1097,6 +1122,7 @@ QUERIES = {
     "tile_smooth": (q_tile_smooth, O_TILE_SMOOTH),
     "tile_distinct": (q_tile_distinct, O_TILE_DISTINCT),
     "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),
+    "streaming_dedup": (q_streaming_dedup, O_DEDUP_EXACT),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
     "jagged_reduce": (q_jagged_reduce, O_JAGGED_REDUCE),
     "jagged_nested": (q_jagged_nested, O_JAGGED_NESTED),

@@ -178,3 +178,40 @@ def test_stateful_counters_survive_restart(spark, docs, tmp_path):
     got = sorted(tuple(r) for r in latest.collect())
     want = sorted(tuple(r) for r in exp.collect())
     assert got == want
+
+
+def test_streaming_dedup_equals_batch(spark, docs, tmp_path):
+    """Streaming exact dedup: drained delta-partials merge must equal the
+    batch dedup table exactly, including duplicate groups that SPAN
+    micro-batches (min-of-mins / sum-of-counts associativity)."""
+    from fast_carpenter_spark.functions.dedup import exact_dedup
+    from fast_carpenter_spark.streaming.dedup_stream import StreamingExactDedup
+
+    input_dir = str(tmp_path / "in")
+    # duplicate groups crossing the batch boundary: the second drain appends
+    # re-ingested copies of the same texts under new doc_ids (the synthetic
+    # corpus itself is duplicate-free), so every group spans both batches
+    docs.repartition(2).write.mode("overwrite").parquet(input_dir)
+    stage = StreamingExactDedup(
+        name="sd", out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q = stage.start(spark, input_dir, available_now=True)
+    q.awaitTermination(120)
+
+    docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).repartition(2).write.mode(
+        "append"
+    ).parquet(input_dir)
+    q = stage.start(spark, input_dir, available_now=True)
+    q.awaitTermination(120)
+
+    got = rows_sorted(stage.result(spark))
+    expected = rows_sorted(exact_dedup(spark.read.parquet(input_dir)))
+    assert got == expected
+    # groups genuinely span batches: at least one fingerprint appears in
+    # more than one delta batch
+    deltas = spark.read.option("recursiveFileLookup", "true").parquet(stage.deltas_dir)
+    spanning = (
+        deltas.groupBy("fingerprint").agg(F.countDistinct("_batch").alias("nb"))
+        .filter("nb > 1").count()
+    )
+    assert spanning > 0
