@@ -257,6 +257,134 @@ SELECT CAST({k} AS INT) AS k,
 """
 
 
+# --- IVF (inverted-file) ANN -----------------------------------------------
+# The other classic scale path besides LSH: a coarse quantizer assigns every
+# vector to its nearest of N_LISTS centroids (the inverted lists ARE the
+# partitioning/shuffle key at 10^12 rows); a query probes its N_PROBE
+# nearest lists and exact-reranks only those candidates.  Centroids are
+# deterministic pseudo-random points (same integer-hash trick as the LSH
+# hyperplanes) so the DuckDB oracle reproduces them exactly; on a real
+# corpus they would come from a k-means sample, which changes only the
+# literal arrays below.
+
+N_LISTS = 16
+N_PROBE = 4
+
+
+def centroid_sql(j: int, dim: int, dialect: str) -> str:
+    """Deterministic centroid j as array<double>."""
+    body = f"CAST(((i * 2654435761 + {j} * 48271 + 9973) % 1999) - 999 AS DOUBLE)"
+    if dialect == "spark":
+        return f"transform(sequence(0, {dim - 1}), i -> {body})"
+    return f"list_transform(range(0, {dim}), i -> {body})"
+
+
+def centroid_sims_sql(vec: str, dialect: str, n_lists: int = N_LISTS, dim: int = DIM) -> str:
+    """array<double> of cosine(vec, centroid_j) for all lists."""
+    sims = ", ".join(
+        cosine_sql(vec, centroid_sql(j, dim, dialect), dialect) for j in range(n_lists)
+    )
+    if dialect == "spark":
+        return f"array({sims})"
+    return f"list_value({sims})"
+
+
+def ivf_assign_sql(vec: str, dialect: str) -> str:
+    """Nearest-centroid list id (argmax cosine; first index wins ties).
+    Both engines compute the identical double array, so position-of-max
+    matches bit-for-bit."""
+    sims = centroid_sims_sql(vec, dialect)
+    if dialect == "spark":
+        return f"CAST(array_position({sims}, array_max({sims})) - 1 AS INT)"
+    return f"CAST(list_position({sims}, list_max({sims})) - 1 AS INT)"
+
+
+def ivf_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, list_id) — map-side only; the inverted-list partitioning."""
+    return emb.select(
+        "vec_id", F.expr(ivf_assign_sql("embedding", "spark")).alias("list_id")
+    )
+
+
+def ivf_assign_oracle_sql() -> str:
+    return f"""
+SELECT vec_id, {ivf_assign_sql('embedding', 'duck')} AS list_id FROM embeddings
+"""
+
+
+def ivf_topk(
+    emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF probe + exact rerank: each query expands to its n_probe nearest
+    lists (posexplode of a constant-width sims array — a Generate, not a
+    join), then ONE equi hash join on list_id gathers candidates; exact
+    cosine reranks.  Output: (query_id, neighbor_id, rank, cos)."""
+    assigned = emb.withColumn(
+        "list_id", F.expr(ivf_assign_sql("embedding", "spark"))
+    )
+    q = (
+        assigned.filter(query_filter)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.posexplode(F.expr(centroid_sims_sql("embedding", "spark"))).alias(
+                "probe", "_sim"
+            ),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("probe").asc())
+    qp = (
+        q.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "probe")
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("list_id").alias("probe"),
+    )
+    pairs = F.broadcast(qp).join(c, "probe").filter("query_id != neighbor_id")
+    pairs = pairs.withColumn("cos", F.expr(cosine_sql("qv", "cv", "spark")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_topk_oracle_sql(
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5, n_probe: int = N_PROBE
+) -> str:
+    cos = cosine_sql("q.embedding", "c.embedding", "duck")
+    q_sims = centroid_sims_sql("embedding", "duck")
+    return f"""
+WITH probes AS (
+  SELECT query_id, probe FROM (
+    SELECT query_id, probe, sim,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, probe
+           ) AS pr
+    FROM (
+      SELECT vec_id AS query_id,
+             generate_subscripts(sims, 1) - 1 AS probe, unnest(sims) AS sim
+      FROM (SELECT vec_id, {q_sims} AS sims FROM embeddings WHERE {query_filter})
+    )
+  ) WHERE pr <= {n_probe}
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM (
+  SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cos,
+         row_number() OVER (PARTITION BY p.query_id ORDER BY {cos} DESC, c.vec_id) AS rank
+  FROM probes p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c
+    ON ({ivf_assign_sql('c.embedding', 'duck')}) = p.probe
+   AND c.vec_id != p.query_id
+) WHERE rank <= {k}
+"""
+
+
 def embedding_near_dup(emb: DataFrame, *, tau: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate assignment (the training-data dedup
     variant of the ANN path): within each LSH bucket, any pair with

@@ -939,6 +939,22 @@ def q_ann_rerank_recall(spark, sf_dir):
 O_ANN_RERANK_RECALL = _ann.rerank_recall_oracle_sql()
 
 
+def q_ann_ivf_assign(spark, sf_dir):
+    """IVF coarse quantizer: nearest-centroid inverted-list assignment."""
+    return _ann.ivf_assign(_load_embeddings(spark, sf_dir))
+
+
+O_ANN_IVF_ASSIGN = _ann.ivf_assign_oracle_sql()
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF n_probe nearest-list probe + exact cosine rerank."""
+    return _ann.ivf_topk(_load_embeddings(spark, sf_dir))
+
+
+O_ANN_IVF_TOPK = _ann.ivf_topk_oracle_sql()
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup (LSH-bucketed pair join + canonical-min)."""
     return _ann.embedding_near_dup(_load_embeddings(spark, sf_dir))
@@ -1153,6 +1169,8 @@ QUERIES = {
     "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
     "ann_lsh_rerank": (q_ann_lsh_rerank, O_ANN_LSH_RERANK),
     "ann_rerank_recall": (q_ann_rerank_recall, O_ANN_RERANK_RECALL),
+    "ann_ivf_assign": (q_ann_ivf_assign, O_ANN_IVF_ASSIGN),
+    "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
     "dedup_embedding_cosine": (q_dedup_embedding, O_DEDUP_EMBEDDING),
     "media_decode": (q_media_decode, O_MEDIA_DECODE),
     "media_resize": (q_media_resize, O_MEDIA_RESIZE),
