@@ -385,6 +385,45 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM (
 """
 
 
+def ivf_recall(
+    emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5
+) -> DataFrame:
+    """Recall@k of the IVF probe path vs exact brute force, one-row summary
+    (same shape as rerank_recall so the two ANN families are comparable)."""
+    exact = cosine_topk(emb, query_filter=query_filter, k=k)
+    approx = ivf_topk(emb, query_filter=query_filter, k=k)
+    hit = exact.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+def ivf_recall_oracle_sql(*, query_filter: str = "vec_id % 50 = 0", k: int = 5) -> str:
+    exact = cosine_topk_oracle_sql(query_filter=query_filter, k=k)
+    approx = ivf_topk_oracle_sql(query_filter=query_filter, k=k)
+    return f"""
+WITH exact AS ({exact}), approx AS ({approx}),
+hit AS (
+  SELECT e.query_id, e.neighbor_id FROM exact e
+  WHERE EXISTS (SELECT 1 FROM approx a
+                WHERE a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+)
+SELECT CAST({k} AS INT) AS k,
+       (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM hit) AS n_hit,
+       CAST((SELECT count(*) FROM hit) AS DOUBLE) / (SELECT count(*) FROM exact) AS recall
+"""
+
+
 def embedding_near_dup(emb: DataFrame, *, tau: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate assignment (the training-data dedup
     variant of the ANN path): within each LSH bucket, any pair with

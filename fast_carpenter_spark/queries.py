@@ -955,6 +955,14 @@ def q_ann_ivf_topk(spark, sf_dir):
 O_ANN_IVF_TOPK = _ann.ivf_topk_oracle_sql()
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall@k of the IVF probe path vs the exact baseline."""
+    return _ann.ivf_recall(_load_embeddings(spark, sf_dir))
+
+
+O_ANN_IVF_RECALL = _ann.ivf_recall_oracle_sql()
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup (LSH-bucketed pair join + canonical-min)."""
     return _ann.embedding_near_dup(_load_embeddings(spark, sf_dir))
@@ -1171,6 +1179,7 @@ QUERIES = {
     "ann_rerank_recall": (q_ann_rerank_recall, O_ANN_RERANK_RECALL),
     "ann_ivf_assign": (q_ann_ivf_assign, O_ANN_IVF_ASSIGN),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
+    "ann_ivf_recall": (q_ann_ivf_recall, O_ANN_IVF_RECALL),
     "dedup_embedding_cosine": (q_dedup_embedding, O_DEDUP_EMBEDDING),
     "media_decode": (q_media_decode, O_MEDIA_DECODE),
     "media_resize": (q_media_resize, O_MEDIA_RESIZE),
