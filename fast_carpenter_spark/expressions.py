@@ -48,6 +48,8 @@ FUNCTIONS = {
     "tanh": "TANH",
     "floor": "FLOOR",
     "ceil": "CEIL",
+    "expm1": "EXPM1",
+    "arctan2": "ATAN2",  # two-arg: numexpr arctan2(y, x)
 }
 
 BINOPS = {

@@ -37,6 +37,15 @@ def test_where(spark):
     assert _eval(spark, sql) == 20
 
 
+def test_arctan2_and_expm1(spark):
+    import math
+
+    sql = compile_expression("arctan2(1.0, 1.0)")
+    assert _eval(spark, sql) == pytest.approx(math.pi / 4)
+    sql = compile_expression("expm1(0.0)")
+    assert _eval(spark, sql) == pytest.approx(0.0)
+
+
 def test_mask_combination(spark):
     sql = compile_expression("(1 < 2) & (3 > 4) | (5 < 6)")
     assert _eval(spark, sql) is True
