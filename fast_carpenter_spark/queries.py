@@ -301,6 +301,91 @@ O_TILE_PYRAMID = _pyramid_oracle()
 # ---------------------------------------------------------------------------
 
 
+def _load_events(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df.createOrReplaceTempView("events")
+    return df
+
+
+def q_events_window(spark, sf_dir):
+    """Tumbling 1-hour event-time windows x event_type — the batch twin of
+    the streaming watermark path, over the driver's events table.  Window
+    starts exported as epoch seconds so both engines hash identically."""
+    ev = _load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .select(
+            # ts is TIMESTAMP_NTZ: epoch via timestampdiff is timezone-free
+            # in both engines (unix_timestamp would apply the session TZ)
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', win.start)"
+            ).cast("long").alias("win_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+O_EVENTS_WINDOW = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
+       event_type, count(*) AS n, sum(value) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization: a new session starts after >30 min of user
+    inactivity; session id = running count of session starts per user (two
+    window passes over ONE shuffle on user_id — the partitioning a
+    behavioral table would keep at scale)."""
+    from pyspark.sql import Window as W
+
+    ev = _load_events(spark, sf_dir).withColumn(
+        "us",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+    )
+    order = W.partitionBy("user_id").orderBy("us", "event_id")
+    new_sess = F.when(
+        F.col("us") - F.lag("us").over(order) > SESSION_GAP_US, 1
+    ).otherwise(F.when(F.lag("us").over(order).isNull(), 1).otherwise(0))
+    runsum = W.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = ev.withColumn("session_id", F.sum(new_sess).over(runsum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("sess_start_us"),
+        F.max("us").alias("sess_end_us"),
+        F.sum("value").alias("value_sum"),
+    )
+
+
+O_EVENTS_SESSIONIZE = f"""
+WITH marked AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US} THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessions AS (
+  SELECT *, CAST(sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(us) AS sess_start_us, max(us) AS sess_end_us, sum(value) AS value_sum
+FROM sessions GROUP BY 1, 2
+"""
+
+
 def q_define_expr(spark, sf_dir):
     """numexpr-dialect derived scalars through the transpiler."""
     df = flat_spans(spark, sf_dir)
@@ -1147,6 +1232,8 @@ QUERIES = {
     "tile_distinct": (q_tile_distinct, O_TILE_DISTINCT),
     "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),
     "streaming_dedup": (q_streaming_dedup, O_DEDUP_EXACT),
+    "events_window": (q_events_window, O_EVENTS_WINDOW),
+    "events_sessionize": (q_events_sessionize, O_EVENTS_SESSIONIZE),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
     "jagged_reduce": (q_jagged_reduce, O_JAGGED_REDUCE),
     "jagged_nested": (q_jagged_nested, O_JAGGED_NESTED),
