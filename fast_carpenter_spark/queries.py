@@ -386,6 +386,34 @@ FROM sessions GROUP BY 1, 2
 """
 
 
+def q_events_json(spark, sf_dir):
+    """Semi-structured extraction: pull props.k out of the JSON string
+    column and aggregate — JVM-side JSON path evaluation (get_json_object),
+    no Python in the loop."""
+    ev = _load_events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+O_EVENTS_JSON = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+       min(CAST(props->>'k' AS BIGINT)) AS k_min,
+       max(CAST(props->>'k' AS BIGINT)) AS k_max
+FROM events GROUP BY 1
+"""
+
+
 def q_define_expr(spark, sf_dir):
     """numexpr-dialect derived scalars through the transpiler."""
     df = flat_spans(spark, sf_dir)
@@ -1234,6 +1262,7 @@ QUERIES = {
     "streaming_dedup": (q_streaming_dedup, O_DEDUP_EXACT),
     "events_window": (q_events_window, O_EVENTS_WINDOW),
     "events_sessionize": (q_events_sessionize, O_EVENTS_SESSIONIZE),
+    "events_json": (q_events_json, O_EVENTS_JSON),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
     "jagged_reduce": (q_jagged_reduce, O_JAGGED_REDUCE),
     "jagged_nested": (q_jagged_nested, O_JAGGED_NESTED),
