@@ -275,6 +275,30 @@ GROUP BY 1
 """
 
 
+def q_tile_quantiles(spark, sf_dir):
+    """Per-tile exact quantiles of the span weight (median + p90): Spark's
+    exact `percentile` and DuckDB's `quantile_cont` both linearly
+    interpolate on the sorted values, so results are bit-identical."""
+    spans = flat_spans(spark, sf_dir)
+    return (
+        spans.withColumn("cell", F.expr(grid.cell_sql("lon", "lat", TILE_RES, "spark")))
+        .groupBy("cell")
+        .agg(
+            F.expr("percentile(w, 0.5)").alias("w_med"),
+            F.expr("percentile(w, 0.9)").alias("w_p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+O_TILE_QUANTILES = f"""
+SELECT {grid.cell_sql('lon', 'lat', TILE_RES, 'duck')} AS cell,
+       quantile_cont(w, 0.5) AS w_med, quantile_cont(w, 0.9) AS w_p90,
+       count(*) AS n
+FROM ({O_SPANS_FLAT}) GROUP BY 1
+"""
+
+
 PYRAMID_KW = dict(res_max=TILE_RES, res_min=COARSE_RES, threshold=16)
 
 
@@ -1256,6 +1280,7 @@ QUERIES = {
     "tile_agg_dataset": (q_tile_agg_dataset, O_TILE_AGG_DATASET),
     "tile_rollup": (q_tile_rollup, O_TILE_ROLLUP),
     "tile_pyramid": (q_tile_pyramid, O_TILE_PYRAMID),
+    "tile_quantiles": (q_tile_quantiles, O_TILE_QUANTILES),
     "tile_smooth": (q_tile_smooth, O_TILE_SMOOTH),
     "tile_distinct": (q_tile_distinct, O_TILE_DISTINCT),
     "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),
