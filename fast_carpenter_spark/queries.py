@@ -754,6 +754,32 @@ O_RADIUS_JOIN = radius_join_oracle_sql(
 )
 
 
+GEO_RADIUS_KM = 800.0
+
+
+def q_radius_join_geo(spark, sf_dir):
+    """Geodesic (haversine) DWithin self-join: pole-crossing disks span all
+    longitudes and antimeridian neighbours wrap — the candidate ring
+    handles both; verified margin to the threshold is ~0.2 km (trig ulp
+    divergence between engines is ~1e-15 rel, so membership is stable)."""
+    from .spatial.knn import radius_join_geo
+
+    pts = flat_spans(spark, sf_dir).filter("span_idx = 0").select("doc_id", "lon", "lat")
+    return radius_join_geo(pts, radius_km=GEO_RADIUS_KM)
+
+
+def _geo_oracle():
+    from .spatial.knn import radius_join_geo_oracle_sql
+
+    return radius_join_geo_oracle_sql(
+        f"SELECT doc_id, lon, lat FROM ({O_SPANS_FLAT}) WHERE span_idx = 0",
+        radius_km=GEO_RADIUS_KM,
+    )
+
+
+O_RADIUS_JOIN_GEO = _geo_oracle()
+
+
 KNN_RES, KNN_RING, KNN_K = 5, 1, 3
 
 
@@ -1301,6 +1327,7 @@ QUERIES = {
     "pip_tile_agg": (q_pip_tile_agg, O_PIP_TILE_AGG),
     "knn": (q_knn, O_KNN),
     "radius_join": (q_radius_join, O_RADIUS_JOIN),
+    "radius_join_geo": (q_radius_join_geo, O_RADIUS_JOIN_GEO),
     "knn_local": (q_knn_local, O_KNN),
     "raster_join": (q_raster_join, O_RASTER_JOIN),
     "binned_1d": (q_binned_1d, O_BINNED_1D),

@@ -412,3 +412,111 @@ FROM ({points_sql}) a JOIN ({points_sql}) b
   ON a.doc_id < b.doc_id
 WHERE (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat) <= {radius!r} * {radius!r}
 """
+
+
+# --- geodesic (haversine) DWithin join --------------------------------------
+
+EARTH_KM = 6371.0088
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Great-circle distance in km (same SQL text in Spark and DuckDB).
+    NB: trig builtins differ between engines in the last ulp (~1e-15 rel),
+    so geodesic results must never expose raw distances to the hash gate —
+    emit pairs only, with thresholds far from any pair's distance."""
+    dlat = f"RADIANS((({lat2}) - ({lat1})) / 2)"
+    dlon = f"RADIANS((({lon2}) - ({lon1})) / 2)"
+    return (
+        f"(2.0 * {EARTH_KM!r} * ASIN(SQRT(SIN({dlat}) * SIN({dlat}) + "
+        f"COS(RADIANS({lat1})) * COS(RADIANS({lat2})) * SIN({dlon}) * SIN({dlon}))))"
+    )
+
+
+def radius_join_geo(
+    points: DataFrame,
+    *,
+    radius_km: float,
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int | None = None,
+) -> DataFrame:
+    """Geodesic DWithin self-join: all pairs (a < b) within ``radius_km``
+    great-circle km.  Candidate cells come from the TRUE bounding box of a
+    geodesic circle (Matuschek's formulation): the latitude extent is the
+    constant radius/EARTH arc, but the longitude extent widens with
+    latitude — delta_lon = asin(sin(r)/cos(lat)) — and a disk crossing a
+    pole spans ALL longitudes.  Longitude offsets wrap modulo the grid
+    (antimeridian pairs are real neighbours), latitude clamps.  One
+    BIGINT-keyed shuffle join + exact haversine refine, like the planar
+    variant."""
+    r_ang = radius_km / EARTH_KM  # radians of arc
+    deg_lat = math.degrees(r_ang)
+    if res is None:
+        res = max(1, min(20, int(math.floor(math.log2(180.0 / deg_lat)))))
+    n = 1 << res
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+    ry = max(1, math.ceil(deg_lat / cell_h))
+
+    # per-point longitude half-width in CELLS; full ring when the disk
+    # crosses a pole (lat +- deg_lat reaches it)
+    rx = (
+        f"CASE WHEN ABS({lat_col}) + {deg_lat!r} >= 90.0 THEN CAST({n} AS BIGINT) "
+        f"ELSE CAST(CEIL(DEGREES(ASIN(LEAST(1.0, "
+        f"SIN({r_ang!r}) / COS(RADIANS({lat_col}))))) / {cell_w!r}) AS BIGINT) END"
+    )
+    # distinct-mod-n offset list: count = min(2*rx+1, n), starting at
+    # -min(rx, n/2) — covers -rx..rx exactly when narrow and every cell
+    # exactly once when the ring is full (no duplicate candidates)
+    cnt = f"LEAST(2 * ({rx}) + 1, CAST({n} AS BIGINT))"
+    lo = f"-LEAST(({rx}), CAST({n // 2} AS BIGINT))"
+    offsets = f"transform(sequence(0, {cnt} - 1), i -> CAST(i AS BIGINT) + ({lo}))"
+
+    pts = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(lon_col).alias("_lon"),
+        F.col(lat_col).alias("_lat"),
+        F.expr(grid.cell_x_sql(lon_col, res, "spark")).alias("_cx"),
+        F.expr(grid.cell_y_sql(lat_col, res, "spark")).alias("_cy"),
+        F.expr(offsets).alias("_dxs"),
+    )
+    ring = (
+        pts.select(
+            "_id", "_lon", "_lat", "_cy",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(_dxs, dx -> "
+                    f"transform(sequence(-{ry}, {ry}), dy -> "
+                    f"struct(pmod(_cx + dx, {n}) AS x, _cy + dy AS y))))"
+                )
+            ).alias("_nc"),
+        )
+        .filter((F.col("_nc.y") >= 0) & (F.col("_nc.y") < n))
+        .select(
+            "_id", "_lon", "_lat",
+            F.expr(grid.pack_sql(res, "_nc.x", "_nc.y")).alias("_cell"),
+        )
+    )
+    others = points.select(
+        F.col(id_col).alias("_nbr"),
+        F.col(lon_col).alias("_nlon"),
+        F.col(lat_col).alias("_nlat"),
+        F.expr(grid.cell_sql(lon_col, lat_col, res, "spark")).alias("_cell"),
+    )
+    cand = ring.join(others, "_cell").filter(F.col("_id") < F.col("_nbr"))
+    dist = haversine_sql("_lon", "_lat", "_nlon", "_nlat")
+    return (
+        cand.filter(F.expr(f"{dist} <= {radius_km!r}"))
+        .select(F.col("_id").alias("doc_a"), F.col("_nbr").alias("doc_b"))
+    )
+
+
+def radius_join_geo_oracle_sql(points_sql: str, *, radius_km: float) -> str:
+    """DuckDB ground truth: brute-force all pairs, exact haversine filter
+    (pairs only — see haversine_sql on trig ulp divergence)."""
+    dist = haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ({points_sql}) a JOIN ({points_sql}) b ON a.doc_id < b.doc_id
+WHERE {dist} <= {radius_km!r}
+"""
