@@ -275,6 +275,35 @@ GROUP BY 1
 """
 
 
+def _cell_bounds_sql(dialect: str) -> str:
+    """(cell) -> west/south/east/north of the cell rectangle, pure integer
+    + double arithmetic on the packed id (H3 cell_to_boundary analogue)."""
+    n = 1 << TILE_RES
+    x = grid.unpack_x_sql("cell", dialect)
+    y = grid.unpack_y_sql("cell", dialect)
+    return (
+        f"CAST({x} AS DOUBLE) / {float(n)!r} * 360.0 - 180.0 AS west, "
+        f"CAST({y} AS DOUBLE) / {float(n)!r} * 180.0 - 90.0 AS south, "
+        f"CAST(({x}) + 1 AS DOUBLE) / {float(n)!r} * 360.0 - 180.0 AS east, "
+        f"CAST(({y}) + 1 AS DOUBLE) / {float(n)!r} * 180.0 - 90.0 AS north"
+    )
+
+
+def q_cell_bounds(spark, sf_dir):
+    """Boundary rectangles of every occupied tile (the vector-tile export
+    step: cell id -> geometry)."""
+    tiles = q_tile_agg(spark, sf_dir).select("cell", "n")
+    tiles.createOrReplaceTempView("_tiles_for_bounds")
+    return spark.sql(
+        f"SELECT cell, n, {_cell_bounds_sql('spark')} FROM _tiles_for_bounds"
+    )
+
+
+O_CELL_BOUNDS = f"""
+SELECT cell, n, {_cell_bounds_sql('duck')} FROM ({O_TILE_AGG})
+"""
+
+
 def q_tile_quantiles(spark, sf_dir):
     """Per-tile exact quantiles of the span weight (median + p90): Spark's
     exact `percentile` and DuckDB's `quantile_cont` both linearly
@@ -1307,6 +1336,7 @@ QUERIES = {
     "tile_rollup": (q_tile_rollup, O_TILE_ROLLUP),
     "tile_pyramid": (q_tile_pyramid, O_TILE_PYRAMID),
     "tile_quantiles": (q_tile_quantiles, O_TILE_QUANTILES),
+    "cell_bounds": (q_cell_bounds, O_CELL_BOUNDS),
     "tile_smooth": (q_tile_smooth, O_TILE_SMOOTH),
     "tile_distinct": (q_tile_distinct, O_TILE_DISTINCT),
     "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),
