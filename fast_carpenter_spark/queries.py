@@ -993,6 +993,39 @@ from .functions import text as _text  # noqa: E402
 from .functions.media import decode_media_oracle_sql, decode_media_spans  # noqa: E402
 
 
+TOKEN_TOPK = 10
+
+
+def q_token_topk(spark, sf_dir):
+    """Heavy hitters: top-k most frequent tokens per language tag — the
+    corpus-statistics pass of a training-data pipeline (vocabulary audit,
+    stopword discovery).  Explode -> two-level partial agg -> per-group
+    top-k via WindowGroupLimit."""
+    from pyspark.sql import Window as W
+
+    docs = load_documents(spark, sf_dir)
+    toks = docs.select(
+        "lang", F.explode(F.expr(_text.tokens_sql("text", "spark"))).alias("token")
+    )
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOKEN_TOPK)
+        .select("lang", "token", "n", "rank")
+    )
+
+
+O_TOKEN_TOPK = f"""
+SELECT lang, token, n, CAST(rank AS INT) AS rank FROM (
+  SELECT lang, token, count(*) AS n,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rank
+  FROM (SELECT lang, unnest({_text.tokens_sql('text', 'duck')}) AS token FROM documents)
+  GROUP BY lang, token
+) WHERE rank <= {TOKEN_TOPK}
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     return _dedup.exact_dedup(load_documents(spark, sf_dir))
 
@@ -1370,6 +1403,7 @@ QUERIES = {
     "dedup_simhash": (q_simhash, O_SIMHASH),
     "dedup_ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
     "text_features": (q_text_features, O_TEXT_FEATURES),
+    "token_topk": (q_token_topk, O_TOKEN_TOPK),
     "ann_cosine_topk": (q_ann_cosine, O_ANN_COSINE),
     "ann_lsh_bucket": (q_ann_lsh_bucket, O_ANN_LSH_BUCKET),
     "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
