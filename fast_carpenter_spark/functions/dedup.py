@@ -242,3 +242,123 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: candidate pairs -> connected components -> canonical
+# doc per cluster.  This is the step a real 100 TB dedup pipeline actually
+# ships: pair lists are intermediate, the kept-set is the product.
+# ---------------------------------------------------------------------------
+
+CLUSTER_JACCARD = 0.5  # verified-Jaccard edge threshold for clustering
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = CLUSTER_JACCARD,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY document: connected components of the
+    MinHash-LSH near-dup graph (edges = band-collision pairs whose exact
+    token-set Jaccard >= ``threshold``); ``cluster_id`` is the
+    lexicographically smallest doc_id of the component (singletons label
+    themselves).
+
+    Algorithm: Pregel-style neighbor-min label propagation — each round
+    every node adopts ``min(own label, min over neighbours' labels)`` via
+    one edge-keyed shuffle join + groupBy, iterated to fixpoint.  This is
+    exactly GraphX/GraphFrames' connectedComponents superstep; rounds =
+    graph diameter, and near-dup graphs are unions of near-cliques
+    (template bursts), so it converges in a handful of rounds.  Each round
+    materializes the label table (persist) so lineage stays flat; at 10^12
+    docs the same loop runs with checkpoint() every few rounds and the
+    edge table bucketed by src.
+
+    Plays the role of the reference's chunk-merge collector step
+    (ref: fast_carpenter/summary/binned_dataframe.py:232-238 — associative
+    merge of partials) lifted to a graph fixpoint.
+    """
+    pairs = minhash_lsh_pairs(docs, text_col).filter(F.col("jaccard") >= threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .repartition("dst")
+        .persist()
+    )
+    labels = (
+        docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .repartition("doc_id")
+        .persist()
+    )
+    for _ in range(max_iter):
+        # messages: for each edge (src <- dst), dst's current label
+        msgs = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("_nbr_min"))
+        )
+        new = (
+            labels.join(msgs, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .repartition("doc_id")
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter("n.cluster_id <> o.cluster_id")
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_canonical(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = CLUSTER_JACCARD,
+) -> DataFrame:
+    """One row per near-dup cluster: (cluster_id, n_members, kept_doc,
+    kept_len).  The canonical (kept) document is the longest text in the
+    cluster, smallest doc_id on ties — i.e. the dedup pipeline's actual
+    output: which document survives and how many it replaces."""
+    from pyspark.sql import Window
+
+    labels = dedup_clusters(docs, text_col, threshold)
+    members = labels.join(
+        docs.select(
+            "doc_id", F.length(text_col).cast("bigint").alias("_len")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_len"), F.asc("doc_id")
+    )
+    kept = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("_len").alias("kept_len"),
+        )
+    )
+    counts = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    return counts.join(kept, "cluster_id").select(
+        "cluster_id", "n_members", "kept_doc", "kept_len"
+    )

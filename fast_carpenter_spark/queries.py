@@ -809,6 +809,28 @@ def _geo_oracle():
 O_RADIUS_JOIN_GEO = _geo_oracle()
 
 
+def q_knn_geo(spark, sf_dir):
+    """Geodesic bounded kNN: k nearest by great-circle distance within
+    GEO_RADIUS_KM, rank-only output (trig-ulp-safe; see knn_geo)."""
+    from .spatial.knn import knn_geo
+
+    pts = flat_spans(spark, sf_dir).filter("span_idx = 0").select("doc_id", "lon", "lat")
+    return knn_geo(pts, radius_km=GEO_RADIUS_KM, k=3)
+
+
+def _knn_geo_oracle():
+    from .spatial.knn import knn_geo_oracle_sql
+
+    return knn_geo_oracle_sql(
+        f"SELECT doc_id, lon, lat FROM ({O_SPANS_FLAT}) WHERE span_idx = 0",
+        radius_km=GEO_RADIUS_KM,
+        k=3,
+    )
+
+
+O_KNN_GEO = _knn_geo_oracle()
+
+
 KNN_RES, KNN_RING, KNN_K = 5, 1, 3
 
 
@@ -1357,6 +1379,73 @@ def q_checkpoint_resume(spark, sf_dir):
     return final
 
 
+def q_dedup_cluster(spark, sf_dir):
+    """Connected components over the MinHash-LSH near-dup graph: every doc
+    labelled with its component's min doc_id (Pregel-style neighbor-min
+    propagation; oracle = DuckDB recursive CTE)."""
+    return _dedup.dedup_clusters(load_documents(spark, sf_dir))
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Per near-dup cluster: member count + canonical (kept) document
+    (longest text, smallest doc_id on ties) — the dedup pipeline's actual
+    kept-set output."""
+    return _dedup.dedup_canonical(load_documents(spark, sf_dir))
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Training-corpus curation: top-K docs per language by quality score,
+    stamped with a deterministic content-hash train/val split."""
+    from .functions import curate as _curate
+
+    return _curate.stratified_topk(load_documents(spark, sf_dir))
+
+
+def _o_sample_stratified() -> str:
+    from .functions import curate as _curate
+
+    return _curate.stratified_topk_oracle_sql()
+
+
+O_SAMPLE_STRATIFIED = _o_sample_stratified()
+
+
+def _o_cluster_cte() -> str:
+    """Shared recursive-CTE prefix: min-label connected components of the
+    thresholded MinHash pair graph.  reach(node, lbl) enumerates labels
+    lbl < node reachable from node; pruning on lbl < src keeps the
+    fixpoint at O(sum of component^2) rows while still delivering every
+    component's global min to every member (the min m reaches n along any
+    path because m < v holds at each hop)."""
+    return f"""
+pairs AS (SELECT doc_a, doc_b FROM ({O_MINHASH_LSH.strip()}) WHERE jaccard >= {_dedup.CLUSTER_JACCARD}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, dst FROM edges WHERE dst < src
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst WHERE r.lbl < e.src
+),
+cl AS (
+  SELECT d.doc_id, COALESCE(min(r.lbl), d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.node = d.doc_id
+  GROUP BY d.doc_id
+)
+"""
+
+
+O_DEDUP_CLUSTER = f"WITH RECURSIVE {_o_cluster_cte()} SELECT doc_id, cluster_id FROM cl"
+
+O_DEDUP_CANONICAL = f"""
+WITH RECURSIVE {_o_cluster_cte()},
+m AS (SELECT cl.doc_id, cl.cluster_id, CAST(length(d.text) AS BIGINT) AS _len
+      FROM cl JOIN documents d USING (doc_id)),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY _len DESC, doc_id) AS rn FROM m)
+SELECT c.cluster_id, c.n_members, k.kept_doc, k.kept_len
+FROM (SELECT cluster_id, count(*) AS n_members FROM m GROUP BY cluster_id) c
+JOIN (SELECT cluster_id, doc_id AS kept_doc, _len AS kept_len FROM r2 WHERE rn = 1) k USING (cluster_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1391,6 +1480,7 @@ QUERIES = {
     "knn": (q_knn, O_KNN),
     "radius_join": (q_radius_join, O_RADIUS_JOIN),
     "radius_join_geo": (q_radius_join_geo, O_RADIUS_JOIN_GEO),
+    "knn_geo": (q_knn_geo, O_KNN_GEO),
     "knn_local": (q_knn_local, O_KNN),
     "raster_join": (q_raster_join, O_RASTER_JOIN),
     "binned_1d": (q_binned_1d, O_BINNED_1D),
@@ -1402,6 +1492,9 @@ QUERIES = {
     "dedup_minhash_lsh": (q_minhash_lsh, O_MINHASH_LSH),
     "dedup_simhash": (q_simhash, O_SIMHASH),
     "dedup_ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
+    "dedup_cluster": (q_dedup_cluster, O_DEDUP_CLUSTER),
+    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
+    "dedup_canonical": (q_dedup_canonical, O_DEDUP_CANONICAL),
     "text_features": (q_text_features, O_TEXT_FEATURES),
     "token_topk": (q_token_topk, O_TOKEN_TOPK),
     "ann_cosine_topk": (q_ann_cosine, O_ANN_COSINE),

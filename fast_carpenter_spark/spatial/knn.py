@@ -432,7 +432,7 @@ def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     )
 
 
-def radius_join_geo(
+def _geo_ring_candidates(
     points: DataFrame,
     *,
     radius_km: float,
@@ -441,15 +441,15 @@ def radius_join_geo(
     lat_col: str = "lat",
     res: int | None = None,
 ) -> DataFrame:
-    """Geodesic DWithin self-join: all pairs (a < b) within ``radius_km``
-    great-circle km.  Candidate cells come from the TRUE bounding box of a
-    geodesic circle (Matuschek's formulation): the latitude extent is the
-    constant radius/EARTH arc, but the longitude extent widens with
-    latitude — delta_lon = asin(sin(r)/cos(lat)) — and a disk crossing a
-    pole spans ALL longitudes.  Longitude offsets wrap modulo the grid
-    (antimeridian pairs are real neighbours), latitude clamps.  One
-    BIGINT-keyed shuffle join + exact haversine refine, like the planar
-    variant."""
+    """Directed candidate pairs (_id, _nbr != _id, coords) whose cells can
+    contain a point within ``radius_km`` great-circle km.  Candidate cells
+    come from the TRUE bounding box of a geodesic circle (Matuschek's
+    formulation): the latitude extent is the constant radius/EARTH arc,
+    but the longitude extent widens with latitude —
+    delta_lon = asin(sin(r)/cos(lat)) — and a disk crossing a pole spans
+    ALL longitudes.  Longitude offsets wrap modulo the grid (antimeridian
+    pairs are real neighbours), latitude clamps.  One BIGINT-keyed shuffle
+    join, exact refine left to the caller."""
     r_ang = radius_km / EARTH_KM  # radians of arc
     deg_lat = math.degrees(r_ang)
     if res is None:
@@ -503,12 +503,88 @@ def radius_join_geo(
         F.col(lat_col).alias("_nlat"),
         F.expr(grid.cell_sql(lon_col, lat_col, res, "spark")).alias("_cell"),
     )
-    cand = ring.join(others, "_cell").filter(F.col("_id") < F.col("_nbr"))
+    return ring.join(others, "_cell").filter(F.col("_id") != F.col("_nbr"))
+
+
+def radius_join_geo(
+    points: DataFrame,
+    *,
+    radius_km: float,
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int | None = None,
+) -> DataFrame:
+    """Geodesic DWithin self-join: all pairs (a < b) within ``radius_km``
+    great-circle km — cell-ring candidates (see _geo_ring_candidates) +
+    exact haversine refine, like the planar variant."""
+    cand = _geo_ring_candidates(
+        points, radius_km=radius_km, id_col=id_col,
+        lon_col=lon_col, lat_col=lat_col, res=res,
+    ).filter(F.col("_id") < F.col("_nbr"))
     dist = haversine_sql("_lon", "_lat", "_nlon", "_nlat")
     return (
         cand.filter(F.expr(f"{dist} <= {radius_km!r}"))
         .select(F.col("_id").alias("doc_a"), F.col("_nbr").alias("doc_b"))
     )
+
+
+def knn_geo(
+    points: DataFrame,
+    *,
+    radius_km: float,
+    k: int = 3,
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int | None = None,
+) -> DataFrame:
+    """Geodesic bounded kNN: for each point, its k nearest neighbours by
+    great-circle distance among those within ``radius_km`` (the bounded
+    form every production kNN service ships — an unbounded geodesic kNN
+    would need adaptive ring growth for isolated points, while the radius
+    bound keeps the candidate set one cell-ring join).  Rank ties break on
+    neighbour id.  Distances are NOT emitted: trig builtins differ between
+    engines in the last ulp (haversine_sql note), so the output exposes
+    only (id, neighbor_id, rank) — stable because random-data distance
+    gaps are astronomically larger than 1e-15 rel."""
+    cand = _geo_ring_candidates(
+        points, radius_km=radius_km, id_col=id_col,
+        lon_col=lon_col, lat_col=lat_col, res=res,
+    )
+    dist = haversine_sql("_lon", "_lat", "_nlon", "_nlat")
+    cand = cand.filter(F.expr(f"{dist} <= {radius_km!r}")).withColumn(
+        "_d", F.expr(dist)
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_d").asc(), F.col("_nbr").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_nbr").alias("neighbor_id"),
+            "rank",
+        )
+    )
+
+
+def knn_geo_oracle_sql(points_sql: str, *, radius_km: float, k: int) -> str:
+    """DuckDB ground truth: brute-force directed pairs, haversine filter,
+    row_number rank (rank-only output — see knn_geo on trig ulps)."""
+    dist = haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+WITH cand AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id, {dist} AS _d
+  FROM ({points_sql}) a JOIN ({points_sql}) b ON a.doc_id <> b.doc_id
+  WHERE {dist} <= {radius_km!r}
+),
+r AS (
+  SELECT doc_id, neighbor_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY _d, neighbor_id) AS rank
+  FROM cand
+)
+SELECT doc_id, neighbor_id, rank FROM r WHERE rank <= {k}
+"""
 
 
 def radius_join_geo_oracle_sql(points_sql: str, *, radius_km: float) -> str:

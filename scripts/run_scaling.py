@@ -48,7 +48,24 @@ REPL = os.environ.get("SPARK_GRAFT_REPL", "5760")
 # Hardware calibration: embarrassingly parallel kernels, independent procs.
 # ---------------------------------------------------------------------------
 
-def _burn_alu(q):
+def _pin(n: int) -> None:
+    """Confine the calling process (and its children) to the first n cores.
+
+    A real N-executor cluster gives the job exactly N cores; an unpinned
+    local[N] run on a 32-core host lets GC/JIT/python-worker/shuffle-IO
+    threads borrow the other 32-N cores, inflating small-N throughput and
+    understating scaling efficiency.  The host has 32 physical cores with
+    SMT off (1 thread/core), so cores 0..n-1 are n full cores.
+    """
+    try:
+        os.sched_setaffinity(0, set(range(n)))
+    except (AttributeError, OSError):
+        pass
+
+
+def _burn_alu(q, cpus=None):
+    if cpus:
+        _pin(cpus)
     t0 = time.time()
     x = 0
     for i in range(60_000_000):
@@ -56,11 +73,14 @@ def _burn_alu(q):
     q.put(time.time() - t0)
 
 
-def _burn_mem(q):
+def _burn_mem(q, cpus=None):
     """Columnar-batch-sized streaming arithmetic (~32 MB working set,
     in-place ops) — the flagship map stage's actual memory profile
     (Tungsten processes batch-at-a-time, not whole-partition arrays)."""
     import numpy as np
+
+    if cpus:
+        _pin(cpus)
 
     a = np.arange(4_000_000, dtype=np.int64)
     b = np.empty_like(a)
@@ -78,7 +98,7 @@ def calibrate(kernel, n: int) -> float:
     """Wall time for n independent processes each doing fixed work W.
     Throughput = n / wall; returns wall seconds."""
     q = mp.Queue()
-    ps = [mp.Process(target=kernel, args=(q,)) for _ in range(n)]
+    ps = [mp.Process(target=kernel, args=(q, n)) for _ in range(n)]
     t0 = time.time()
     for p in ps:
         p.start()
@@ -110,8 +130,14 @@ def hw_ceiling(kernel) -> dict:
 def run_level(cpus: int) -> dict:
     print(f"[scaling] flagship job at local[{cpus}] ...", file=sys.stderr, flush=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_REPL=REPL)
+    # taskset confines the whole JVM + python-worker tree to exactly `cpus`
+    # physical cores — the honest simulation of a cpus-core executor (an
+    # 8-core cluster node has no 24 spare cores for GC/JIT/Arrow workers).
+    cmd = [sys.executable, WORKER]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, WORKER], env=env, capture_output=True, text=True, timeout=3600
+        cmd, env=env, capture_output=True, text=True, timeout=3600
     )
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
@@ -196,7 +222,10 @@ def main() -> None:
 ("spatial-join + tile-binning throughput (docs/sec)").
 
 Same job, same input ({result['n_docs']:,} documents = sf0.1 replicated
-x{REPL}), two parallelism levels on one 32-core host, fresh plan per run
+x{REPL}), two parallelism levels on one 32-core host (SMT off, 1
+thread/core), each level CPU-pinned with `taskset -c 0-(N-1)` so the
+N-core run cannot borrow idle host cores for GC/JIT/Arrow-worker/shuffle
+threads (a real N-core executor has no spare cores), fresh plan per run
 (no shuffle-output reuse), codegen/JIT warmed to convergence before
 timing, best-sustained (min) of {len(small['times'])} runs — transients
 only ever add time, and every sample is shown.
