@@ -271,9 +271,11 @@ def dedup_clusters(
     exactly GraphX/GraphFrames' connectedComponents superstep; rounds =
     graph diameter, and near-dup graphs are unions of near-cliques
     (template bursts), so it converges in a handful of rounds.  Each round
-    materializes the label table (persist) so lineage stays flat; at 10^12
-    docs the same loop runs with checkpoint() every few rounds and the
-    edge table bucketed by src.
+    the label table is localCheckpoint'ed — persist alone does NOT
+    truncate the logical plan, so an iterative loop compounds the lineage
+    until plan construction itself OOMs (observed on a diameter-11 chain).
+    On a multi-node cluster substitute reliable checkpoint() (HDFS) for
+    executor-local blocks, and bucket the edge table by src.
 
     Plays the role of the reference's chunk-merge collector step
     (ref: fast_carpenter/summary/binned_dataframe.py:232-238 — associative
@@ -286,12 +288,12 @@ def dedup_clusters(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .repartition("dst")
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
         .repartition("doc_id")
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         # messages: for each edge (src <- dst), dst's current label
@@ -309,7 +311,7 @@ def dedup_clusters(
                 ).alias("cluster_id"),
             )
             .repartition("doc_id")
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new.alias("n")
@@ -318,11 +320,9 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 

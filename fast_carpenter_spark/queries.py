@@ -831,6 +831,24 @@ def _knn_geo_oracle():
 O_KNN_GEO = _knn_geo_oracle()
 
 
+def q_poly_overlap(spark, sf_dir):
+    """Polygon-polygon overlay self-join over the polygon layer: pairs
+    whose rings intersect (vertex containment or proper edge crossing),
+    via a longitude-band equi join + bbox prefilter + exact refine."""
+    from .spatial.overlay import polygon_overlap_join
+
+    return polygon_overlap_join(synth.polygons_df(spark))
+
+
+def _poly_overlap_oracle():
+    from .spatial.overlay import polygon_overlap_oracle_sql
+
+    return polygon_overlap_oracle_sql(synth.polygons_values_sql("duck"))
+
+
+O_POLY_OVERLAP = _poly_overlap_oracle()
+
+
 KNN_RES, KNN_RING, KNN_K = 5, 1, 3
 
 
@@ -1481,6 +1499,7 @@ QUERIES = {
     "radius_join": (q_radius_join, O_RADIUS_JOIN),
     "radius_join_geo": (q_radius_join_geo, O_RADIUS_JOIN_GEO),
     "knn_geo": (q_knn_geo, O_KNN_GEO),
+    "poly_overlap": (q_poly_overlap, O_POLY_OVERLAP),
     "knn_local": (q_knn_local, O_KNN),
     "raster_join": (q_raster_join, O_RASTER_JOIN),
     "binned_1d": (q_binned_1d, O_BINNED_1D),
