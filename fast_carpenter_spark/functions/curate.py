@@ -83,3 +83,76 @@ SELECT doc_id, {group_col}, quality, rk,
        CASE WHEN _fp % 10 < {TRAIN_PCT} THEN 'train' ELSE 'val' END AS split
 FROM r WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus term statistics: per-document top TF-IDF terms.
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 3
+
+
+def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = TFIDF_K) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    idf uses the RATIO form (N+1)/(df+1) instead of its logarithm: log/ln
+    builtins differ between engines in the last ulp (same reason the
+    geodesic joins never expose haversine values), while +,*,/ on doubles
+    are correctly rounded and bit-identical — so the score column itself
+    is hash-exact cross-engine.  The log is monotone in the ratio, so for
+    a FIXED term the ranking pressure is the same; rankings across terms
+    differ from the textbook log variant, which is fine for a
+    vocabulary-audit pass and buys exact verifiability.
+
+    Scale: tf = one (doc, token) groupBy; df = one token groupBy with
+    map-side partial aggregation (hot stopwords combine before the
+    shuffle); join tf<-df on token; one doc-keyed window with group-limit
+    pushdown.  No driver-side data beyond the corpus row count N (a
+    planning scalar, like the spatial join's cover resolutions).
+
+    Returns (doc_id, token, tf, df, score, rk).
+    """
+    from .text import tokens_sql
+
+    n_docs = docs.count()
+    toks = docs.selectExpr(
+        "doc_id", f"explode({tokens_sql(text_col, 'spark')}) AS token"
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "token").withColumn(
+        "score",
+        F.expr(
+            f"CAST(tf AS DOUBLE) * (CAST({n_docs + 1} AS DOUBLE) / CAST(df + 1 AS DOUBLE))"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "token", "tf", "df", "score", "rk")
+    )
+
+
+def tfidf_topk_oracle_sql(text_col: str = "text", k: int = TFIDF_K) -> str:
+    """Self-contained in N: the corpus size enters as a scalar subquery, so
+    the same oracle string is exact at every scale factor."""
+    from .text import tokens_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql(text_col, 'duck')}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+         CAST(tf.tf AS DOUBLE) * (CAST((SELECT count(*) + 1 FROM documents) AS DOUBLE) / CAST(dft.df + 1 AS DOUBLE)) AS score
+  FROM tf JOIN dft USING (token)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score, rk FROM r WHERE rk <= {k}
+"""

@@ -1428,6 +1428,23 @@ def _o_sample_stratified() -> str:
 O_SAMPLE_STRATIFIED = _o_sample_stratified()
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top TF-IDF terms (ratio-form idf: exact cross-engine
+    doubles, no log ulps) — the vocabulary-characterization pass."""
+    from .functions import curate as _curate
+
+    return _curate.tfidf_topk(load_documents(spark, sf_dir))
+
+
+def _o_tfidf_topk() -> str:
+    from .functions import curate as _curate
+
+    return _curate.tfidf_topk_oracle_sql()
+
+
+O_TFIDF_TOPK = _o_tfidf_topk()
+
+
 def _o_cluster_cte() -> str:
     """Shared recursive-CTE prefix: min-label connected components of the
     thresholded MinHash pair graph.  reach(node, lbl) enumerates labels
@@ -1513,6 +1530,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
     "dedup_cluster": (q_dedup_cluster, O_DEDUP_CLUSTER),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
+    "tfidf_topk": (q_tfidf_topk, O_TFIDF_TOPK),
     "dedup_canonical": (q_dedup_canonical, O_DEDUP_CANONICAL),
     "text_features": (q_text_features, O_TEXT_FEATURES),
     "token_topk": (q_token_topk, O_TOKEN_TOPK),
