@@ -10,8 +10,9 @@ Scale notes (designed for 10^9+ docs):
   never the full cross product;
 * n-gram Jaccard     — posting-list self-join on shingle hash with
   per-shingle frequency capping (hot shingles are dropped like hot cells);
-* SimHash            — 32-bit fingerprint map-side; near-dup = same
-  fingerprint bucket (or Hamming<=k via multi-probe of bit-flipped keys).
+* SimHash            — 32-bit fingerprint map-side; Hamming<=k pairs via
+  pigeonhole band self-join (complete for k = n_bands - 1, so the
+  banded plan provably equals the quadratic scan it replaces).
 """
 
 from __future__ import annotations
@@ -184,6 +185,80 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _simhash_fingerprints_sql(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", F.expr(simhash_sql(text_col, "spark")).alias("simhash")
+    )
+
+
+SIMHASH_BANDS = 4  # pigeonhole bands over the 32-bit fingerprint
+SIMHASH_K = SIMHASH_BANDS - 1  # Hamming radius the banding is COMPLETE for
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = SIMHASH_K,
+    n_bands: int = SIMHASH_BANDS,
+    bits: int = 32,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b, hamming) with SimHash Hamming
+    distance <= ``k``, found WITHOUT the all-pairs cross product.
+
+    Pigeonhole banding: split the ``bits``-bit fingerprint into
+    ``n_bands`` contiguous bands; if two fingerprints differ in at most
+    ``k = n_bands - 1`` bits, those differing bits occupy at most k bands,
+    so AT LEAST ONE band is bit-identical — a self-join keyed on
+    (band_index, band_value) therefore finds every qualifying pair
+    (Manku et al., WWW'07 web-dedup construction), and the exact
+    ``bit_count(xor)`` refine discards band collisions beyond radius k.
+    The result is provably equal to the quadratic scan the oracle runs.
+
+    Scale: candidates only meet inside a band bucket (one shuffle on the
+    band key); per-bucket population concentrates where the corpus is
+    near-duplicative, exactly like hot tiles — ``max_bucket`` drops
+    pathological buckets (e.g. a constant boilerplate fingerprint) the
+    same way ngram_jaccard_pairs caps hot shingles.  Fingerprints ride
+    the Arrow kernel (map-side, no shuffle).
+
+    Plays the role of the reference's event-pair selection stages
+    (ref: fast_carpenter/selection/stage.py) recast as a dedup operator.
+    """
+    width = bits // n_bands
+    fp = simhash_fingerprints(docs, text_col)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), "
+                f"b -> shiftright(simhash, b * {width}) % {1 << width})"
+            )
+        ).alias("band", "band_key"),
+    )
+    hot = (
+        bands.groupBy("band", "band_key")
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .select("band", "band_key")
+    )
+    bands = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "band", "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "band", "band_key",
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .distinct()
     )
 
 

@@ -1117,6 +1117,25 @@ SELECT doc_id, {_dedup.simhash_sql('text', 'duck')} AS simhash FROM documents
 """
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """Hamming<=3 near-dup pairs via pigeonhole banding (4x8-bit bands ->
+    band-key self-join -> bit_count(xor) refine).  The banding is COMPLETE
+    for radius n_bands-1, so the oracle can be the quadratic scan and the
+    match is exact, not approximate."""
+    return _dedup.simhash_pairs(load_documents(spark, sf_dir))
+
+
+O_SIMHASH_PAIRS = f"""
+WITH fp AS (
+  SELECT doc_id, {_dedup.simhash_sql('text', 'duck')} AS simhash FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_dedup.SIMHASH_K}
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return _dedup.ngram_jaccard_pairs(load_documents(spark, sf_dir), threshold=0.2)
 
@@ -1527,6 +1546,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_minhash_lsh, O_MINHASH_LSH),
     "dedup_simhash": (q_simhash, O_SIMHASH),
+    "dedup_simhash_pairs": (q_simhash_pairs, O_SIMHASH_PAIRS),
     "dedup_ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
     "dedup_cluster": (q_dedup_cluster, O_DEDUP_CLUSTER),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
