@@ -156,3 +156,134 @@ r AS (
 )
 SELECT doc_id, token, tf, df, score, rk FROM r WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-rule cutflow: the reference's selection cutflow (All/Any tree,
+# 3-counter protocol) applied to corpus curation — Gopher-style document
+# quality rules with per-rule pass/fail lineage counts.
+# ---------------------------------------------------------------------------
+
+
+def quality_columns_sql(text_col: str, dialect: str) -> dict[str, str]:
+    """Per-document quality feature columns, value-identical across
+    engines (integer counts cast to BIGINT; ratios are IEEE-exact
+    divisions of identical operands)."""
+    from .text import STOPWORDS, langid_pred_sql, quality_score_sql, tokens_sql
+
+    toks = tokens_sql(text_col, dialect)
+    size_f = "size" if dialect == "spark" else "len"
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    lit = ", ".join(f"'{w}'" for w in all_stop)
+    if dialect == "spark":
+        n_stop = f"size(filter({toks}, t -> array_contains(array({lit}), t)))"
+    else:
+        n_stop = f"len(list_filter({toks}, t -> list_contains([{lit}], t)))"
+    n_tok = f"{size_f}({toks})"
+    return {
+        "n_tok": f"CAST({n_tok} AS BIGINT)",
+        "n_chars": f"CAST(length({text_col}) AS BIGINT)",
+        "stop_ratio": (
+            f"(CAST({n_stop} AS DOUBLE) / CAST(GREATEST({n_tok}, 1) AS DOUBLE))"
+        ),
+        "quality": quality_score_sql(text_col, dialect),
+        "lang": langid_pred_sql(text_col, dialect),
+    }
+
+
+def quality_scored_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Map-side scoring pass (whole-stage codegen, zero shuffles): the
+    input to the quality cutflow / filter stages."""
+    cols = quality_columns_sql(text_col, "spark")
+    return docs.selectExpr(
+        "doc_id", *[f"{sql} AS {name}" for name, sql in cols.items()]
+    )
+
+
+def quality_scored_oracle_sql(text_col: str = "text") -> str:
+    cols = quality_columns_sql(text_col, "duck")
+    sel = ", ".join(f"{sql} AS {name}" for name, sql in cols.items())
+    return f"SELECT doc_id, {sel} FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination: n-gram shingle overlap between candidate
+# training documents and a held-out eval set (the GPT-3/PaLM-style
+# 13-gram decontamination pass, at n=3 for the short synthetic corpus).
+# ---------------------------------------------------------------------------
+
+EVAL_MOD = 23  # doc_id % EVAL_MOD == 0 -> member of the eval set
+DECON_N = 3  # shingle width
+
+
+def decontaminate(
+    docs: DataFrame, text_col: str = "text", n: int = DECON_N,
+    eval_mod: int = EVAL_MOD,
+) -> DataFrame:
+    """Per-eval-document contamination: the fraction of its distinct
+    n-gram shingles that also occur in any candidate (non-eval) document.
+
+    Scale shape: both sides reduce to distinct shingle keys map-side
+    (partial aggregation), then meet in ONE shuffle hash join keyed on
+    the shingle — the eval side is tiny (a benchmark suite, thousands of
+    docs) so at production scale it broadcasts and the corpus side never
+    shuffles at all; no driver-side state.  Documents shorter than n
+    tokens have no shingles and drop out on both engines identically.
+
+    Returns (doc_id, n_shingles, n_hit, frac) for eval docs.
+    """
+    from .text import ngram_hashes_from_col_sql, token_hashes_column
+
+    scored = docs.withColumn("_th", token_hashes_column(text_col))
+    sh = scored.select(
+        "doc_id",
+        (F.col("doc_id") % eval_mod == 0).alias("is_eval"),
+        F.explode(F.expr(ngram_hashes_from_col_sql("_th", n))).alias("sh"),
+    )
+    ev = (
+        sh.filter("is_eval").select("doc_id", "sh").distinct()
+    )
+    cor = sh.filter("NOT is_eval").select("sh").distinct()
+    hits = ev.join(
+        cor.withColumn("_hit", F.lit(1)), "sh", "left"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            F.expr(
+                "CAST(n_hit AS DOUBLE) / CAST(n_shingles AS DOUBLE)"
+            ).alias("frac"),
+        )
+    )
+
+
+def decontaminate_oracle_sql(
+    text_col: str = "text", n: int = DECON_N, eval_mod: int = EVAL_MOD,
+) -> str:
+    from .text import ngram_hashes_sql
+
+    grams = ngram_hashes_sql(text_col, n, "duck")
+    return f"""
+WITH ev AS (
+  SELECT doc_id, unnest(list_distinct({grams})) AS sh
+  FROM documents WHERE doc_id % {eval_mod} = 0
+),
+cor AS (
+  SELECT DISTINCT unnest({grams}) AS sh
+  FROM documents WHERE doc_id % {eval_mod} <> 0
+)
+SELECT ev.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(sum(CASE WHEN cor.sh IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(sum(CASE WHEN cor.sh IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS frac
+FROM ev LEFT JOIN cor USING (sh)
+GROUP BY ev.doc_id
+"""

@@ -1447,6 +1447,88 @@ def _o_sample_stratified() -> str:
 O_SAMPLE_STRATIFIED = _o_sample_stratified()
 
 
+# Gopher-style document quality rules run through the reference's cutflow
+# operator (All/Any tree, 3-counter protocol) — selection lineage applied
+# to corpus curation (ref: fast_carpenter/selection/filters.py semantics).
+QUALITY_SELECTION = {
+    "All": [
+        "n_tok >= 5",
+        "n_chars <= 2000",
+        {"Any": ["stop_ratio > 0.05", "lang != 'unk'"]},
+        "quality > 0.35",
+    ]
+}
+QUALITY_WEIGHTS = {"quality": "quality"}
+
+
+def q_quality_cutflow(spark, sf_dir):
+    """Per-rule pass/fail counters (weighted by the quality score) for the
+    curation rule tree — the data-pipeline reuse of the HEP cutflow."""
+    from .functions import curate as _curate
+
+    df = _curate.quality_scored_df(load_documents(spark, sf_dir))
+    stage = CutFlowStage(
+        name="quality", selection=QUALITY_SELECTION, weights=QUALITY_WEIGHTS
+    )
+    return stage.counters(df)
+
+
+def _o_quality_cutflow() -> str:
+    from .expressions import compile_expression
+    from .functions import curate as _curate
+
+    tree = parse_selection(QUALITY_SELECTION)
+    _, specs = compile_tree(tree, lambda node: compile_expression(node.config))
+    return oracle_counters_sql(
+        specs, _curate.quality_scored_oracle_sql(), QUALITY_WEIGHTS
+    )
+
+
+O_QUALITY_CUTFLOW = _o_quality_cutflow()
+
+
+def q_quality_filter(spark, sf_dir):
+    """Documents surviving the quality rule tree — the curation keep-set."""
+    from .functions import curate as _curate
+
+    df = _curate.quality_scored_df(load_documents(spark, sf_dir))
+    stage = CutFlowStage(name="quality", selection=QUALITY_SELECTION)
+    return stage.apply(df).select("doc_id", "lang", "n_tok", "quality")
+
+
+def _o_quality_filter() -> str:
+    from .expressions import compile_expression
+    from .functions import curate as _curate
+
+    tree = parse_selection(QUALITY_SELECTION)
+    mask, _ = compile_tree(tree, lambda node: compile_expression(node.config))
+    return (
+        f"SELECT doc_id, lang, n_tok, quality "
+        f"FROM ({_curate.quality_scored_oracle_sql()}) WHERE {mask}"
+    )
+
+
+O_QUALITY_FILTER = _o_quality_filter()
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: per-eval-doc n-gram overlap with the
+    candidate corpus (one shingle-keyed join; eval side broadcast-small
+    at production scale)."""
+    from .functions import curate as _curate
+
+    return _curate.decontaminate(load_documents(spark, sf_dir))
+
+
+def _o_decontaminate() -> str:
+    from .functions import curate as _curate
+
+    return _curate.decontaminate_oracle_sql()
+
+
+O_DECONTAMINATE = _o_decontaminate()
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top TF-IDF terms (ratio-form idf: exact cross-engine
     doubles, no log ulps) — the vocabulary-characterization pass."""
@@ -1551,6 +1633,9 @@ QUERIES = {
     "dedup_cluster": (q_dedup_cluster, O_DEDUP_CLUSTER),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
     "tfidf_topk": (q_tfidf_topk, O_TFIDF_TOPK),
+    "quality_cutflow": (q_quality_cutflow, O_QUALITY_CUTFLOW),
+    "quality_filter": (q_quality_filter, O_QUALITY_FILTER),
+    "decontaminate": (q_decontaminate, O_DECONTAMINATE),
     "dedup_canonical": (q_dedup_canonical, O_DEDUP_CANONICAL),
     "text_features": (q_text_features, O_TEXT_FEATURES),
     "token_topk": (q_token_topk, O_TOKEN_TOPK),

@@ -46,6 +46,7 @@ AUDITED = [
     "sample_stratified",  # map-side scoring + one stratum-keyed window w/ group-limit
     "poly_overlap",     # band equi join + bbox prefilter + codegen refine (no BNLJ)
     "dedup_simhash_pairs",  # pigeonhole band self-join, hot-bucket cap, no cross product
+    "decontaminate",    # shingle-keyed join; eval side broadcast-small at scale
     # dedup_cluster is excluded: it is an iterative fixpoint (one plan per
     # round, jobs run at build time); its per-round join is the same
     # edge-keyed hash-join shape audited via dedup_minhash_lsh.
