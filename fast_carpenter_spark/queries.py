@@ -173,6 +173,31 @@ def q_streaming_dedup(spark, sf_dir):
     return stage.result(spark)
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Structured-Streaming gap sessionization drained with availableNow:
+    per-batch session FRAGMENTS + read-time temporal-adjacency merge must
+    equal the batch operator EXACTLY (same oracle as events_sessionize).
+    The input is re-written as contiguous (ts, event_id) range slices —
+    the contiguity precondition the fragment algebra needs; slice
+    processing order is irrelevant (out-of-order backfill safe)."""
+    import tempfile
+
+    from .streaming.session_stream import StreamingSessionize
+
+    ev = _load_events(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="fcs_sess_in_")
+    ev.repartitionByRange(4, "ts", "event_id").write.mode("overwrite").parquet(d)
+    stage = StreamingSessionize(
+        name="ssq",
+        out_dir=tempfile.mkdtemp(prefix="fcs_sess_out_"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="fcs_sess_ckpt_"),
+        gap_us=SESSION_GAP_US,
+    )
+    q = stage.start(spark, d, available_now=True)
+    q.awaitTermination(300)
+    return stage.result(spark)
+
+
 def q_tile_distinct(spark, sf_dir):
     """Distinct-document tile stats: per cell, exact count(DISTINCT doc)
     alongside span counts (the de-duplicated coverage statistic; at 10^12
@@ -1601,6 +1626,7 @@ QUERIES = {
     "streaming_dedup": (q_streaming_dedup, O_DEDUP_EXACT),
     "events_window": (q_events_window, O_EVENTS_WINDOW),
     "events_sessionize": (q_events_sessionize, O_EVENTS_SESSIONIZE),
+    "streaming_sessionize": (q_streaming_sessionize, O_EVENTS_SESSIONIZE),
     "events_json": (q_events_json, O_EVENTS_JSON),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
     "jagged_reduce": (q_jagged_reduce, O_JAGGED_REDUCE),

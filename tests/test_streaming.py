@@ -215,3 +215,48 @@ def test_streaming_dedup_equals_batch(spark, docs, tmp_path):
         .filter("nb > 1").count()
     )
     assert spanning > 0
+
+
+def test_streaming_sessionize_fuses_cross_slice_fragments(spark, tmp_path):
+    """Sessions engineered to straddle slice boundaries: the read-time
+    temporal-adjacency merge must fuse fragments across micro-batches and
+    match the batch sessionizer exactly, regardless of slice order."""
+    import pandas as pd
+
+    from fast_carpenter_spark.streaming.session_stream import (
+        StreamingSessionize,
+        merge_fragments,
+        session_fragments,
+    )
+
+    # 3 users x 40 events at 10-min spacing (well under the 30-min gap):
+    # ONE long session per user, plus a second session after a 2h silence.
+    rows = []
+    eid = 0
+    for u in range(3):
+        t0 = pd.Timestamp("2024-01-01 00:00:00") + pd.Timedelta(minutes=u)
+        for i in range(40):
+            rows.append((eid, t0 + pd.Timedelta(minutes=10 * i), u, "c", 0.5))
+            eid += 1
+        t1 = t0 + pd.Timedelta(minutes=10 * 39) + pd.Timedelta(hours=2)
+        for i in range(5):
+            rows.append((eid, t1 + pd.Timedelta(minutes=5 * i), u, "c", 0.25))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    ev = spark.createDataFrame(pdf)
+
+    input_dir = str(tmp_path / "in")
+    # 4 contiguous time slices -> every long session spans several slices
+    ev.repartitionByRange(4, "ts", "event_id").write.mode("overwrite").parquet(input_dir)
+    stage = StreamingSessionize(
+        name="ss", out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    stage.start(spark, input_dir, available_now=True).awaitTermination(120)
+
+    got = rows_sorted(stage.result(spark))
+    expected = rows_sorted(merge_fragments(session_fragments(ev)))
+    assert got == expected
+    # exactly 2 sessions per user; fragments strictly outnumber sessions
+    assert len(got) == 6
+    frags = spark.read.option("recursiveFileLookup", "true").parquet(stage.deltas_dir)
+    assert frags.count() > 6
