@@ -437,3 +437,69 @@ def dedup_canonical(
     return counts.join(kept, "cluster_id").select(
         "cluster_id", "n_members", "kept_doc", "kept_len"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingest dedup: a new snapshot arrives; keep only documents
+# whose fingerprint is absent from the existing corpus.  The steady-state
+# operation of a production dedup pipeline (full-corpus dedup runs once;
+# every day after is this).
+# ---------------------------------------------------------------------------
+
+INGEST_COPY_MOD = 7  # doc_id % 7 == 0 -> re-ingested copy (must be dropped)
+INGEST_NEW_MOD = 5  # doc_id % 5 == 0 -> genuinely new content (must be kept)
+
+
+def incremental_new_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """New-document set of a synthetic incoming batch vs the full corpus.
+
+    The incoming batch mixes re-ingested copies of existing documents
+    (same text, new ids — the anti-join must drop them) with genuinely new
+    documents (transformed text — the anti-join must keep them), so both
+    branches of the filter are exercised.
+
+    Scale shape: fingerprints are map-side (Arrow kernel); the LEFT ANTI
+    join shuffles on the fingerprint.  At 10^12 docs the corpus fingerprint
+    table is stored bucketed by fingerprint, so only the (small) incoming
+    batch shuffles and the corpus side is a local bucket probe; within-batch
+    dedup rides the same exchange (groupBy on the join key reuses it).
+
+    Returns (doc_id, fingerprint, n_batch) — surviving incoming docs,
+    deduplicated within the batch (min doc_id wins, multiplicity kept).
+    """
+    from .text import doc_hash_column
+
+    copies = docs.filter(F.col("doc_id") % INGEST_COPY_MOD == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    fresh = docs.filter(F.col("doc_id") % INGEST_NEW_MOD == 0).select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+        F.concat(F.col(text_col), F.lit(" #new")).alias("text"),
+    )
+    incoming = copies.unionByName(fresh)
+    corpus_fp = docs.select(doc_hash_column(text_col).alias("fingerprint")).distinct()
+    inc_fp = incoming.withColumn("fingerprint", doc_hash_column("text"))
+    new = inc_fp.join(corpus_fp, "fingerprint", "left_anti")
+    return new.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_batch")
+    ).select("doc_id", "fingerprint", "n_batch")
+
+
+def incremental_new_docs_oracle_sql(text_col: str = "text") -> str:
+    fp_text = text_hash_sql("text", "duck")
+    return f"""
+WITH incoming AS (
+  SELECT doc_id + 1000000000 AS doc_id, {text_col} AS text
+  FROM documents WHERE doc_id % {INGEST_COPY_MOD} = 0
+  UNION ALL
+  SELECT doc_id + 2000000000 AS doc_id, concat({text_col}, ' #new') AS text
+  FROM documents WHERE doc_id % {INGEST_NEW_MOD} = 0
+),
+corpus AS (SELECT DISTINCT {text_hash_sql(text_col, 'duck')} AS fingerprint FROM documents),
+inc_fp AS (SELECT doc_id, {fp_text} AS fingerprint FROM incoming),
+new AS (
+  SELECT * FROM inc_fp WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus)
+)
+SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS n_batch
+FROM new GROUP BY fingerprint
+"""

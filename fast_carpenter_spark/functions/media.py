@@ -163,3 +163,68 @@ SELECT doc_id, span_idx, media_ref,
        CAST(unnest(range(0, n_frames, {stride})) AS INT) AS frame_idx
 FROM ({decode_sql})
 """
+
+
+# ---------------------------------------------------------------------------
+# Caption alignment: pair every media span with the nearest PRECEDING text
+# span in document order — the image/caption pairing pass an interleaved
+# multimodal training pipeline runs before contrastive/captioning training.
+# ---------------------------------------------------------------------------
+
+
+def media_text_align(spans: DataFrame) -> DataFrame:
+    """(doc_id, span_idx, kind, media_ref, caption_idx, caption) for every
+    media span; caption = the last text span strictly before it (alt-text
+    convention), ``caption_idx=-1`` / empty caption when none precedes.
+
+    Scale shape: ONE shuffle on the document key, then a running
+    last-non-null window — no join, no explode; per-doc span counts are
+    bounded (48 here), so partitions stay balanced under the same
+    doc-keyed partitioning every other span stage uses.  Span order and
+    fields pass through untouched (span-sequence equality invariant).
+    """
+    from pyspark.sql import Window, functions as F
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cap_idx = F.last(
+        F.when(F.col("kind") == "text", F.col("span_idx")), ignorenulls=True
+    ).over(w)
+    cap = F.last(
+        F.when(F.col("kind") == "text", F.col("span_text")), ignorenulls=True
+    ).over(w)
+    return (
+        spans.select(
+            "doc_id", "span_idx", "kind", "media_ref",
+            cap_idx.alias("caption_idx"), cap.alias("caption"),
+        )
+        .filter(F.col("kind") != "text")
+        .select(
+            "doc_id", "span_idx", "kind", "media_ref",
+            F.coalesce("caption_idx", F.lit(-1)).cast("int").alias("caption_idx"),
+            F.coalesce("caption", F.lit("")).alias("caption"),
+        )
+    )
+
+
+def media_text_align_oracle_sql(spans_sql: str) -> str:
+    return f"""
+WITH s AS ({spans_sql}),
+c AS (
+  SELECT doc_id, span_idx, kind, media_ref,
+         last_value(CASE WHEN kind = 'text' THEN span_idx END IGNORE NULLS)
+           OVER w AS caption_idx,
+         last_value(CASE WHEN kind = 'text' THEN span_text END IGNORE NULLS)
+           OVER w AS caption
+  FROM s
+  WINDOW w AS (PARTITION BY doc_id ORDER BY span_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT doc_id, span_idx, kind, media_ref,
+       CAST(COALESCE(caption_idx, -1) AS INT) AS caption_idx,
+       COALESCE(caption, '') AS caption
+FROM c WHERE kind <> 'text'
+"""

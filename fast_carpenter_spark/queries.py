@@ -1287,6 +1287,32 @@ def q_media_decode(spark, sf_dir):
 O_MEDIA_DECODE = decode_media_oracle_sql(O_SPANS_FLAT)
 
 
+def q_media_text_align(spark, sf_dir):
+    """Caption alignment for interleaved docs: each media span paired with
+    the nearest preceding text span (one doc-keyed window, no join)."""
+    from .functions.media import media_text_align
+
+    return media_text_align(flat_spans(spark, sf_dir))
+
+
+def _o_media_text_align() -> str:
+    from .functions.media import media_text_align_oracle_sql
+
+    return media_text_align_oracle_sql(O_SPANS_FLAT)
+
+
+O_MEDIA_TEXT_ALIGN = _o_media_text_align()
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: incoming batch (re-ingested copies + new
+    content) anti-joined against the corpus fingerprint set."""
+    return _dedup.incremental_new_docs(load_documents(spark, sf_dir))
+
+
+O_DEDUP_INCREMENTAL = _dedup.incremental_new_docs_oracle_sql()
+
+
 def q_media_resize(spark, sf_dir):
     """Aspect-preserving resize plan over decoded media (mapInPandas)."""
     from .functions.media import resize_media
@@ -1675,6 +1701,8 @@ QUERIES = {
     "ann_ivf_recall": (q_ann_ivf_recall, O_ANN_IVF_RECALL),
     "dedup_embedding_cosine": (q_dedup_embedding, O_DEDUP_EMBEDDING),
     "media_decode": (q_media_decode, O_MEDIA_DECODE),
+    "media_text_align": (q_media_text_align, O_MEDIA_TEXT_ALIGN),
+    "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
     "media_resize": (q_media_resize, O_MEDIA_RESIZE),
     "media_frame_sample": (q_media_frames, O_MEDIA_FRAMES),
     "zonal_stats": (q_zonal_stats, O_ZONAL_STATS),
