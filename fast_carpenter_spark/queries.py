@@ -277,6 +277,31 @@ FROM contrib GROUP BY 1
 """
 
 
+def q_cell_compact(spark, sf_dir):
+    """H3-style compact: occupied res-4 tiles -> minimal mixed-resolution
+    cover (complete 4-sibling groups fuse into parents, recursively).
+    Linear fixed-level plan, one sibling-group window per level."""
+    from .spatial.compact import compact_cells
+
+    df = flat_spans(spark, sf_dir).select(
+        F.expr(grid.cell_sql("lon", "lat", COARSE_RES, "spark")).alias("cell")
+    )
+    return compact_cells(df, COARSE_RES, 1)
+
+
+def _o_cell_compact() -> str:
+    from .spatial.compact import compact_oracle_sql
+
+    cells = (
+        f"SELECT DISTINCT {grid.cell_sql('lon', 'lat', COARSE_RES, 'duck')} AS cell "
+        f"FROM ({O_SPANS_FLAT})"
+    )
+    return compact_oracle_sql(cells, COARSE_RES, 1)
+
+
+O_CELL_COMPACT = _o_cell_compact()
+
+
 def q_tile_rollup(spark, sf_dir):
     """Zoom-out re-aggregation: tile level 8 -> 4 via parent cells — the
     hypertable-rollup analogue (grouping-set rollup over the hierarchy)."""
@@ -1646,6 +1671,7 @@ QUERIES = {
     "tile_pyramid": (q_tile_pyramid, O_TILE_PYRAMID),
     "tile_quantiles": (q_tile_quantiles, O_TILE_QUANTILES),
     "cell_bounds": (q_cell_bounds, O_CELL_BOUNDS),
+    "cell_compact": (q_cell_compact, O_CELL_COMPACT),
     "tile_smooth": (q_tile_smooth, O_TILE_SMOOTH),
     "tile_distinct": (q_tile_distinct, O_TILE_DISTINCT),
     "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),

@@ -47,6 +47,7 @@ AUDITED = [
     "poly_overlap",     # band equi join + bbox prefilter + codegen refine (no BNLJ)
     "dedup_simhash_pairs",  # pigeonhole band self-join, hot-bucket cap, no cross product
     "decontaminate",    # shingle-keyed join; eval side broadcast-small at scale
+    "cell_compact",     # fixed-level linear chain, one sibling window per level
     # dedup_cluster is excluded: it is an iterative fixpoint (one plan per
     # round, jobs run at build time); its per-round join is the same
     # edge-keyed hash-join shape audited via dedup_minhash_lsh.

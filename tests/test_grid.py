@@ -186,3 +186,49 @@ def test_grid_properties_hypothesis():
         assert h.min() >= 0 and h.max() < n * n  # within range
 
     hilbert_bijective()
+
+
+def test_compact_cells_properties(spark):
+    """Compaction invariants on an adversarial cell set: one complete
+    quadrant (fuses all the way up), one complete quartet (fuses one
+    level), and scattered singletons (stay put)."""
+    from pyspark.sql import functions as F
+
+    from fast_carpenter_spark.spatial.compact import compact_cells
+
+    res_from, res_to = 4, 1
+    cells = set()
+    # complete 8x8 quadrant at res 4 (x,y in [0,8)) -> one res-1 cell
+    for x in range(8):
+        for y in range(8):
+            cells.add((1 << grid.RES_SHIFT * 0) * 0 + grid.pack_cells(
+                res_from, np.array([x]), np.array([y]))[0])
+    # complete quartet (x,y in [12,14)) -> one res-3 cell
+    for x in (12, 13):
+        for y in (12, 13):
+            cells.add(grid.pack_cells(res_from, np.array([x]), np.array([y]))[0])
+    # scattered singletons with incomplete parents
+    for x, y in [(10, 0), (0, 10), (15, 15)]:
+        cells.add(grid.pack_cells(res_from, np.array([x]), np.array([y]))[0])
+    df = spark.createDataFrame([(int(c),) for c in cells], "cell bigint")
+    out = compact_cells(df, res_from, res_to).collect()
+
+    # area preservation: each res-r cell covers 4^(res_from - r) leaves
+    area = sum(4 ** (res_from - row.res) for row in out)
+    assert area == len(cells)
+    # expected composition: 1 res-1 + 1 res-3 + 3 res-4 cells
+    got = {}
+    for row in out:
+        got[row.res] = got.get(row.res, 0) + 1
+    assert got == {1: 1, 3: 1, 4: 3}
+    # disjoint: no output cell is an ancestor of another
+    leaves = set()
+    for row in out:
+        x, y, r = row.cell % (1 << grid.RES_SHIFT) // (1 << grid.XY_BITS), \
+            row.cell % (1 << grid.XY_BITS), row.res
+        span = 1 << (res_from - r)
+        for dx in range(span):
+            for dy in range(span):
+                leaf = (x * span + dx, y * span + dy)
+                assert leaf not in leaves
+                leaves.add(leaf)
