@@ -302,6 +302,24 @@ def _o_cell_compact() -> str:
 O_CELL_COMPACT = _o_cell_compact()
 
 
+def q_cell_uncompact(spark, sf_dir):
+    """Roundtrip proof: uncompact(compact(S)) must equal S exactly — the
+    oracle is simply the ORIGINAL distinct res-4 cell set, so both ops are
+    verified end-to-end against an independent formula."""
+    from .spatial.compact import compact_cells, uncompact_cells
+
+    df = flat_spans(spark, sf_dir).select(
+        F.expr(grid.cell_sql("lon", "lat", COARSE_RES, "spark")).alias("cell")
+    )
+    return uncompact_cells(compact_cells(df, COARSE_RES, 1), COARSE_RES)
+
+
+O_CELL_UNCOMPACT = (
+    f"SELECT DISTINCT {grid.cell_sql('lon', 'lat', COARSE_RES, 'duck')} AS cell "
+    f"FROM ({O_SPANS_FLAT})"
+)
+
+
 def q_tile_rollup(spark, sf_dir):
     """Zoom-out re-aggregation: tile level 8 -> 4 via parent cells — the
     hypertable-rollup analogue (grouping-set rollup over the hierarchy)."""
@@ -1672,6 +1690,7 @@ QUERIES = {
     "tile_quantiles": (q_tile_quantiles, O_TILE_QUANTILES),
     "cell_bounds": (q_cell_bounds, O_CELL_BOUNDS),
     "cell_compact": (q_cell_compact, O_CELL_COMPACT),
+    "cell_uncompact": (q_cell_uncompact, O_CELL_UNCOMPACT),
     "tile_smooth": (q_tile_smooth, O_TILE_SMOOTH),
     "tile_distinct": (q_tile_distinct, O_TILE_DISTINCT),
     "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),

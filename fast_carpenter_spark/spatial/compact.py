@@ -67,3 +67,48 @@ def compact_oracle_sql(cells_sql: str, res_from: int, res_to: int) -> str:
         "WITH " + ",\n".join(parts)
         + f"\nSELECT cell, CAST({res_expr} AS INT) AS res FROM ({union})"
     )
+
+
+def uncompact_cells(cells: DataFrame, res_to: int) -> DataFrame:
+    """Inverse of :func:`compact_cells`: expand a mixed-resolution cell
+    set to the uniform ``res_to`` leaf set.  Pure codegen — one explode of
+    a generated child-offset sequence per row, 4^(res_to - r) children per
+    cell; no join, no shuffle (map-side explode, like the cover explode in
+    the spatial join)."""
+    x = grid.unpack_x_sql("cell", "spark")
+    y = grid.unpack_y_sql("cell", "spark")
+    r = grid.unpack_res_sql("cell", "spark")
+    span = f"shiftleft(CAST(1 AS BIGINT), {res_to} - CAST({r} AS INT))"
+    child = grid.pack_sql(
+        res_to,
+        f"(({x}) * _s + _i DIV _s)",
+        f"(({y}) * _s + _i % _s)",
+    )
+    return (
+        cells.withColumn("_s", F.expr(span))
+        .select(
+            "cell",
+            F.explode(F.expr("sequence(CAST(0 AS BIGINT), _s * _s - 1)")).alias("_i"),
+            "_s",
+        )
+        .select(F.expr(child).alias("cell"))
+    )
+
+
+def uncompact_oracle_sql(cells_sql: str, res_to: int) -> str:
+    x = grid.unpack_x_sql("cell", "duck")
+    y = grid.unpack_y_sql("cell", "duck")
+    r = grid.unpack_res_sql("cell", "duck")
+    child = grid.pack_sql(res_to, f"(({x}) * _s + _i // _s)", f"(({y}) * _s + _i % _s)")
+    return f"""
+WITH src AS ({cells_sql}),
+ex AS (
+  SELECT cell, (CAST(1 AS BIGINT) << ({res_to} - CAST({r} AS INT))) AS _s
+  FROM src
+),
+ch AS (
+  SELECT {child} AS cell
+  FROM (SELECT cell, _s, unnest(range(0, _s * _s)) AS _i FROM ex)
+)
+SELECT cell FROM ch
+"""
