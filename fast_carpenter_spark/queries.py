@@ -277,6 +277,70 @@ FROM contrib GROUP BY 1
 """
 
 
+def q_tile_hotspot(spark, sf_dir):
+    """Getis–Ord Gi* hotspot z-scores over the res-6 tile field — the
+    cutflow-style 'is this region significant' classifier on top of the
+    BinnedDataframe analogue.  All z inputs are exact integers; the double
+    formula is the same expression text on both engines (bit-identical)."""
+    from .spatial.stats import gi_star
+
+    tiles = (
+        flat_spans(spark, sf_dir)
+        .withColumn("cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark")))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return gi_star(tiles, REGION_RES)
+
+
+def _o_tile_hotspot() -> str:
+    from .spatial.stats import gi_star_oracle_sql
+
+    tiles = (
+        f"SELECT {grid.cell_sql('lon', 'lat', REGION_RES, 'duck')} AS cell, "
+        f"count(*) AS n FROM ({O_SPANS_FLAT}) GROUP BY 1"
+    )
+    return gi_star_oracle_sql(tiles, REGION_RES)
+
+
+O_TILE_HOTSPOT = _o_tile_hotspot()
+
+
+def q_spans_reconstruct(spark, sf_dir):
+    """Interleaved-document roundtrip: re-assemble every document from its
+    span array in offset order (text spans verbatim, media spans as typed
+    placeholders) — the per-row span-sequence-equality invariant from the
+    input contract, proven per document against an independent ordered
+    string aggregation.  Pure codegen (array_sort + ordered fold), no
+    shuffle at all: one narrow map over the snapshot."""
+    load_documents(spark, sf_dir)
+    df = spark.sql(synth.spans_table_sql("spark"))
+    tok = (
+        "CASE WHEN s.kind = 'text' THEN s.text "
+        "ELSE concat('<', s.kind, ':', s.media_ref, '>') END"
+    )
+    return df.selectExpr(
+        "doc_id",
+        "size(spans) AS n_spans",
+        "size(filter(spans, s -> s.kind <> 'text')) AS n_media",
+        "aggregate(array_sort(spans, (a, b) -> CASE WHEN a.offset < b.offset THEN -1 "
+        "WHEN a.offset > b.offset THEN 1 ELSE 0 END), "
+        f"CAST('' AS STRING), (acc, s) -> concat(acc, {tok})) AS doc_restored",
+    )
+
+
+O_SPANS_RECONSTRUCT = f"""
+WITH s AS (SELECT doc_id, unnest(spans) AS sp FROM ({synth.spans_table_sql('duck')}))
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_spans,
+       CAST(count(*) FILTER (WHERE sp['kind'] <> 'text') AS INT) AS n_media,
+       string_agg(CASE WHEN sp['kind'] = 'text' THEN sp['text']
+                       ELSE concat('<', sp['kind'], ':', sp['media_ref'], '>') END,
+                  '' ORDER BY sp['offset']) AS doc_restored
+FROM s GROUP BY doc_id
+"""
+
+
 def q_cell_compact(spark, sf_dir):
     """H3-style compact: occupied res-4 tiles -> minimal mixed-resolution
     cover (complete 4-sibling groups fuse into parents, recursively).
@@ -318,6 +382,79 @@ O_CELL_UNCOMPACT = (
     f"SELECT DISTINCT {grid.cell_sql('lon', 'lat', COARSE_RES, 'duck')} AS cell "
     f"FROM ({O_SPANS_FLAT})"
 )
+
+
+def q_cover_lookup(spark, sf_dir):
+    """Adaptive-resolution tile aggregate: points bucketed into a COMPACTED
+    mixed-resolution cover (H3 polyfill→compact→lookup).  Each point joins
+    via its ancestor chain (constant 4-way explode) against the cover on a
+    single key — the cover is perimeter-bounded by construction, hence
+    broadcast-safe at any data scale; exactly one ancestor matches because
+    the compacted cover partitions the occupied set."""
+    from .spatial.compact import compact_cells
+
+    pts = flat_spans(spark, sf_dir).select(
+        F.expr(grid.cell_sql("lon", "lat", COARSE_RES, "spark")).alias("cell4"), "w"
+    )
+    cover = compact_cells(pts.select(F.col("cell4").alias("cell")), COARSE_RES, 1)
+    anc = pts.select(
+        "w",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(grid.parent_sql("cell4", COARSE_RES, r, "spark"))
+                    for r in range(1, COARSE_RES + 1)
+                ]
+            )
+        ).alias("cand"),
+    )
+    j = anc.join(F.broadcast(cover), anc.cand == cover.cell)
+    return j.groupBy("cell", "res").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("w_sumw")
+    )
+
+
+def _o_cover_lookup() -> str:
+    from .spatial.compact import compact_oracle_sql
+
+    cells = (
+        f"SELECT DISTINCT {grid.cell_sql('lon', 'lat', COARSE_RES, 'duck')} AS cell "
+        f"FROM ({O_SPANS_FLAT})"
+    )
+    cover = compact_oracle_sql(cells, COARSE_RES, 1)
+    c4 = grid.cell_sql("lon", "lat", COARSE_RES, "duck")
+    parents = ", ".join(
+        grid.parent_sql("cell4", COARSE_RES, r, "duck") for r in range(1, COARSE_RES + 1)
+    )
+    return f"""
+WITH cover AS ({cover}),
+pts AS (SELECT {c4} AS cell4, w FROM ({O_SPANS_FLAT})),
+anc AS (SELECT unnest([{parents}]) AS cand, w FROM pts)
+SELECT c.cell AS cell, c.res AS res, count(*) AS n, sum(w) AS w_sumw
+FROM anc JOIN cover c ON anc.cand = c.cell
+GROUP BY 1, 2
+"""
+
+
+O_COVER_LOOKUP = _o_cover_lookup()
+
+
+def q_trajectory_cells(spark, sf_dir):
+    """Per-user trajectory → traversed-cell histogram (polyline cover):
+    lag-window segments, 8-point lerp sampling, grid encode."""
+    from .spatial.trajectory import trajectory_cells_sql
+
+    _load_events(spark, sf_dir)
+    return spark.sql(trajectory_cells_sql("spark", REGION_RES))
+
+
+def _o_trajectory_cells() -> str:
+    from .spatial.trajectory import trajectory_cells_sql
+
+    return trajectory_cells_sql("duck", REGION_RES)
+
+
+O_TRAJECTORY_CELLS = _o_trajectory_cells()
 
 
 def q_tile_rollup(spark, sf_dir):
@@ -1692,6 +1829,10 @@ QUERIES = {
     "cell_compact": (q_cell_compact, O_CELL_COMPACT),
     "cell_uncompact": (q_cell_uncompact, O_CELL_UNCOMPACT),
     "tile_smooth": (q_tile_smooth, O_TILE_SMOOTH),
+    "tile_hotspot": (q_tile_hotspot, O_TILE_HOTSPOT),
+    "cover_lookup": (q_cover_lookup, O_COVER_LOOKUP),
+    "trajectory_cells": (q_trajectory_cells, O_TRAJECTORY_CELLS),
+    "spans_reconstruct": (q_spans_reconstruct, O_SPANS_RECONSTRUCT),
     "tile_distinct": (q_tile_distinct, O_TILE_DISTINCT),
     "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),
     "streaming_dedup": (q_streaming_dedup, O_DEDUP_EXACT),

@@ -1,0 +1,113 @@
+"""Grid-field statistics: Getis–Ord Gi* hotspot detection over the tile grid.
+
+The BinnedDataframe analogue taken one step further: after the per-cell
+aggregate (ref role: fast_carpenter/summary/binned_dataframe.py densified
+counts), classify each occupied cell as a hot/cold spot by z-scoring its
+ring-1 neighbourhood sum against the global field — the standard Gi*
+statistic over the occupied-cell field.
+
+Determinism: every input to the z formula (local ring sum, ring degree,
+global cell count, Σn, Σn²) is an exact BIGINT; the final double formula is
+the *same expression text* on both engines, so the IEEE evaluation is
+bit-identical and the driver's value-hash comparison is exact.
+
+Scale shape (100 TB): one shuffle to the cell grid (partial agg map-side),
+a 9-offset constant explode (no join) for the neighbourhood, one co-
+partitioned self-join to restrict targets to occupied cells, and a 1-row
+global aggregate broadcast back.  No data-sized broadcast, no skew pivot —
+hot cells only widen one group by 9×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import grid
+
+
+def _z_sql(local: str, wdeg: str, n_cells: str, tot: str, tot2: str) -> str:
+    """Gi* z-score fragment — dialect-neutral (sqrt / arithmetic only), so
+    the identical text runs on Spark and DuckDB and produces bit-identical
+    doubles from the exact integer inputs."""
+    mu = f"(CAST({tot} AS DOUBLE) / CAST({n_cells} AS DOUBLE))"
+    sd = f"sqrt(CAST({tot2} AS DOUBLE) / CAST({n_cells} AS DOUBLE) - {mu} * {mu})"
+    num = f"(CAST({local} AS DOUBLE) - CAST({wdeg} AS DOUBLE) * {mu})"
+    den = (
+        f"({sd} * sqrt((CAST({n_cells} AS DOUBLE) * CAST({wdeg} AS DOUBLE)"
+        f" - CAST({wdeg} AS DOUBLE) * CAST({wdeg} AS DOUBLE))"
+        f" / (CAST({n_cells} AS DOUBLE) - 1.0)))"
+    )
+    return f"({num} / {den})"
+
+
+def gi_star(tiles: DataFrame, res: int) -> DataFrame:
+    """Hotspot z-score per occupied cell.
+
+    ``tiles`` must be ``(cell BIGINT, n BIGINT)`` — the per-cell count at
+    resolution ``res``.  Returns (cell, n, local_sum, wdeg, gi_z) where
+    local_sum/wdeg sum/count the occupied ring-1 neighbourhood (self
+    included, Gi* convention).
+    """
+    nside = 1 << res
+    x = grid.unpack_x_sql("cell", "spark")
+    y = grid.unpack_y_sql("cell", "spark")
+    ring = (
+        "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> "
+        f"struct({x} + dx AS x, {y} + dy AS y))))"
+    )
+    contrib = (
+        tiles.select("n", F.explode(F.expr(ring)).alias("_nc"))
+        .filter(
+            (F.col("_nc.x") >= 0) & (F.col("_nc.x") < nside)
+            & (F.col("_nc.y") >= 0) & (F.col("_nc.y") < nside)
+        )
+        .select(F.expr(grid.pack_sql(res, "_nc.x", "_nc.y")).alias("cell"), "n")
+    )
+    # Ring sums over ALL targets, then inner-join back to the occupied set:
+    # both sides are keyed (and already shuffled) on `cell`, so the join is
+    # co-partitioned — no extra exchange — and it both restricts the field
+    # to occupied cells and recovers each cell's own count.
+    loc = contrib.groupBy("cell").agg(
+        F.sum("n").alias("l_sum"), F.count(F.lit(1)).alias("wdeg")
+    )
+    occupied = loc.join(tiles, "cell")
+    glob = tiles.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("tot"),
+        F.sum(F.expr("n * n")).alias("tot2"),
+    )
+    z = _z_sql("l_sum", "wdeg", "n_cells", "tot", "tot2")
+    return occupied.crossJoin(F.broadcast(glob)).selectExpr(
+        "cell", "n", "l_sum AS local_sum", "wdeg", f"{z} AS gi_z"
+    )
+
+
+def gi_star_oracle_sql(tiles_sql: str, res: int) -> str:
+    """DuckDB oracle: same algorithm, independent SQL evaluator.  Integer
+    sums are cast back to BIGINT (DuckDB sum() yields HUGEINT)."""
+    nside = 1 << res
+    ux = grid.unpack_x_sql("cell", "duck")
+    uy = grid.unpack_y_sql("cell", "duck")
+    z = _z_sql("l_sum", "wdeg", "n_cells", "tot", "tot2")
+    return f"""
+WITH tiles AS ({tiles_sql}),
+contrib AS (
+  SELECT {grid.pack_sql(res, f"({ux} + dx)", f"({uy} + dy)")} AS tcell, n
+  FROM tiles,
+       (SELECT unnest(range(-1, 2)) AS dx),
+       (SELECT unnest(range(-1, 2)) AS dy)
+  WHERE {ux} + dx BETWEEN 0 AND {nside - 1}
+    AND {uy} + dy BETWEEN 0 AND {nside - 1}
+),
+loc AS (
+  SELECT tcell AS cell, CAST(sum(n) AS BIGINT) AS l_sum, count(*) AS wdeg
+  FROM contrib GROUP BY 1
+),
+g AS (
+  SELECT count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS tot,
+         CAST(sum(n * n) AS BIGINT) AS tot2
+  FROM tiles
+)
+SELECT t.cell, t.n, l.l_sum AS local_sum, l.wdeg AS wdeg, {z} AS gi_z
+FROM loc l JOIN tiles t USING (cell) CROSS JOIN g
+"""

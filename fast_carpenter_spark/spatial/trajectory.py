@@ -1,0 +1,68 @@
+"""Trajectory → cell-path cover: segment interpolation over ordered events.
+
+The line/polyline analogue of the point cell-encode stage: per user, order
+events by event time, form consecutive-pair segments (one lag window = one
+shuffle on user_id), sample each segment at S equidistant points (constant
+explode, no join) and encode every sample into the tile grid — yielding the
+per-user traversed-cell histogram (the "which tiles did this trajectory
+touch" cover used for map-matching / heatmap pipelines).
+
+Determinism: interpolation weights are exact binary fractions (i/8), the
+lerp is the same double expression text on both engines, and the segment
+order is pinned by (ts, event_id) so lag() is unambiguous under ties.
+
+Scale shape: ONE shuffle (the user_id window); sampling is a constant
+8-way explode map-side; the final (user, cell) aggregate reuses the
+window's hash partitioning only if keys matched — they don't, so it is a
+second (partial-agg'd) shuffle on the composite key.  No skew pivot: a
+hot user costs 8× their event count, linear.
+"""
+
+from __future__ import annotations
+
+from .. import grid
+
+N_STEPS = 8
+
+
+def _coords_sql() -> tuple[str, str]:
+    """Deterministic synthetic event coordinates (events table carries no
+    geometry): same integer-hash recipe as the span geometry in synth.py."""
+    lon = "(CAST((event_id * 9973 + user_id * 31 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0)"
+    lat = "(CAST((event_id * 7919 + user_id * 37 + 3) % 180000 AS DOUBLE) / 1000.0 - 90.0)"
+    return lon, lat
+
+
+def trajectory_cells_sql(dialect: str, res: int) -> str:
+    """Full query in either dialect (the bodies differ only in the
+    sequence-explode idiom; every arithmetic expression is shared text)."""
+    lon, lat = _coords_sql()
+    t = f"(CAST(i AS DOUBLE) / {float(N_STEPS)!r})"
+    slon = f"(plon + (lon - plon) * {t})"
+    slat = f"(plat + (lat - plat) * {t})"
+    cell = grid.cell_sql(slon, slat, res, dialect)
+    if dialect == "spark":
+        steps = f"LATERAL VIEW explode(sequence(1, {N_STEPS})) _st AS i"
+        from_steps = f"FROM seg {steps} WHERE plon IS NOT NULL"
+    else:
+        from_steps = (
+            f"FROM seg, (SELECT unnest(range(1, {N_STEPS + 1})) AS i) "
+            "WHERE plon IS NOT NULL"
+        )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, {lon} AS lon, {lat} AS lat FROM events
+),
+seg AS (
+  SELECT user_id, lon, lat,
+         lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon,
+         lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat
+  FROM ev
+),
+samples AS (
+  SELECT user_id, {cell} AS cell
+  {from_steps}
+)
+SELECT user_id, cell, count(*) AS n_samples
+FROM samples GROUP BY user_id, cell
+"""
