@@ -345,60 +345,26 @@ def dedup_clusters(
     one edge-keyed shuffle join + groupBy, iterated to fixpoint.  This is
     exactly GraphX/GraphFrames' connectedComponents superstep; rounds =
     graph diameter, and near-dup graphs are unions of near-cliques
-    (template bursts), so it converges in a handful of rounds.  Each round
-    the label table is localCheckpoint'ed — persist alone does NOT
-    truncate the logical plan, so an iterative loop compounds the lineage
-    until plan construction itself OOMs (observed on a diameter-11 chain).
-    On a multi-node cluster substitute reliable checkpoint() (HDFS) for
-    executor-local blocks, and bucket the edge table by src.
+    (template bursts), so it converges in a handful of rounds.  The loop
+    itself (including the per-round localCheckpoint lineage truncation and
+    the 100 TB notes) lives in ``functions/graph.py`` and is shared with
+    the contiguous hot-region labelling operator.
 
     Plays the role of the reference's chunk-merge collector step
     (ref: fast_carpenter/summary/binned_dataframe.py:232-238 — associative
     merge of partials) lifted to a graph fixpoint.
     """
+    from .graph import connected_components
+
     pairs = minhash_lsh_pairs(docs, text_col).filter(F.col("jaccard") >= threshold)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .repartition("dst")
-        .localCheckpoint()
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    labels = (
-        docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .repartition("doc_id")
-        .localCheckpoint()
+    return connected_components(
+        docs.select("doc_id"), edges, node_col="doc_id", max_iter=max_iter
     )
-    for _ in range(max_iter):
-        # messages: for each edge (src <- dst), dst's current label
-        msgs = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("_nbr_min"))
-        )
-        new = (
-            labels.join(msgs, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("_nbr_min", "cluster_id")
-                ).alias("cluster_id"),
-            )
-            .repartition("doc_id")
-            .localCheckpoint()
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter("n.cluster_id <> o.cluster_id")
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    return labels
 
 
 def dedup_canonical(

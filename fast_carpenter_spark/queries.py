@@ -306,6 +306,105 @@ def _o_tile_hotspot() -> str:
 O_TILE_HOTSPOT = _o_tile_hotspot()
 
 
+# Contiguous hot-region labelling: dense tiles -> 8-adjacency connected
+# components.  res 5 / min 4 picked so the sf0.01 corpus yields ~40
+# multi-cell regions (structure worth testing) with a cheap oracle CTE.
+REGION_CC_RES = 5
+REGION_CC_MIN = 4
+
+
+def q_tile_regions(spark, sf_dir):
+    """Contiguous hot-region labelling — the spatial twin of near-dup
+    clustering: dense tiles (n >= REGION_CC_MIN at res REGION_CC_RES) are
+    nodes, 8-adjacency (Chebyshev distance 1) gives edges, and the shared
+    Pregel min-label loop (functions/graph.py) labels each contiguous
+    region with its minimum cell id.  Output: one row per region with its
+    cell count and total point count.
+
+    Scale shape: the dense-cell table is the POST-aggregation tile table
+    (orders of magnitude smaller than the input), the neighbour explode is
+    a fixed x8, and the adjacency join is an equi-join on packed cell ids
+    — broadcastable whenever the dense set is, shuffle-safe otherwise.
+    Region diameter bounds the rounds, and real hot regions are blobs
+    (diameter ~ sqrt(cells)), not chains."""
+    from .functions.graph import connected_components
+
+    cell = grid.cell_sql("lon", "lat", REGION_CC_RES, "spark")
+    dense = (
+        flat_spans(spark, sf_dir)
+        .groupBy(F.expr(cell).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= REGION_CC_MIN)
+    )
+    n_ax = 1 << REGION_CC_RES
+    deltas = ", ".join(
+        f"struct({dx}L AS dx, {dy}L AS dy)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    # 8-neighbour candidate cells, clamped at the grid boundary (no wrap)
+    nbr = (
+        dense.select(
+            "cell",
+            F.expr(grid.unpack_x_sql("cell", "spark")).alias("x"),
+            F.expr(grid.unpack_y_sql("cell", "spark")).alias("y"),
+            F.explode(F.expr(f"array({deltas})")).alias("d"),
+        )
+        .select(
+            "cell",
+            (F.col("x") + F.col("d.dx")).alias("nx"),
+            (F.col("y") + F.col("d.dy")).alias("ny"),
+        )
+        .filter(
+            (F.col("nx") >= 0) & (F.col("nx") < n_ax)
+            & (F.col("ny") >= 0) & (F.col("ny") < n_ax)
+        )
+        .select(
+            "cell",
+            F.expr(grid.pack_sql(REGION_CC_RES, "nx", "ny")).alias("nbr"),
+        )
+    )
+    edges = nbr.join(
+        dense.select(F.col("cell").alias("nbr")), "nbr"
+    ).select(F.col("cell").alias("src"), F.col("nbr").alias("dst"))
+    labels = connected_components(dense.select("cell"), edges, node_col="cell")
+    return (
+        dense.join(labels, "cell")
+        .groupBy(F.col("cluster_id").alias("region_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").alias("total_n"),
+        )
+    )
+
+
+def _o_tile_regions() -> str:
+    from .functions.graph import reach_cte_sql
+
+    cell = grid.cell_sql("lon", "lat", REGION_CC_RES, "duck")
+    ux = lambda e: grid.unpack_x_sql(e, "duck")  # noqa: E731
+    uy = lambda e: grid.unpack_y_sql(e, "duck")  # noqa: E731
+    edges_sql = f"""SELECT a.cell AS src, b.cell AS dst FROM dense a JOIN dense b
+  ON a.cell <> b.cell
+ AND abs({ux('a.cell')} - {ux('b.cell')}) <= 1
+ AND abs({uy('a.cell')} - {uy('b.cell')}) <= 1"""
+    cte = reach_cte_sql(edges_sql, "SELECT cell AS node FROM dense", "node")
+    return f"""
+WITH RECURSIVE
+dense AS (SELECT {cell} AS cell, count(*) AS n FROM ({O_SPANS_FLAT})
+          GROUP BY 1 HAVING count(*) >= {REGION_CC_MIN}),
+{cte}
+SELECT cl.cluster_id AS region_id, count(*) AS n_cells,
+       CAST(sum(d.n) AS BIGINT) AS total_n
+FROM cl JOIN dense d ON d.cell = cl.node
+GROUP BY 1
+"""
+
+
+O_TILE_REGIONS = _o_tile_regions()
+
+
 def q_spans_reconstruct(spark, sf_dir):
     """Interleaved-document roundtrip: re-assemble every document from its
     span array in offset order (text spans verbatim, media spans as typed
@@ -1830,6 +1929,7 @@ QUERIES = {
     "cell_uncompact": (q_cell_uncompact, O_CELL_UNCOMPACT),
     "tile_smooth": (q_tile_smooth, O_TILE_SMOOTH),
     "tile_hotspot": (q_tile_hotspot, O_TILE_HOTSPOT),
+    "tile_regions": (q_tile_regions, O_TILE_REGIONS),
     "cover_lookup": (q_cover_lookup, O_COVER_LOOKUP),
     "trajectory_cells": (q_trajectory_cells, O_TRAJECTORY_CELLS),
     "spans_reconstruct": (q_spans_reconstruct, O_SPANS_RECONSTRUCT),

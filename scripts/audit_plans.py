@@ -48,9 +48,9 @@ AUDITED = [
     "dedup_simhash_pairs",  # pigeonhole band self-join, hot-bucket cap, no cross product
     "decontaminate",    # shingle-keyed join; eval side broadcast-small at scale
     "cell_compact",     # fixed-level linear chain, one sibling window per level
-    # dedup_cluster is excluded: it is an iterative fixpoint (one plan per
-    # round, jobs run at build time); its per-round join is the same
-    # edge-keyed hash-join shape audited via dedup_minhash_lsh.
+    # dedup_cluster / tile_regions are excluded: iterative fixpoints (one
+    # plan per round, jobs run at build time); the per-round join is the
+    # same edge-keyed hash-join shape audited via dedup_minhash_lsh.
 ]
 
 
