@@ -1913,6 +1913,165 @@ JOIN (SELECT cluster_id, doc_id AS kept_doc, _len AS kept_len FROM r2 WHERE rn =
 
 
 # ---------------------------------------------------------------------------
+# training-data shaping: geofence transitions, sequence packing, chunking
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 512  # tokens per packed training sequence
+CHUNK_SIZE = 256  # chars per context chunk
+CHUNK_STEP = 192  # 25% overlap between consecutive chunks
+
+
+def q_geofence_transitions(spark, sf_dir):
+    """Geofence enter/exit detection along each document's span trajectory:
+    label every span point with the polygon it falls in (min poly_id when
+    polygons overlap, 'outside' when none), then emit one row per consecutive
+    span pair whose label CHANGES — the region entry/exit event stream.
+
+    Plan shape at scale: the PIP labelling is the broadcast cell-cover
+    join (polygon side is the small one), the min-label dedup is a partial
+    agg on (doc_id, span_offset), and the transition detection is one
+    window pass keyed by doc_id — span counts per document are bounded, so
+    the window partition can never be skewed by data volume."""
+    from pyspark.sql import Window as W
+
+    df = flat_spans(spark, sf_dir)
+    stage = SpatialJoinStage(name="gf", polygons=synth.polygons())
+    labels = (
+        stage.apply(df)
+        .groupBy("doc_id", "span_offset")
+        .agg(F.min("poly_id").alias("lbl"))
+    )
+    pts = (
+        df.select("doc_id", "span_idx", "span_offset")
+        .join(labels, ["doc_id", "span_offset"], "left")
+        .withColumn("lbl", F.coalesce("lbl", F.lit("outside")))
+    )
+    w = W.partitionBy("doc_id").orderBy("span_idx")
+    return (
+        pts.withColumn("prev_lbl", F.lag("lbl").over(w))
+        .filter(F.col("prev_lbl").isNotNull() & (F.col("prev_lbl") != F.col("lbl")))
+        .select(
+            "doc_id",
+            "span_idx",
+            F.col("prev_lbl").alias("from_poly"),
+            F.col("lbl").alias("to_poly"),
+        )
+    )
+
+
+def _o_geofence_transitions() -> str:
+    return f"""
+WITH m AS ({O_PIP_JOIN.strip()}),
+lab AS (
+  SELECT p.doc_id, p.span_idx,
+         COALESCE(min(m.poly_id), 'outside') AS lbl
+  FROM ({O_SPANS_FLAT}) p
+  LEFT JOIN m ON m.doc_id = p.doc_id AND m.span_offset = p.span_offset
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT doc_id, span_idx, lbl,
+         lag(lbl) OVER (PARTITION BY doc_id ORDER BY span_idx) AS prev_lbl
+  FROM lab
+)
+SELECT doc_id, span_idx, prev_lbl AS from_poly, lbl AS to_poly
+FROM t WHERE prev_lbl IS NOT NULL AND prev_lbl <> lbl
+"""
+
+
+O_GEOFENCE_TRANSITIONS = _o_geofence_transitions()
+
+
+def q_seq_pack(spark, sf_dir):
+    """Concat-and-chunk training-sequence packing: documents in doc_id
+    order are conceptually concatenated token-wise and cut into fixed
+    SEQ_LEN sequences; each document gets its (seq_id, seq_offset)
+    placement.  The global running token count comes from the two-pass
+    distributed prefix scan (functions/pack.py) — NO single-partition
+    global window anywhere in the plan."""
+    from .functions.pack import global_prefix_sum
+
+    from .functions import text as _text
+
+    df = load_documents(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"CAST(size({_text.tokens_sql('text', 'spark')}) AS BIGINT) AS n_tok",
+    )
+    packed = global_prefix_sum(df, "doc_id", "n_tok", out_col="tok_before")
+    return packed.select(
+        "doc_id",
+        "n_tok",
+        "tok_before",
+        F.expr(f"tok_before DIV {SEQ_LEN}").alias("seq_id"),
+        (F.col("tok_before") % SEQ_LEN).alias("seq_offset"),
+    )
+
+
+O_SEQ_PACK = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len({{tokens}}) AS BIGINT) AS n_tok
+  FROM documents
+),
+scan AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+  FROM tok
+)
+SELECT doc_id, n_tok, tok_before,
+       tok_before // {SEQ_LEN} AS seq_id,
+       tok_before % {SEQ_LEN} AS seq_offset
+FROM scan
+"""
+
+
+def _o_seq_pack() -> str:
+    from .functions import text as _text
+
+    return O_SEQ_PACK.format(tokens=_text.tokens_sql("text", "duck"))
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping context-window chunking (RAG/pretraining chunker):
+    every document is cut into CHUNK_SIZE-char windows advancing by
+    CHUNK_STEP (25% overlap).  Pure explode + substr — map-side only, no
+    shuffle at all; chunk boundaries are character-deterministic so the
+    output is reproducible under any partitioning."""
+    df = load_documents(spark, sf_dir)
+    return (
+        df.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(0, n_chars - 1, {CHUNK_STEP})")
+            ).alias("start"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.expr(f"start DIV {CHUNK_STEP}").alias("chunk_idx"),
+            "start",
+            F.expr(f"substr(text, start + 1, {CHUNK_SIZE})").alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+O_DOC_CHUNKS = f"""
+SELECT doc_id,
+       start // {CHUNK_STEP} AS chunk_idx,
+       start,
+       substr(text, CAST(start + 1 AS INT), {CHUNK_SIZE}) AS chunk_text,
+       CAST(len(substr(text, CAST(start + 1 AS INT), {CHUNK_SIZE})) AS INT) AS chunk_len
+FROM (
+  SELECT doc_id, text, unnest(generate_series(0, n_chars - 1, {CHUNK_STEP})) AS start
+  FROM documents WHERE n_chars > 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1930,6 +2089,9 @@ QUERIES = {
     "tile_smooth": (q_tile_smooth, O_TILE_SMOOTH),
     "tile_hotspot": (q_tile_hotspot, O_TILE_HOTSPOT),
     "tile_regions": (q_tile_regions, O_TILE_REGIONS),
+    "geofence_transitions": (q_geofence_transitions, O_GEOFENCE_TRANSITIONS),
+    "seq_pack": (q_seq_pack, _o_seq_pack()),
+    "doc_chunks": (q_doc_chunks, O_DOC_CHUNKS),
     "cover_lookup": (q_cover_lookup, O_COVER_LOOKUP),
     "trajectory_cells": (q_trajectory_cells, O_TRAJECTORY_CELLS),
     "spans_reconstruct": (q_spans_reconstruct, O_SPANS_RECONSTRUCT),
