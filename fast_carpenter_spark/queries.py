@@ -1912,6 +1912,43 @@ JOIN (SELECT cluster_id, doc_id AS kept_doc, _len AS kept_len FROM r2 WHERE rn =
 """
 
 
+def q_events_asof(spark, sf_dir):
+    """Backward as-of join (last-touch attribution): every purchase event
+    matched to the user's most recent preceding view.  Union-merge
+    implementation (functions/asof.py) — ONE user_id shuffle, no range
+    theta join; oracle is DuckDB's native ASOF LEFT JOIN, an independent
+    implementation of the same semantics."""
+    from .functions.asof import asof_join
+
+    ev = _load_events(spark, sf_dir)
+    epoch = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    joined = asof_join(left, right, by="user_id", on="ts", right_cols=["view_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr(epoch.format("ts")).alias("ts_us"),
+        "value",
+        F.col("view_id_r").alias("view_id"),
+    )
+
+
+O_EVENTS_ASOF = """
+SELECT l.event_id, l.user_id,
+       CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+       l.value,
+       r.event_id AS view_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data shaping: geofence transitions, sequence packing, chunking
 # ---------------------------------------------------------------------------
@@ -2090,6 +2127,7 @@ QUERIES = {
     "tile_hotspot": (q_tile_hotspot, O_TILE_HOTSPOT),
     "tile_regions": (q_tile_regions, O_TILE_REGIONS),
     "geofence_transitions": (q_geofence_transitions, O_GEOFENCE_TRANSITIONS),
+    "events_asof": (q_events_asof, O_EVENTS_ASOF),
     "seq_pack": (q_seq_pack, _o_seq_pack()),
     "doc_chunks": (q_doc_chunks, O_DOC_CHUNKS),
     "cover_lookup": (q_cover_lookup, O_COVER_LOOKUP),
