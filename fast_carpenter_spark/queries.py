@@ -1969,31 +1969,10 @@ def q_geofence_transitions(spark, sf_dir):
     agg on (doc_id, span_offset), and the transition detection is one
     window pass keyed by doc_id — span counts per document are bounded, so
     the window partition can never be skewed by data volume."""
-    from pyspark.sql import Window as W
+    from .spatial.geofence import span_labels, transitions_within
 
     df = flat_spans(spark, sf_dir)
-    stage = SpatialJoinStage(name="gf", polygons=synth.polygons())
-    labels = (
-        stage.apply(df)
-        .groupBy("doc_id", "span_offset")
-        .agg(F.min("poly_id").alias("lbl"))
-    )
-    pts = (
-        df.select("doc_id", "span_idx", "span_offset")
-        .join(labels, ["doc_id", "span_offset"], "left")
-        .withColumn("lbl", F.coalesce("lbl", F.lit("outside")))
-    )
-    w = W.partitionBy("doc_id").orderBy("span_idx")
-    return (
-        pts.withColumn("prev_lbl", F.lag("lbl").over(w))
-        .filter(F.col("prev_lbl").isNotNull() & (F.col("prev_lbl") != F.col("lbl")))
-        .select(
-            "doc_id",
-            "span_idx",
-            F.col("prev_lbl").alias("from_poly"),
-            F.col("lbl").alias("to_poly"),
-        )
-    )
+    return transitions_within(span_labels(df, synth.polygons()))
 
 
 def _o_geofence_transitions() -> str:
@@ -2017,6 +1996,31 @@ FROM t WHERE prev_lbl IS NOT NULL AND prev_lbl <> lbl
 
 
 O_GEOFENCE_TRANSITIONS = _o_geofence_transitions()
+
+
+def q_streaming_geofence(spark, sf_dir):
+    """Streaming geofence transitions drained with availableNow: the span
+    table is re-written as contiguous (span_idx, doc_id) range slices, so
+    every document's trajectory is SPLIT across micro-batches; per-batch
+    within-slice transitions + boundary fragments, seam-merged at read
+    time, must equal the batch operator EXACTLY (same oracle).  Slice
+    processing order is irrelevant (out-of-order backfill safe)."""
+    import tempfile
+
+    from .streaming.geofence_stream import StreamingGeofence
+
+    df = flat_spans(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="fcs_gf_in_")
+    df.repartitionByRange(4, "span_idx", "doc_id").write.mode("overwrite").parquet(d)
+    stage = StreamingGeofence(
+        name="gfq",
+        polygons=synth.polygons(),
+        out_dir=tempfile.mkdtemp(prefix="fcs_gf_out_"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="fcs_gf_ckpt_"),
+    )
+    q = stage.start(spark, d, available_now=True)
+    q.awaitTermination(300)
+    return stage.result(spark)
 
 
 def q_seq_pack(spark, sf_dir):
@@ -2128,6 +2132,7 @@ QUERIES = {
     "tile_regions": (q_tile_regions, O_TILE_REGIONS),
     "geofence_transitions": (q_geofence_transitions, O_GEOFENCE_TRANSITIONS),
     "events_asof": (q_events_asof, O_EVENTS_ASOF),
+    "streaming_geofence": (q_streaming_geofence, O_GEOFENCE_TRANSITIONS),
     "seq_pack": (q_seq_pack, _o_seq_pack()),
     "doc_chunks": (q_doc_chunks, O_DOC_CHUNKS),
     "cover_lookup": (q_cover_lookup, O_COVER_LOOKUP),

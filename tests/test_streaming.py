@@ -260,3 +260,39 @@ def test_streaming_sessionize_fuses_cross_slice_fragments(spark, tmp_path):
     assert len(got) == 6
     frags = spark.read.option("recursiveFileLookup", "true").parquet(stage.deltas_dir)
     assert frags.count() > 6
+
+
+def test_geofence_seam_merge_order_independent(spark):
+    """boundary_transitions must reconstruct seam transitions from
+    fragments regardless of fragment insertion order, and emit nothing
+    for label-stable seams or single-slice docs."""
+    from fast_carpenter_spark.spatial.geofence import boundary_transitions
+
+    frags = [
+        # doc 1: three slices, label changes at both seams
+        (1, 0, "a", 4, "a"),
+        (1, 5, "b", 9, "b"),
+        (1, 10, "b", 14, "c"),
+        # doc 2: stable label across the seam -> no transition
+        (2, 0, "a", 4, "b"),
+        (2, 5, "b", 9, "b"),
+        # doc 3: single slice -> no seam at all
+        (3, 0, "z", 9, "z"),
+    ]
+    import random
+
+    rng = random.Random(7)
+    for _ in range(3):
+        rng.shuffle(frags)
+        df = spark.createDataFrame(
+            frags,
+            "doc_id bigint, first_idx bigint, first_lbl string, "
+            "last_idx bigint, last_lbl string",
+        )
+        got = sorted(
+            (r["doc_id"], r["span_idx"], r["from_poly"], r["to_poly"])
+            for r in boundary_transitions(df).collect()
+        )
+        # doc 1's second seam is label-stable ("b" -> "b"): the c-change
+        # happens INSIDE slice 3, which is the within-batch pass's job
+        assert got == [(1, 5, "a", "b")], got
