@@ -1153,6 +1153,34 @@ def _poly_overlap_oracle():
 O_POLY_OVERLAP = _poly_overlap_oracle()
 
 
+DBSCAN_EPS, DBSCAN_MIN_PTS = 12.0, 4
+
+
+def q_dbscan(spark, sf_dir):
+    """Density-based clustering (DBSCAN) of document representative
+    points: eps-pairs from the bounded cell-ring radius join, core test as
+    a degree count, clusters as Pregel connected components over the
+    core-core subgraph, borders tie-broken to the min core-neighbour
+    label.  See spatial/cluster.py for the 100 TB decomposition."""
+    from .spatial.cluster import dbscan
+
+    pts = flat_spans(spark, sf_dir).filter("span_idx = 0").select("doc_id", "lon", "lat")
+    return dbscan(pts, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
+
+
+def _dbscan_oracle():
+    from .spatial.cluster import dbscan_oracle_sql
+
+    return dbscan_oracle_sql(
+        f"SELECT doc_id, lon, lat FROM ({O_SPANS_FLAT}) WHERE span_idx = 0",
+        eps=DBSCAN_EPS,
+        min_pts=DBSCAN_MIN_PTS,
+    )
+
+
+O_DBSCAN = _dbscan_oracle()
+
+
 KNN_RES, KNN_RING, KNN_K = 5, 1, 3
 
 
@@ -2159,6 +2187,7 @@ QUERIES = {
     "knn": (q_knn, O_KNN),
     "radius_join": (q_radius_join, O_RADIUS_JOIN),
     "radius_join_geo": (q_radius_join_geo, O_RADIUS_JOIN_GEO),
+    "dbscan": (q_dbscan, O_DBSCAN),
     "knn_geo": (q_knn_geo, O_KNN_GEO),
     "poly_overlap": (q_poly_overlap, O_POLY_OVERLAP),
     "knn_local": (q_knn_local, O_KNN),
