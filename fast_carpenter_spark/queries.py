@@ -556,6 +556,25 @@ def _o_trajectory_cells() -> str:
 O_TRAJECTORY_CELLS = _o_trajectory_cells()
 
 
+def q_trajectory_od(spark, sf_dir):
+    """Origin–destination matrix over user trajectories: first-event cell →
+    last-event cell per user, user and event-volume counts per OD pair.
+    One user_id window shuffle; endpoint pivot rides the same key."""
+    from .spatial.trajectory import trajectory_od_sql
+
+    _load_events(spark, sf_dir)
+    return spark.sql(trajectory_od_sql("spark", REGION_RES))
+
+
+def _o_trajectory_od() -> str:
+    from .spatial.trajectory import trajectory_od_sql
+
+    return trajectory_od_sql("duck", REGION_RES)
+
+
+O_TRAJECTORY_OD = _o_trajectory_od()
+
+
 def q_tile_rollup(spark, sf_dir):
     """Zoom-out re-aggregation: tile level 8 -> 4 via parent cells — the
     hypertable-rollup analogue (grouping-set rollup over the hierarchy)."""
@@ -2165,6 +2184,7 @@ QUERIES = {
     "doc_chunks": (q_doc_chunks, O_DOC_CHUNKS),
     "cover_lookup": (q_cover_lookup, O_COVER_LOOKUP),
     "trajectory_cells": (q_trajectory_cells, O_TRAJECTORY_CELLS),
+    "trajectory_od": (q_trajectory_od, O_TRAJECTORY_OD),
     "spans_reconstruct": (q_spans_reconstruct, O_SPANS_RECONSTRUCT),
     "tile_distinct": (q_tile_distinct, O_TILE_DISTINCT),
     "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),

@@ -33,6 +33,45 @@ def _coords_sql() -> tuple[str, str]:
     return lon, lat
 
 
+def trajectory_od_sql(dialect: str, res: int) -> str:
+    """Origin–destination matrix: each user's trajectory contributes one
+    (first-event cell → last-event cell) edge; the matrix aggregates users
+    and their event volumes per OD pair.
+
+    Scale shape: ONE data-sized shuffle (the user_id window that ranks
+    events); the per-user endpoint pivot is a partial-agg'd groupBy on the
+    same key (AQE coalesces it onto the window's partitioning), and the
+    final OD aggregate is cell-pair-cardinality sized — tiny.  Endpoint
+    order is pinned by (ts, event_id) so ties are deterministic.
+
+    Every expression is shared text between the engines except the cell
+    encode; the integer ``sum`` is cast to BIGINT (DuckDB widens to
+    HUGEINT, which would hash differently at equal values)."""
+    lon, lat = _coords_sql()
+    cell = grid.cell_sql("lon", "lat", res, dialect)
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, {lon} AS lon, {lat} AS lat FROM events
+),
+ranked AS (
+  SELECT user_id, {cell} AS cell,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_ev
+  FROM ev
+),
+odp AS (
+  SELECT user_id,
+         max(CASE WHEN rn = 1 THEN cell END) AS o_cell,
+         max(CASE WHEN rn = n_ev THEN cell END) AS d_cell,
+         max(n_ev) AS n_events
+  FROM ranked GROUP BY user_id
+)
+SELECT o_cell, d_cell, count(*) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM odp GROUP BY o_cell, d_cell
+"""
+
+
 def trajectory_cells_sql(dialect: str, res: int) -> str:
     """Full query in either dialect (the bodies differ only in the
     sequence-explode idiom; every arithmetic expression is shared text)."""
