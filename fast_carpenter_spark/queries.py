@@ -306,6 +306,35 @@ def _o_tile_hotspot() -> str:
 O_TILE_HOTSPOT = _o_tile_hotspot()
 
 
+def q_tile_moran(spark, sf_dir):
+    """Global Moran's I autocorrelation of the res-6 tile count field
+    (queen ring-1 weights, occupied cells): the one-number 'is this field
+    clustered at all' companion to the per-cell Gi* classifier.  Exact
+    BIGINT scaled deviations; one shared-text double at the end."""
+    from .spatial.stats import moran_i
+
+    tiles = (
+        flat_spans(spark, sf_dir)
+        .withColumn("cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark")))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return moran_i(tiles, REGION_RES)
+
+
+def _o_tile_moran() -> str:
+    from .spatial.stats import moran_i_oracle_sql
+
+    tiles = (
+        f"SELECT {grid.cell_sql('lon', 'lat', REGION_RES, 'duck')} AS cell, "
+        f"count(*) AS n FROM ({O_SPANS_FLAT}) GROUP BY 1"
+    )
+    return moran_i_oracle_sql(tiles, REGION_RES)
+
+
+O_TILE_MORAN = _o_tile_moran()
+
+
 # Contiguous hot-region labelling: dense tiles -> 8-adjacency connected
 # components.  res 5 / min 4 picked so the sf0.01 corpus yields ~40
 # multi-cell regions (structure worth testing) with a cheap oracle CTE.
@@ -2176,6 +2205,7 @@ QUERIES = {
     "cell_uncompact": (q_cell_uncompact, O_CELL_UNCOMPACT),
     "tile_smooth": (q_tile_smooth, O_TILE_SMOOTH),
     "tile_hotspot": (q_tile_hotspot, O_TILE_HOTSPOT),
+    "tile_moran": (q_tile_moran, O_TILE_MORAN),
     "tile_regions": (q_tile_regions, O_TILE_REGIONS),
     "geofence_transitions": (q_geofence_transitions, O_GEOFENCE_TRANSITIONS),
     "events_asof": (q_events_asof, O_EVENTS_ASOF),

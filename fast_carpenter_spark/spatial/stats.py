@@ -82,6 +82,103 @@ def gi_star(tiles: DataFrame, res: int) -> DataFrame:
     )
 
 
+def _moran_sql(n_cells: str, w: str, num: str, den: str) -> tuple[str, str]:
+    """(Moran's I, null expectation) fragments — dialect-neutral text so
+    the doubles are bit-identical given exact integer inputs."""
+    i = (
+        f"((CAST({n_cells} AS DOUBLE) / CAST({w} AS DOUBLE)) * "
+        f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)))"
+    )
+    e = f"(-1.0 / (CAST({n_cells} AS DOUBLE) - 1.0))"
+    return i, e
+
+
+def moran_i(tiles: DataFrame, res: int) -> DataFrame:
+    """Global Moran's I spatial autocorrelation of the per-cell count field
+    over occupied cells, binary queen (ring-1, self-excluded) weights.
+
+    All sums stay in exact BIGINT arithmetic via scaled deviations
+    ``d_i = n_cells*n_i - tot`` (= n_cells²·(x_i - x̄); the scale cancels in
+    the num/den ratio), so the single final double expression is
+    bit-identical across engines.  At 100 TB cell counts the d_i·d_j
+    products approach int64 range — switch the two sums to DECIMAL(38,0)
+    there; the shape is unchanged.
+
+    One row: (n_cells, w_pairs, num, den, moran_i, e_i).  Scale shape: one
+    shuffle to the cell grid upstream, an 8-offset constant explode, one
+    co-partitioned self-join, 1-row aggregates with a broadcast of the
+    3-value global tuple — same skeleton as gi_star.
+    """
+    nside = 1 << res
+    glob = tiles.agg(
+        F.count(F.lit(1)).alias("n_cells"), F.sum("n").alias("tot")
+    )
+    dev = tiles.crossJoin(F.broadcast(glob)).select(
+        "cell", "n_cells", F.expr("n_cells * n - tot").alias("d")
+    )
+    x = grid.unpack_x_sql("cell", "spark")
+    y = grid.unpack_y_sql("cell", "spark")
+    ring8 = (
+        "filter(flatten(transform(sequence(-1, 1), dx -> "
+        "transform(sequence(-1, 1), dy -> "
+        f"struct({x} + dx AS x, {y} + dy AS y, dx = 0 AND dy = 0 AS own)))), "
+        "c -> NOT c.own)"
+    )
+    nbr = (
+        dev.select("d", F.explode(F.expr(ring8)).alias("_nc"))
+        .filter(
+            (F.col("_nc.x") >= 0) & (F.col("_nc.x") < nside)
+            & (F.col("_nc.y") >= 0) & (F.col("_nc.y") < nside)
+        )
+        .select(
+            F.expr(grid.pack_sql(res, "_nc.x", "_nc.y")).alias("cell"),
+            F.col("d").alias("d_i"),
+        )
+    )
+    # co-partitioned on `cell`: both sides keyed by the packed cell id
+    pair_sums = nbr.join(dev.select("cell", F.col("d").alias("d_j")), "cell").agg(
+        F.sum(F.expr("d_i * d_j")).alias("num"),
+        F.count(F.lit(1)).alias("w_pairs"),
+    )
+    den = dev.agg(
+        F.max("n_cells").alias("n_cells"), F.sum(F.expr("d * d")).alias("den")
+    )
+    mi, me = _moran_sql("n_cells", "w_pairs", "num", "den")
+    return pair_sums.crossJoin(F.broadcast(den)).selectExpr(
+        "n_cells", "w_pairs", "num", "den", f"{mi} AS moran_i", f"{me} AS e_i"
+    )
+
+
+def moran_i_oracle_sql(tiles_sql: str, res: int) -> str:
+    """DuckDB oracle: same exact-integer algorithm, independent evaluator;
+    integer sums cast back to BIGINT (DuckDB widens to HUGEINT)."""
+    nside = 1 << res
+    ux = grid.unpack_x_sql("cell", "duck")
+    uy = grid.unpack_y_sql("cell", "duck")
+    mi, me = _moran_sql("n_cells", "w_pairs", "num", "den")
+    return f"""
+WITH tiles AS ({tiles_sql}),
+g AS (SELECT count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS tot FROM tiles),
+dev AS (SELECT cell, n_cells, n_cells * n - tot AS d FROM tiles CROSS JOIN g),
+nbr AS (
+  SELECT {grid.pack_sql(res, f"({ux} + dx)", f"({uy} + dy)")} AS cell, d AS d_i
+  FROM dev,
+       (SELECT unnest(range(-1, 2)) AS dx),
+       (SELECT unnest(range(-1, 2)) AS dy)
+  WHERE NOT (dx = 0 AND dy = 0)
+    AND {ux} + dx BETWEEN 0 AND {nside - 1}
+    AND {uy} + dy BETWEEN 0 AND {nside - 1}
+),
+p AS (
+  SELECT CAST(sum(d_i * d_j) AS BIGINT) AS num, count(*) AS w_pairs
+  FROM nbr JOIN (SELECT cell, d AS d_j FROM dev) USING (cell)
+),
+q AS (SELECT max(n_cells) AS n_cells, CAST(sum(d * d) AS BIGINT) AS den FROM dev)
+SELECT n_cells, w_pairs, num, den, {mi} AS moran_i, {me} AS e_i
+FROM p CROSS JOIN q
+"""
+
+
 def gi_star_oracle_sql(tiles_sql: str, res: int) -> str:
     """DuckDB oracle: same algorithm, independent SQL evaluator.  Integer
     sums are cast back to BIGINT (DuckDB sum() yields HUGEINT)."""
