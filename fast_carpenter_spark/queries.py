@@ -1201,6 +1201,25 @@ def _poly_overlap_oracle():
 O_POLY_OVERLAP = _poly_overlap_oracle()
 
 
+def q_poly_metrics(spark, sf_dir):
+    """Shoelace area / centroid / winding per polygon — map-side only;
+    pinned-order left folds make the doubles bit-identical across engines
+    (see spatial/geom.py)."""
+    from .spatial.geom import polygon_metrics_sql
+
+    synth.polygons_df(spark).createOrReplaceTempView("polygons_v")
+    return spark.sql(polygon_metrics_sql("polygons_v", "spark"))
+
+
+def _o_poly_metrics() -> str:
+    from .spatial.geom import polygon_metrics_sql
+
+    return polygon_metrics_sql(synth.polygons_values_sql("duck"), "duck")
+
+
+O_POLY_METRICS = _o_poly_metrics()
+
+
 DBSCAN_EPS, DBSCAN_MIN_PTS = 12.0, 4
 
 
@@ -2238,6 +2257,7 @@ QUERIES = {
     "radius_join": (q_radius_join, O_RADIUS_JOIN),
     "radius_join_geo": (q_radius_join_geo, O_RADIUS_JOIN_GEO),
     "dbscan": (q_dbscan, O_DBSCAN),
+    "poly_metrics": (q_poly_metrics, O_POLY_METRICS),
     "knn_geo": (q_knn_geo, O_KNN_GEO),
     "poly_overlap": (q_poly_overlap, O_POLY_OVERLAP),
     "knn_local": (q_knn_local, O_KNN),
