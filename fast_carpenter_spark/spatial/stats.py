@@ -113,8 +113,13 @@ def moran_i(tiles: DataFrame, res: int) -> DataFrame:
     glob = tiles.agg(
         F.count(F.lit(1)).alias("n_cells"), F.sum("n").alias("tot")
     )
-    dev = tiles.crossJoin(F.broadcast(glob)).select(
-        "cell", "n_cells", F.expr("n_cells * n - tot").alias("d")
+    # materialized once (localCheckpoint; reliable checkpoint/persist on a
+    # real cluster): three consumers below — without it each re-plans the
+    # scan + global aggregate + cross
+    dev = (
+        tiles.crossJoin(F.broadcast(glob))
+        .select("cell", "n_cells", F.expr("n_cells * n - tot").alias("d"))
+        .localCheckpoint()
     )
     x = grid.unpack_x_sql("cell", "spark")
     y = grid.unpack_y_sql("cell", "spark")

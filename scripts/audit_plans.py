@@ -48,9 +48,15 @@ AUDITED = [
     "dedup_simhash_pairs",  # pigeonhole band self-join, hot-bucket cap, no cross product
     "decontaminate",    # shingle-keyed join; eval side broadcast-small at scale
     "cell_compact",     # fixed-level linear chain, one sibling window per level
-    # dedup_cluster / tile_regions are excluded: iterative fixpoints (one
-    # plan per round, jobs run at build time); the per-round join is the
-    # same edge-keyed hash-join shape audited via dedup_minhash_lsh.
+    "trajectory_od",    # ONE user_id window shuffle; endpoint pivot rides the same key
+    "tile_hotspot",     # ring explode + co-partitioned self-join + 1-row global attach
+    "tile_moran",       # same skeleton; exact-BIGINT deviations
+    "poly_metrics",     # map-side only: per-row ring folds, zero exchanges
+    "geofence_transitions",  # PIP label join + one doc_id window pass
+    # dedup_cluster / tile_regions / dbscan are excluded: iterative
+    # fixpoints (one plan per round, jobs run at build time); the per-round
+    # join is the same edge-keyed hash-join shape audited via
+    # dedup_minhash_lsh, and dbscan's candidate stage via radius_join.
 ]
 
 
@@ -82,26 +88,43 @@ def summarize(name: str, text: str) -> list[str]:
 
 
 # Scale-killer guard: nested-loop / cartesian joins are forbidden on data
-# relations.  zonal_stats is the one allowed BroadcastNestedLoopJoin — it is
-# the raster-grid SYNTHESIS cross of two constant `sequence(0, 2^res-1)`
-# generators (fast_carpenter_spark/synth.py:raster_sql), size-bounded by
-# construction.  The invariant that keeps it safe: the zonal plan reads NO
-# parquet at all (raster generated, polygons literal), so a data-sized
-# relation can never slip into that cross without tripping this check.
-ALLOW_BNLJ = {"zonal_stats"}
+# relations.  Two allowed BroadcastNestedLoopJoin shapes, each with a
+# mechanical invariant:
+# * zonal_stats — the raster-grid SYNTHESIS cross of two constant
+#   `sequence(0, 2^res-1)` generators (synth.py:raster_sql), size-bounded
+#   by construction.  Invariant: the plan reads NO parquet at all, so a
+#   data-sized relation cannot enter the cross without tripping the check.
+# * tile_hotspot / tile_moran — the broadcast ATTACH of a 1-row global
+#   aggregate tuple (keyless, so Spark plans BNLJ).  Invariant: every BNLJ
+#   build side in these plans must be a keyless HashAggregate (grouping
+#   cardinality 1 by construction); the expected BNLJ count is pinned so a
+#   refactor cannot add an unvetted cross.
+ALLOW_BNLJ_GRIDSYNTH = {"zonal_stats"}
+ALLOW_BNLJ_GLOBAL_ATTACH = {"tile_hotspot": 1, "tile_moran": 1}
 
 
 def check_scale_killers(name: str, text: str) -> None:
     if "CartesianProduct" in text:
         raise SystemExit(f"plan audit FAILED: CartesianProduct in `{name}`")
-    if "BroadcastNestedLoopJoin" in text:
-        if name not in ALLOW_BNLJ:
-            raise SystemExit(f"plan audit FAILED: BroadcastNestedLoopJoin in `{name}`")
+    # count detail entries only — `explain("formatted")` prints each node
+    # twice (tree line + numbered detail section)
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", text))
+    if not n_bnlj:
+        return
+    if name in ALLOW_BNLJ_GRIDSYNTH:
         if "Scan parquet" in text:
             raise SystemExit(
                 f"plan audit FAILED: `{name}` has a BroadcastNestedLoopJoin AND a "
                 "parquet scan — a data relation may have entered the grid-synth cross"
             )
+    elif name in ALLOW_BNLJ_GLOBAL_ATTACH:
+        if n_bnlj != ALLOW_BNLJ_GLOBAL_ATTACH[name]:
+            raise SystemExit(
+                f"plan audit FAILED: `{name}` has {n_bnlj} BroadcastNestedLoopJoins, "
+                f"expected {ALLOW_BNLJ_GLOBAL_ATTACH[name]} (1-row global attach only)"
+            )
+    else:
+        raise SystemExit(f"plan audit FAILED: BroadcastNestedLoopJoin in `{name}`")
 
 
 def main() -> None:
