@@ -1797,6 +1797,75 @@ def flagship_unit_job(spark):
     return job
 
 
+def _source_fingerprint_tag(sf_dir: str) -> str:
+    """Cache tag from the source parquet's (name, size, mtime) set so a
+    regenerated testdata set can never hit a stale derived snapshot."""
+    import hashlib
+    import os
+
+    src = f"{sf_dir}/documents.parquet"
+    parts = []
+    for root, _, files in os.walk(src):
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            parts.append(f"{fn}:{st.st_size}:{int(st.st_mtime)}")
+    fp = hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
+    return f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+
+
+def q_snapshot_incremental(spark, sf_dir):
+    """Iceberg-style incremental scan: snapshot A holds 3/4 of the corpus,
+    snapshot B is an APPEND commit of the remaining quarter (manifest =
+    A's immutable files + the new ones).  The incremental read between A
+    and B is a manifest diff — only the appended files are opened, so the
+    cost is O(delta) regardless of table size — and this query tiles just
+    that delta."""
+    import os
+    import tempfile
+
+    from .sources.snapshot import SnapshotReader, list_snapshots, write_snapshot
+
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"fcs_incr_snap_{_source_fingerprint_tag(sf_dir)}"
+    )
+    if not (os.path.isdir(tdir) and len(list_snapshots(tdir)) >= 2):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = write_snapshot(
+            docs.filter("doc_id % 4 < 3").repartition(2, "doc_id"),
+            tdir,
+            snapshot_id="snap-a",
+        )
+        write_snapshot(
+            docs.filter("doc_id % 4 = 3").repartition(2, "doc_id"),
+            tdir,
+            snapshot_id="snap-b",
+            base=base,
+        )
+    delta = SnapshotReader(tdir, "snap-b").load_incremental(spark, "snap-a")
+    delta.createOrReplaceTempView("docs_incr")
+    flat = spark.sql(synth.flat_spans_sql("spark", "docs_incr"))
+    return (
+        flat.withColumn("cell", F.expr(grid.cell_sql("lon", "lat", TILE_RES, "spark")))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("w_sumw"))
+    )
+
+
+def _o_snapshot_incremental() -> str:
+    inner = synth.flat_spans_sql(
+        "duck", "(SELECT * FROM documents WHERE doc_id % 4 = 3) docs_incr"
+    )
+    return f"""
+SELECT {grid.cell_sql('lon', 'lat', TILE_RES, 'duck')} AS cell,
+       count(*) AS n, sum(w) AS w_sumw
+FROM ({inner})
+GROUP BY 1
+"""
+
+
+O_SNAPSHOT_INCREMENTAL = _o_snapshot_incremental()
+
+
 def q_checkpoint_resume(spark, sf_dir):
     """Flagship spatial-join + tile-agg executed as a checkpointed,
     RESUMABLE run over an Iceberg-style snapshot: 4 file-group work units,
@@ -2293,6 +2362,7 @@ QUERIES = {
     "media_decode": (q_media_decode, O_MEDIA_DECODE),
     "media_text_align": (q_media_text_align, O_MEDIA_TEXT_ALIGN),
     "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
+    "snapshot_incremental": (q_snapshot_incremental, O_SNAPSHOT_INCREMENTAL),
     "media_resize": (q_media_resize, O_MEDIA_RESIZE),
     "media_frame_sample": (q_media_frames, O_MEDIA_FRAMES),
     "zonal_stats": (q_zonal_stats, O_ZONAL_STATS),

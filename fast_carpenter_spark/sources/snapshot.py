@@ -43,12 +43,26 @@ def write_snapshot(
     *,
     snapshot_id: str | None = None,
     bounds_cols: list[str] | None = None,
+    base: "Snapshot | str | None" = None,
 ) -> Snapshot:
     """Write df as a new snapshot: parquet files + manifest with per-file
-    min/max bounds for ``bounds_cols`` (partition-pruning metadata)."""
+    min/max bounds for ``bounds_cols`` (partition-pruning metadata).
+
+    With ``base`` (a Snapshot or snapshot id), this is an APPEND commit in
+    the Iceberg sense: the new manifest lists the base snapshot's files
+    PLUS the newly written ones, and records ``parent_id`` — data files
+    are immutable and shared between snapshots, so time travel is free and
+    an incremental scan between two snapshots is a manifest diff."""
     import pyarrow.parquet as pq
 
     snapshot_id = snapshot_id or f"snap-{int(time.monotonic_ns())}"
+    base_files: list[dict] = []
+    parent_id = None
+    if base is not None:
+        if isinstance(base, str):
+            base = SnapshotReader(table_path, base).snapshot
+        base_files = list(base.files)
+        parent_id = base.snapshot_id
     data_dir = os.path.join(table_path, snapshot_id)
     df.write.mode("overwrite").parquet(data_dir)
 
@@ -82,10 +96,15 @@ def write_snapshot(
                 "bounds": bounds,
             }
         )
-    snap = Snapshot(snapshot_id, table_path, files)
+    all_files = base_files + files
+    snap = Snapshot(snapshot_id, table_path, all_files)
     manifest = os.path.join(table_path, f"{MANIFEST_PREFIX}{snapshot_id}.json")
     with open(manifest, "w") as f:
-        json.dump({"snapshot_id": snapshot_id, "files": files}, f, indent=1)
+        json.dump(
+            {"snapshot_id": snapshot_id, "parent_id": parent_id, "files": all_files},
+            f,
+            indent=1,
+        )
     return snap
 
 
@@ -128,6 +147,29 @@ class SnapshotReader:
         )
         if not paths:
             raise ValueError("pruning removed all files; nothing to read")
+        return spark.read.parquet(*paths)
+
+    def incremental_files(self, base_snapshot_id: str) -> list[str]:
+        """Data files added between ``base_snapshot_id`` and this snapshot
+        — the Iceberg incremental-scan manifest diff.  Files are immutable
+        and identified by relative path, so a set difference is exact."""
+        base = SnapshotReader(self.table_path, base_snapshot_id).snapshot
+        base_paths = {f["path"] for f in base.files}
+        return [
+            os.path.join(self.table_path, f["path"])
+            for f in self.snapshot.files
+            if f["path"] not in base_paths
+        ]
+
+    def load_incremental(self, spark: SparkSession, base_snapshot_id: str) -> DataFrame:
+        """Only the rows appended since ``base_snapshot_id`` — file-level,
+        no data read from the unchanged files at all (the scale property:
+        incremental cost is O(delta), independent of table size)."""
+        paths = self.incremental_files(base_snapshot_id)
+        if not paths:
+            raise ValueError(
+                f"no files added between {base_snapshot_id} and {self.snapshot_id}"
+            )
         return spark.read.parquet(*paths)
 
 

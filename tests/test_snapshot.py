@@ -48,3 +48,45 @@ def test_data_import_plugin_registry(spark, tmp_path, docs):
     docs.limit(10).write.parquet(path)
     reader = get_data_import_plugin("parquet")
     assert reader(spark, path).count() == 10
+
+
+def test_append_commit_and_incremental_scan(spark, tmp_path, docs):
+    from fast_carpenter_spark.sources.snapshot import (
+        SnapshotReader,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "tbl_append")
+    base = write_snapshot(
+        docs.filter("doc_id % 3 != 0").repartition(2, "doc_id"),
+        table, snapshot_id="snap-a",
+    )
+    appended = write_snapshot(
+        docs.filter("doc_id % 3 = 0").repartition(2, "doc_id"),
+        table, snapshot_id="snap-b", base=base,
+    )
+    # append semantics: new manifest = base files + new files, parent set
+    assert len(appended.files) > len(base.files)
+    assert {f["path"] for f in base.files} <= {f["path"] for f in appended.files}
+
+    # time travel: the base snapshot is untouched by the append
+    old = SnapshotReader(table, snapshot_id="snap-a")
+    new = SnapshotReader(table)  # default = latest = snap-b
+    assert new.snapshot_id == "snap-b"
+    assert old.load(spark).count() == docs.filter("doc_id % 3 != 0").count()
+    assert new.load(spark).count() == docs.count()
+
+    # incremental scan = manifest diff: exactly the appended rows, read
+    # from only the appended files
+    inc_paths = new.incremental_files("snap-a")
+    assert set(inc_paths) == set(new.snapshot.file_paths) - set(old.snapshot.file_paths)
+    inc = new.load_incremental(spark, "snap-a")
+    want = docs.filter("doc_id % 3 = 0")
+    assert inc.count() == want.count()
+    assert inc.select("doc_id").subtract(want.select("doc_id")).count() == 0
+
+    # nothing appended -> explicit error, not an empty scan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        new.load_incremental(spark, "snap-b")
