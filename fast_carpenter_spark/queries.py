@@ -1805,10 +1805,14 @@ def _source_fingerprint_tag(sf_dir: str) -> str:
 
     src = f"{sf_dir}/documents.parquet"
     parts = []
-    for root, _, files in os.walk(src):
-        for fn in sorted(files):
-            st = os.stat(os.path.join(root, fn))
-            parts.append(f"{fn}:{st.st_size}:{int(st.st_mtime)}")
+    if os.path.isfile(src):
+        st = os.stat(src)
+        parts.append(f"documents.parquet:{st.st_size}:{int(st.st_mtime)}")
+    else:
+        for root, _, files in os.walk(src):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                parts.append(f"{fn}:{st.st_size}:{int(st.st_mtime)}")
     fp = hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
     return f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
 
@@ -1864,6 +1868,56 @@ GROUP BY 1
 
 
 O_SNAPSHOT_INCREMENTAL = _o_snapshot_incremental()
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Co-located join on the persistent bucketed layout: span points and
+    per-cell tile stats are both written bucketed by the SAME cell key
+    (64 buckets), so when neither side is broadcast-small the join plans
+    as a SortMergeJoin with ZERO Exchange on either side — the
+    recurring-join layout for 10^12-doc tables (write the shuffle once,
+    reuse it every query; plan-asserted in tests/test_bucketed.py with
+    broadcast disabled — at this test SF Catalyst rightly broadcasts the
+    small side instead).  Output: histogram of cell density over spans
+    (how many spans sit in cells of density n)."""
+    from .sources.bucketed import colocated_join, write_bucketed
+
+    import os
+    import shutil
+
+    tag = _source_fingerprint_tag(sf_dir).replace(".", "_").replace("-", "_")
+    t_spans, t_tiles = f"fcs_bkt_spans_{tag}", f"fcs_bkt_tiles_{tag}"
+    if not (spark.catalog.tableExists(t_spans) and spark.catalog.tableExists(t_tiles)):
+        # bucketing metadata lives in the (in-memory) catalog, not the
+        # files: a warehouse dir left by a previous session is unusable as
+        # a BUCKETED table, so clear it and rewrite
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in (t_spans, t_tiles):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        flat = flat_spans(spark, sf_dir).withColumn(
+            "cell", F.expr(grid.cell_sql("lon", "lat", TILE_RES, "spark"))
+        )
+        write_bucketed(flat.select("doc_id", "span_idx", "cell"), t_spans)
+        write_bucketed(
+            flat.groupBy("cell").agg(F.count(F.lit(1)).alias("n")), t_tiles
+        )
+    joined = colocated_join(spark, t_spans, t_tiles, on="cell")
+    return joined.groupBy("n").agg(F.count(F.lit(1)).alias("n_spans"))
+
+
+O_BUCKETED_JOIN = f"""
+WITH flat AS (
+  SELECT *, {grid.cell_sql('lon', 'lat', TILE_RES, 'duck')} AS cell
+  FROM ({O_SPANS_FLAT})
+),
+tiles AS (SELECT cell, count(*) AS n FROM flat GROUP BY 1)
+SELECT t.n AS n, count(*) AS n_spans
+FROM flat f JOIN tiles t USING (cell)
+GROUP BY 1
+"""
 
 
 def q_checkpoint_resume(spark, sf_dir):
@@ -2219,9 +2273,12 @@ WITH tok AS (
   FROM documents
 ),
 scan AS (
+  -- CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which pandas renders as
+  -- float64 and the value hash sees as a different type at equal values
   SELECT doc_id, n_tok,
-         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_before
   FROM tok
 )
 SELECT doc_id, n_tok, tok_before,
@@ -2363,6 +2420,7 @@ QUERIES = {
     "media_text_align": (q_media_text_align, O_MEDIA_TEXT_ALIGN),
     "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
     "snapshot_incremental": (q_snapshot_incremental, O_SNAPSHOT_INCREMENTAL),
+    "bucketed_join": (q_bucketed_join, O_BUCKETED_JOIN),
     "media_resize": (q_media_resize, O_MEDIA_RESIZE),
     "media_frame_sample": (q_media_frames, O_MEDIA_FRAMES),
     "zonal_stats": (q_zonal_stats, O_ZONAL_STATS),
