@@ -141,6 +141,47 @@ class TilePyramidStage:
         )
 
 
+@dataclass
+class GeofenceStage:
+    """Enter/exit transition events over span trajectories
+    (spatial/geofence.py): PIP label join + one doc_id window pass.
+    ``polygons`` is the same list-of-dicts layer SpatialJoinStage takes."""
+
+    name: str
+    polygons: list | None = None
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ..spatial.geofence import span_labels, transitions_within
+
+        return transitions_within(span_labels(df, self.polygons or []))
+
+
+@dataclass
+class DbscanStage:
+    """Density-based clustering of point rows (spatial/cluster.py):
+    (id, role, cluster_id) — eps-ring candidates, degree core test, Pregel
+    components."""
+
+    name: str
+    eps: float = 1.0
+    min_pts: int = 4
+    id_col: str = "doc_id"
+    lon_col: str = "lon"
+    lat_col: str = "lat"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ..spatial.cluster import dbscan
+
+        return dbscan(
+            df,
+            eps=self.eps,
+            min_pts=self.min_pts,
+            id_col=self.id_col,
+            lon_col=self.lon_col,
+            lat_col=self.lat_col,
+        )
+
+
 STAGE_TYPES = {
     "define": lambda name, cfg: DefineStage.from_config(name, cfg["variables"]),
     "tile_pyramid": lambda name, cfg: TilePyramidStage(name=name, **cfg),
@@ -151,6 +192,8 @@ STAGE_TYPES = {
     "spatial_join": lambda name, cfg: SpatialJoinStage(name=name, **cfg),
     "knn": lambda name, cfg: KnnStage(name=name, **cfg),
     "raster_join": lambda name, cfg: RasterJoinStage(name=name, **cfg),
+    "geofence": lambda name, cfg: GeofenceStage(name=name, **cfg),
+    "dbscan": lambda name, cfg: DbscanStage(name=name, **cfg),
     "systematics": lambda name, cfg: SystematicWeightsStage(name=name, **cfg),
     "binned_dataframe": lambda name, cfg: BinnedDataframeStage(name=name, **cfg),
     "skim": lambda name, cfg: EventByEventDataframeStage(name=name, **cfg),

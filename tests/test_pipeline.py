@@ -163,3 +163,27 @@ def test_pipeline_knn_and_raster_stages(spark, spans):
     r = Pipeline.from_config({"stages": [{"raster_join": {"res": 6}}]}).apply(spans)
     assert {"tile_id", "tile_value"} <= set(r.columns)
     assert r.count() == spans.count()
+
+
+def test_pipeline_geofence_and_dbscan_stages(spark, spans):
+    from fast_carpenter_spark.queries import (
+        DBSCAN_EPS,
+        DBSCAN_MIN_PTS,
+        q_dbscan,
+        q_geofence_transitions,
+    )
+
+    out = Pipeline.from_config(
+        {"stages": [{"geofence": {"polygons": synth.polygons()}}]}
+    ).apply(spans)
+    assert out.columns == ["doc_id", "span_idx", "from_poly", "to_poly"]
+    want = q_geofence_transitions(spark, SF_DIR)
+    assert out.exceptAll(want).count() == 0 and want.exceptAll(out).count() == 0
+
+    pts = spans.filter("span_idx = 0").select("doc_id", "lon", "lat")
+    out = Pipeline.from_config(
+        {"stages": [{"dbscan": {"eps": DBSCAN_EPS, "min_pts": DBSCAN_MIN_PTS}}]}
+    ).apply(pts)
+    assert out.columns == ["doc_id", "role", "cluster_id"]
+    want = q_dbscan(spark, SF_DIR)
+    assert out.exceptAll(want).count() == 0 and want.exceptAll(out).count() == 0

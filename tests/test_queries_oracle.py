@@ -51,6 +51,15 @@ def test_query_matches_oracle(name, spark, duck_sf):
     ddf = duck_sf.execute(oracle).df()
     assert sorted(sdf.columns) == sorted(ddf.columns), f"{name}: column names differ"
     assert len(sdf) == len(ddf), f"{name}: row counts differ ({len(sdf)} vs {len(ddf)})"
+    # dtype KINDS must match before normalization: DuckDB widening (e.g.
+    # sum(BIGINT) -> HUGEINT -> pandas float64) is a driver hash mismatch
+    # even at equal values, and _normalize's int64 cast would mask it
+    for c in sdf.columns:
+        ks, kd = sdf[c].dtype.kind, ddf[c].dtype.kind
+        assert ks == kd or {ks, kd} <= {"i", "u"}, (
+            f"{name}: column {c} dtype kind differs (spark {sdf[c].dtype} "
+            f"vs oracle {ddf[c].dtype}) — cast the oracle expression"
+        )
     a = _normalize(sdf)
     b = _normalize(ddf)
     for c in a.columns:
