@@ -335,6 +335,35 @@ def _o_tile_moran() -> str:
 O_TILE_MORAN = _o_tile_moran()
 
 
+def q_tile_lisa(spark, sf_dir):
+    """Local Moran's I (LISA) per res-6 cell with HH/LL/HL/LH hot/cold
+    quadrant classification — per-cell spatial-association companion to
+    the global tile_moran (exact-integer signs classify; one mul/div
+    double per row)."""
+    from .spatial.stats import local_moran
+
+    tiles = (
+        flat_spans(spark, sf_dir)
+        .withColumn("cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark")))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return local_moran(tiles, REGION_RES)
+
+
+def _o_tile_lisa() -> str:
+    from .spatial.stats import local_moran_oracle_sql
+
+    tiles = (
+        f"SELECT {grid.cell_sql('lon', 'lat', REGION_RES, 'duck')} AS cell, "
+        f"count(*) AS n FROM ({O_SPANS_FLAT}) GROUP BY 1"
+    )
+    return local_moran_oracle_sql(tiles, REGION_RES)
+
+
+O_TILE_LISA = _o_tile_lisa()
+
+
 # Contiguous hot-region labelling: dense tiles -> 8-adjacency connected
 # components.  res 5 / min 4 picked so the sf0.01 corpus yields ~40
 # multi-cell regions (structure worth testing) with a cheap oracle CTE.
@@ -2351,6 +2380,7 @@ QUERIES = {
     "tile_smooth": (q_tile_smooth, O_TILE_SMOOTH),
     "tile_hotspot": (q_tile_hotspot, O_TILE_HOTSPOT),
     "tile_moran": (q_tile_moran, O_TILE_MORAN),
+    "tile_lisa": (q_tile_lisa, O_TILE_LISA),
     "tile_regions": (q_tile_regions, O_TILE_REGIONS),
     "geofence_transitions": (q_geofence_transitions, O_GEOFENCE_TRANSITIONS),
     "events_asof": (q_events_asof, O_EVENTS_ASOF),

@@ -154,6 +154,98 @@ def moran_i(tiles: DataFrame, res: int) -> DataFrame:
     )
 
 
+_LISA_I = (
+    "(CAST(n_cells AS DOUBLE) * CAST(d AS DOUBLE) * CAST(lag AS DOUBLE) "
+    "/ CAST(den AS DOUBLE))"
+)
+# quadrant from the SIGNS of exact integers — no float in the classifier
+_LISA_QUAD = (
+    "CASE WHEN d = 0 OR lag = 0 THEN 'NA' "
+    "WHEN d > 0 AND lag > 0 THEN 'HH' "
+    "WHEN d < 0 AND lag < 0 THEN 'LL' "
+    "WHEN d > 0 THEN 'HL' ELSE 'LH' END"
+)
+
+
+def local_moran(tiles: DataFrame, res: int) -> DataFrame:
+    """Local Moran's I (LISA) per occupied cell with hot/cold quadrant
+    classification — the per-cell companion to :func:`moran_i`.
+
+    With scaled deviations d_i = n·x_i − Σx (exact BIGINT) and binary
+    queen weights, I_i = n · d_i · lag_i / Σd² where lag_i sums the
+    OCCUPIED ring-1 neighbours' deviations; the quadrant (HH/LL/HL/LH)
+    compares integer signs only, so classification is exact and the one
+    double is a single mul/div expression (no accumulation) —
+    bit-identical across engines.  Same scale skeleton as moran_i/gi_star.
+    Returns (cell, d, lag, lisa_i, quadrant).
+    """
+    nside = 1 << res
+    glob = tiles.agg(F.count(F.lit(1)).alias("n_cells"), F.sum("n").alias("tot"))
+    dev = (
+        tiles.crossJoin(F.broadcast(glob))
+        .select("cell", "n_cells", F.expr("n_cells * n - tot").alias("d"))
+        .localCheckpoint()
+    )
+    x = grid.unpack_x_sql("cell", "spark")
+    y = grid.unpack_y_sql("cell", "spark")
+    ring8 = (
+        "filter(flatten(transform(sequence(-1, 1), dx -> "
+        "transform(sequence(-1, 1), dy -> "
+        f"struct({x} + dx AS x, {y} + dy AS y, dx = 0 AND dy = 0 AS own)))), "
+        "c -> NOT c.own)"
+    )
+    contrib = (
+        dev.select("d", F.explode(F.expr(ring8)).alias("_nc"))
+        .filter(
+            (F.col("_nc.x") >= 0) & (F.col("_nc.x") < nside)
+            & (F.col("_nc.y") >= 0) & (F.col("_nc.y") < nside)
+        )
+        .select(
+            F.expr(grid.pack_sql(res, "_nc.x", "_nc.y")).alias("cell"),
+            F.col("d").alias("d_nbr"),
+        )
+    )
+    lag = contrib.groupBy("cell").agg(F.sum("d_nbr").alias("lag"))
+    den = dev.agg(F.max("n_cells").alias("n_cells"), F.sum(F.expr("d * d")).alias("den"))
+    return (
+        dev.select("cell", "d")
+        # left join: an isolated cell (no occupied neighbour) keeps lag=0
+        # -> quadrant 'NA', not a silently dropped row
+        .join(lag, "cell", "left")  # co-partitioned: both sides keyed on cell
+        .withColumn("lag", F.coalesce("lag", F.lit(0)))
+        .crossJoin(F.broadcast(den))
+        .selectExpr("cell", "d", "lag", f"{_LISA_I} AS lisa_i", f"{_LISA_QUAD} AS quadrant")
+    )
+
+
+def local_moran_oracle_sql(tiles_sql: str, res: int) -> str:
+    """DuckDB oracle twin of :func:`local_moran` (HUGEINT sums cast back)."""
+    nside = 1 << res
+    ux = grid.unpack_x_sql("cell", "duck")
+    uy = grid.unpack_y_sql("cell", "duck")
+    return f"""
+WITH tiles AS ({tiles_sql}),
+g AS (SELECT count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS tot FROM tiles),
+dev AS (SELECT cell, n_cells, n_cells * n - tot AS d FROM tiles CROSS JOIN g),
+contrib AS (
+  SELECT {grid.pack_sql(res, f"({ux} + dx)", f"({uy} + dy)")} AS cell, d AS d_nbr
+  FROM dev,
+       (SELECT unnest(range(-1, 2)) AS dx),
+       (SELECT unnest(range(-1, 2)) AS dy)
+  WHERE NOT (dx = 0 AND dy = 0)
+    AND {ux} + dx BETWEEN 0 AND {nside - 1}
+    AND {uy} + dy BETWEEN 0 AND {nside - 1}
+),
+lagt AS (SELECT cell, CAST(sum(d_nbr) AS BIGINT) AS lag FROM contrib GROUP BY 1),
+q AS (SELECT max(n_cells) AS n_cells, CAST(sum(d * d) AS BIGINT) AS den FROM dev)
+SELECT cell, d, lag, {_LISA_I} AS lisa_i, {_LISA_QUAD} AS quadrant
+FROM (
+  SELECT dev.cell, dev.d, COALESCE(lagt.lag, 0) AS lag, q.n_cells, q.den
+  FROM dev LEFT JOIN lagt USING (cell) CROSS JOIN q
+) t
+"""
+
+
 def moran_i_oracle_sql(tiles_sql: str, res: int) -> str:
     """DuckDB oracle: same exact-integer algorithm, independent evaluator;
     integer sums cast back to BIGINT (DuckDB widens to HUGEINT)."""
