@@ -51,6 +51,7 @@ AUDITED = [
     "trajectory_od",    # ONE user_id window shuffle; endpoint pivot rides the same key
     "tile_hotspot",     # ring explode + co-partitioned self-join + 1-row global attach
     "tile_moran",       # same skeleton; exact-BIGINT deviations
+    "tile_lisa",        # per-cell LISA: co-partitioned lag join + 1-row attach
     "poly_metrics",     # map-side only: per-row ring folds, zero exchanges
     "geofence_transitions",  # PIP label join + one doc_id window pass
     # dedup_cluster / tile_regions / dbscan are excluded: iterative
@@ -100,7 +101,7 @@ def summarize(name: str, text: str) -> list[str]:
 #   cardinality 1 by construction); the expected BNLJ count is pinned so a
 #   refactor cannot add an unvetted cross.
 ALLOW_BNLJ_GRIDSYNTH = {"zonal_stats"}
-ALLOW_BNLJ_GLOBAL_ATTACH = {"tile_hotspot": 1, "tile_moran": 1}
+ALLOW_BNLJ_GLOBAL_ATTACH = {"tile_hotspot": 1, "tile_moran": 1, "tile_lisa": 1}
 
 
 def check_scale_killers(name: str, text: str) -> None:
