@@ -296,3 +296,49 @@ def test_geofence_seam_merge_order_independent(spark):
         # doc 1's second seam is label-stable ("b" -> "b"): the c-change
         # happens INSIDE slice 3, which is the within-batch pass's job
         assert got == [(1, 5, "a", "b")], got
+
+
+def test_geofence_stream_restart_with_backfill(spark, tmp_path):
+    """Process 2 trajectory slices, stop, land 2 more files (including an
+    EARLIER slice — out-of-order backfill), resume on the same checkpoint:
+    only new files are processed and the merged result equals the batch
+    operator exactly."""
+    import shutil
+
+    from fast_carpenter_spark.queries import flat_spans, q_geofence_transitions
+    from fast_carpenter_spark.streaming.geofence_stream import StreamingGeofence
+
+    df = flat_spans(spark, SF_DIR)
+    staging = str(tmp_path / "staging")
+    df.repartitionByRange(4, "span_idx", "doc_id").write.parquet(staging)
+    parts = sorted(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    assert len(parts) == 4
+    input_dir = str(tmp_path / "input")
+    os.makedirs(input_dir)
+    # first run sees the MIDDLE slices only
+    for f in parts[1:3]:
+        shutil.copy(os.path.join(staging, f), os.path.join(input_dir, f))
+    stage = StreamingGeofence(
+        name="gfr",
+        polygons=synth.polygons(),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q = stage.start(spark, input_dir)
+    q.awaitTermination(300)
+    n_batches_first = len(os.listdir(stage.frags_dir))
+    assert n_batches_first == 2
+
+    # backfill the FIRST slice and append the last, resume same checkpoint
+    for f in [parts[0], parts[3]]:
+        shutil.copy(os.path.join(staging, f), os.path.join(input_dir, f))
+    q = stage.start(spark, input_dir)
+    q.awaitTermination(300)
+    # exactly-once: the two original files were not reprocessed
+    assert len(os.listdir(stage.frags_dir)) == n_batches_first + 2
+
+    got = rows_sorted(stage.result(spark))
+    want = rows_sorted(q_geofence_transitions(spark, SF_DIR))
+    assert got == want
