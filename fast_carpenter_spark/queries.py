@@ -820,6 +820,34 @@ FROM sessions GROUP BY 1, 2
 """
 
 
+OVERLAP_BIN_US = 3_600_000_000  # 1 h — near the typical session length
+
+
+def q_sessions_overlap(spark, sf_dir):
+    """Interval overlap join (concurrency): for every session, how many
+    other sessions overlap it in time — time-bin bucketing + exact refine
+    + first-common-bin dedup, ONE bin-keyed shuffle instead of the
+    nested-loop theta join (functions/interval.py)."""
+    from .functions.interval import overlap_count
+
+    sess = q_events_sessionize(spark, sf_dir).select(
+        "user_id", "session_id", "sess_start_us", "sess_end_us"
+    )
+    return overlap_count(sess, bin_us=OVERLAP_BIN_US)
+
+
+def _o_sessions_overlap() -> str:
+    from .functions.interval import overlap_count_oracle_sql
+
+    return overlap_count_oracle_sql(
+        "SELECT user_id, session_id, sess_start_us, sess_end_us "
+        f"FROM ({O_EVENTS_SESSIONIZE})"
+    )
+
+
+O_SESSIONS_OVERLAP = _o_sessions_overlap()
+
+
 def q_events_json(spark, sf_dir):
     """Semi-structured extraction: pull props.k out of the JSON string
     column and aggregate — JVM-side JSON path evaluation (get_json_object),
@@ -2396,6 +2424,7 @@ QUERIES = {
     "streaming_dedup": (q_streaming_dedup, O_DEDUP_EXACT),
     "events_window": (q_events_window, O_EVENTS_WINDOW),
     "events_sessionize": (q_events_sessionize, O_EVENTS_SESSIONIZE),
+    "sessions_overlap": (q_sessions_overlap, O_SESSIONS_OVERLAP),
     "streaming_sessionize": (q_streaming_sessionize, O_EVENTS_SESSIONIZE),
     "events_json": (q_events_json, O_EVENTS_JSON),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
