@@ -53,6 +53,7 @@ AUDITED = [
     "tile_moran",       # same skeleton; exact-BIGINT deviations
     "tile_lisa",        # per-cell LISA: co-partitioned lag join + 1-row attach
     "poly_metrics",     # map-side only: per-row ring folds, zero exchanges
+    "sessions_overlap",  # bin-keyed equi join + refine, NOT a range theta/BNLJ
     "geofence_transitions",  # PIP label join + one doc_id window pass
     # dedup_cluster / tile_regions / dbscan are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
