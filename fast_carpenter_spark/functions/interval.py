@@ -37,10 +37,14 @@ def overlap_count(
     length.
     """
     ka, kb = key_cols
+    # materialized once (localCheckpoint; persist/checkpoint on a real
+    # cluster): three consumers — each side of the self-join plus the
+    # final left join — would otherwise re-derive the upstream lineage
+    # (e.g. a whole sessionization) once each
     iv = intervals.select(
         F.col(ka), F.col(kb),
         F.col(start_col).alias("_s"), F.col(end_col).alias("_e"),
-    )
+    ).localCheckpoint()
     binned = iv.select(
         ka, kb, "_s", "_e",
         F.explode(
