@@ -820,6 +820,66 @@ FROM sessions GROUP BY 1, 2
 """
 
 
+_ST_T0_US = 1_704_067_200_000_000  # 2024-01-01 epoch µs (events table origin)
+_ST_DAY_US = 86_400_000_000
+# each polygon is valid for one 7-day window derived from its numeric id
+_ST_P = "CAST(substr(poly_id, 6) AS INT)"
+_ST_VALID = (
+    f"us >= {_ST_T0_US} + ({_ST_P} % 24) * {_ST_DAY_US} "
+    f"AND us < {_ST_T0_US} + ({_ST_P} % 24 + 7) * {_ST_DAY_US}"
+)
+
+
+def q_events_stjoin(spark, sf_dir):
+    """Spatiotemporal join: events (synthetic point + event time) against
+    polygons carrying validity windows — the spatial cover join composes
+    with a temporal refine predicate, then per-polygon visit stats.  The
+    temporal filter rides the SAME broadcast join (no extra shuffle); a
+    slowly-changing polygon layer at scale would put the window columns on
+    the broadcast side identically."""
+    from .spatial.trajectory import _coords_sql
+
+    _load_events(spark, sf_dir)
+    lon, lat = _coords_sql()
+    pts = spark.sql(
+        f"SELECT user_id, event_id, "
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS us, "
+        f"{lon} AS lon, {lat} AS lat FROM events"
+    )
+    stage = SpatialJoinStage(name="st", polygons=synth.polygons())
+    return (
+        stage.apply(pts)
+        .filter(F.expr(_ST_VALID))
+        .groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _o_events_stjoin() -> str:
+    from .spatial.trajectory import _coords_sql
+
+    lon, lat = _coords_sql()
+    pts = (
+        f"SELECT user_id, event_id, epoch_us(ts) AS us, "
+        f"{lon} AS lon, {lat} AS lat FROM events"
+    )
+    pip = pip_oracle_sql(
+        pts, synth.polygons_values_sql("duck"), point_keys="user_id, event_id, us"
+    )
+    return f"""
+SELECT poly_id, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM ({pip}) matched
+WHERE {_ST_VALID}
+GROUP BY 1
+"""
+
+
+O_EVENTS_STJOIN = _o_events_stjoin()
+
+
 OVERLAP_BIN_US = 3_600_000_000  # 1 h — near the typical session length
 
 
@@ -2425,6 +2485,7 @@ QUERIES = {
     "events_window": (q_events_window, O_EVENTS_WINDOW),
     "events_sessionize": (q_events_sessionize, O_EVENTS_SESSIONIZE),
     "sessions_overlap": (q_sessions_overlap, O_SESSIONS_OVERLAP),
+    "events_stjoin": (q_events_stjoin, O_EVENTS_STJOIN),
     "streaming_sessionize": (q_streaming_sessionize, O_EVENTS_SESSIONIZE),
     "events_json": (q_events_json, O_EVENTS_JSON),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
