@@ -633,6 +633,26 @@ def _o_trajectory_od() -> str:
 O_TRAJECTORY_OD = _o_trajectory_od()
 
 
+def q_trajectory_length(spark, sf_dir):
+    """Per-user planar path length / displacement / wander ratio — the
+    order-sensitive float aggregate done deterministically (sort_array +
+    pinned left fold; sqrt is correctly-rounded IEEE, so raw doubles are
+    hash-safe — see trajectory_length_sql)."""
+    from .spatial.trajectory import trajectory_length_sql
+
+    _load_events(spark, sf_dir)
+    return spark.sql(trajectory_length_sql("spark"))
+
+
+def _o_trajectory_length() -> str:
+    from .spatial.trajectory import trajectory_length_sql
+
+    return trajectory_length_sql("duck")
+
+
+O_TRAJECTORY_LENGTH = _o_trajectory_length()
+
+
 def q_tile_rollup(spark, sf_dir):
     """Zoom-out re-aggregation: tile level 8 -> 4 via parent cells — the
     hypertable-rollup analogue (grouping-set rollup over the hierarchy)."""
@@ -2478,6 +2498,7 @@ QUERIES = {
     "cover_lookup": (q_cover_lookup, O_COVER_LOOKUP),
     "trajectory_cells": (q_trajectory_cells, O_TRAJECTORY_CELLS),
     "trajectory_od": (q_trajectory_od, O_TRAJECTORY_OD),
+    "trajectory_length": (q_trajectory_length, O_TRAJECTORY_LENGTH),
     "spans_reconstruct": (q_spans_reconstruct, O_SPANS_RECONSTRUCT),
     "tile_distinct": (q_tile_distinct, O_TILE_DISTINCT),
     "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),

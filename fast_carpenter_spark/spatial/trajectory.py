@@ -72,6 +72,72 @@ FROM odp GROUP BY o_cell, d_cell
 """
 
 
+def trajectory_length_sql(dialect: str) -> str:
+    """Per-user planar trajectory length: Σ segment lengths in event-time
+    order, plus endpoint displacement and the wander ratio.
+
+    Float determinism for an ORDER-SENSITIVE float aggregate over shuffled
+    data: collect each user's points into an array, SORT it (pinning the
+    order a groupBy sum would scramble), then LEFT-FOLD the pairwise
+    distances — +,*,/ and sqrt are correctly-rounded IEEE ops, so the same
+    fold order yields bit-identical doubles on both engines (the trig
+    functions are NOT correctly rounded, which is why geodesic outputs are
+    rank-only — planar lengths have no such restriction).
+
+    Scale shape: ONE user_id shuffle; per-user arrays are bounded by
+    per-user event counts (same invariant as the window queries); the fold
+    is map-side compute."""
+    from . import geom
+
+    lon, lat = _coords_sql()
+    if dialect == "spark":
+        arr = (
+            "sort_array(collect_list(struct(us, event_id, lon, lat)))"
+        )
+        base = f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS us,
+         {lon} AS lon, {lat} AS lat
+  FROM events
+),
+tr AS (SELECT user_id, {arr} AS pts FROM ev GROUP BY user_id)
+"""
+        at = lambda i: f"element_at(pts, CAST({i} AS INT))"  # noqa: E731
+    else:
+        arr = "list(struct_pack(lon := lon, lat := lat) ORDER BY us, event_id)"
+        base = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {lon} AS lon, {lat} AS lat
+  FROM events
+),
+tr AS (SELECT user_id, {arr} AS pts FROM ev GROUP BY user_id)
+"""
+        at = lambda i: f"list_extract(pts, CAST({i} AS BIGINT))"  # noqa: E731
+    n = "size(pts)" if dialect == "spark" else "len(pts)"
+    seg = (
+        f"sqrt(({at('i + 1')}.lon - {at('i')}.lon) * ({at('i + 1')}.lon - {at('i')}.lon)"
+        f" + ({at('i + 1')}.lat - {at('i')}.lat) * ({at('i + 1')}.lat - {at('i')}.lat))"
+    )
+    # guard n=1: Spark's sequence(1, 0) DESCENDS ([1,0]) instead of being
+    # empty (DuckDB's range(1,1) is empty) — never let the fold see it
+    path = (
+        f"(CASE WHEN {n} < 2 THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE {geom._fold_sql(seg, f'({n} - 1)', dialect)} END)"
+    )
+    disp = (
+        f"sqrt(({at(n)}.lon - {at('1')}.lon) * ({at(n)}.lon - {at('1')}.lon)"
+        f" + ({at(n)}.lat - {at('1')}.lat) * ({at(n)}.lat - {at('1')}.lat))"
+    )
+    return f"""{base}
+SELECT user_id, CAST({n} AS BIGINT) AS n_events,
+       {path} AS path_len,
+       {disp} AS displacement,
+       CASE WHEN {path} > 0.0 THEN {disp} / {path} ELSE 1.0 END AS wander
+FROM tr
+"""
+
+
 def trajectory_cells_sql(dialect: str, res: int) -> str:
     """Full query in either dialect (the bodies differ only in the
     sequence-explode idiom; every arithmetic expression is shared text)."""
