@@ -2146,6 +2146,41 @@ QUALITY_SELECTION = {
 QUALITY_WEIGHTS = {"quality": "quality"}
 
 
+def q_quality_adaptive(spark, sf_dir):
+    """Adaptive per-language curation threshold: keep documents at or
+    above their OWN language's median quality (fixed global cuts
+    over-prune low-resource languages — the standard stratified-threshold
+    fix).  Exact grouped percentile (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, bit-identical — the tile_quantiles precedent), then
+    the per-language threshold table is broadcast back: no second shuffle
+    of the corpus."""
+    from .functions import curate as _curate
+
+    df = _curate.quality_scored_df(load_documents(spark, sf_dir)).select(
+        "doc_id", "lang", "quality"
+    )
+    thr = df.groupBy("lang").agg(F.expr("percentile(quality, 0.5)").alias("thr"))
+    return (
+        df.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality") >= F.col("thr"))
+        .select("doc_id", "lang", "quality", "thr")
+    )
+
+
+def _o_quality_adaptive() -> str:
+    from .functions import curate as _curate
+
+    return f"""
+WITH q AS (SELECT doc_id, lang, quality FROM ({_curate.quality_scored_oracle_sql()})),
+t AS (SELECT lang, quantile_cont(quality, 0.5) AS thr FROM q GROUP BY 1)
+SELECT doc_id, lang, quality, thr FROM q JOIN t USING (lang)
+WHERE quality >= thr
+"""
+
+
+O_QUALITY_ADAPTIVE = _o_quality_adaptive()
+
+
 def q_quality_cutflow(spark, sf_dir):
     """Per-rule pass/fail counters (weighted by the quality score) for the
     curation rule tree — the data-pipeline reuse of the HEP cutflow."""
@@ -2544,6 +2579,7 @@ QUERIES = {
     "tfidf_topk": (q_tfidf_topk, O_TFIDF_TOPK),
     "quality_cutflow": (q_quality_cutflow, O_QUALITY_CUTFLOW),
     "quality_filter": (q_quality_filter, O_QUALITY_FILTER),
+    "quality_adaptive": (q_quality_adaptive, O_QUALITY_ADAPTIVE),
     "decontaminate": (q_decontaminate, O_DECONTAMINATE),
     "dedup_canonical": (q_dedup_canonical, O_DEDUP_CANONICAL),
     "text_features": (q_text_features, O_TEXT_FEATURES),
