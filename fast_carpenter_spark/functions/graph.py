@@ -69,6 +69,68 @@ def connected_components(
     return labels
 
 
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle counts via degree-oriented wedge join
+    (compact-forward / Cohen's MapReduce triangle algorithm).
+
+    ``pairs``: undirected edges (doc_a, doc_b), one row per edge, no
+    self-loops.  Returns (node, n_tri) for every node in >= 1 triangle.
+
+    Scale shape: orienting every edge from its (degree, id)-SMALLER to
+    -LARGER endpoint bounds each node's out-degree by O(sqrt(m)), so the
+    wedge join (the quadratic step) does O(m^{3/2}) work TOTAL regardless
+    of hub skew — the id-ordered naive orientation explodes on low-id
+    hubs.  Three exchanges: degree count, wedge self-join on the oriented
+    source, closing-edge join; all BIGINT-keyed equi-joins.
+    """
+    und = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    sym = und.union(und.select(F.col("v"), F.col("u")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # edge + both endpoint degrees, oriented by (degree, id)
+    withd = (
+        und.join(deg.select(F.col("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = withd.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    ).localCheckpoint()  # consumed twice (wedge sides) + once (closure)
+    a = ori.select("src", F.col("dst").alias("x"), F.col("ddst").alias("dx"))
+    b = ori.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
+    wedges = a.join(b, "src").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = ori.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("src", "x", "y")
+    nodes = (
+        tri.select(F.col("src").alias("node"))
+        .union(tri.select(F.col("x")))
+        .union(tri.select(F.col("y")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def triangle_counts_oracle_sql(pairs_sql: str, out_col: str = "node") -> str:
+    """DuckDB ground truth: id-ordered 3-way self-join (a<b<c) — the
+    orientation does not change the triangle set, only the work bound."""
+    return f"""
+WITH e AS (SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+           FROM ({pairs_sql})),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node AS {out_col}, count(*) AS n_tri
+FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+GROUP BY 1
+"""
+
+
 def reach_cte_sql(edges_sql: str, nodes_sql: str, node_col: str = "node") -> str:
     """DuckDB oracle twin: recursive CTE computing the same min-label
     components.  ``edges_sql`` must yield (src, dst) in both orientations;

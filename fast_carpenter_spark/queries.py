@@ -2115,6 +2115,33 @@ def q_dedup_canonical(spark, sf_dir):
     return _dedup.dedup_canonical(load_documents(spark, sf_dir))
 
 
+def q_dedup_triangles(spark, sf_dir):
+    """Per-doc triangle counts in the thresholded near-dup graph —
+    triangle density separates true duplicate CLIQUES from chains of
+    borderline pairs (a transitive-closure cluster with few triangles is
+    probably over-merged).  Degree-oriented wedge join: O(m^1.5) total
+    work regardless of hub skew (functions/graph.py:triangle_counts)."""
+    from .functions.graph import triangle_counts
+
+    pairs = _dedup.minhash_lsh_pairs(load_documents(spark, sf_dir)).filter(
+        f"jaccard >= {_dedup.CLUSTER_JACCARD}"
+    )
+    return triangle_counts(pairs).withColumnRenamed("node", "doc_id")
+
+
+def _o_dedup_triangles() -> str:
+    from .functions.graph import triangle_counts_oracle_sql
+
+    return triangle_counts_oracle_sql(
+        f"SELECT doc_a, doc_b FROM ({O_MINHASH_LSH.strip()}) "
+        f"WHERE jaccard >= {_dedup.CLUSTER_JACCARD}",
+        out_col="doc_id",
+    )
+
+
+O_DEDUP_TRIANGLES = _o_dedup_triangles()
+
+
 def q_sample_stratified(spark, sf_dir):
     """Training-corpus curation: top-K docs per language by quality score,
     stamped with a deterministic content-hash train/val split."""
@@ -2582,6 +2609,7 @@ QUERIES = {
     "quality_adaptive": (q_quality_adaptive, O_QUALITY_ADAPTIVE),
     "decontaminate": (q_decontaminate, O_DECONTAMINATE),
     "dedup_canonical": (q_dedup_canonical, O_DEDUP_CANONICAL),
+    "dedup_triangles": (q_dedup_triangles, O_DEDUP_TRIANGLES),
     "text_features": (q_text_features, O_TEXT_FEATURES),
     "token_topk": (q_token_topk, O_TOKEN_TOPK),
     "ann_cosine_topk": (q_ann_cosine, O_ANN_COSINE),
