@@ -900,6 +900,45 @@ GROUP BY 1
 O_EVENTS_STJOIN = _o_events_stjoin()
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day; for each
+    (cohort_day, day_offset) the number of distinct returning users.  ONE
+    user_id shuffle derives the cohort (min-day window), then a
+    day-pair aggregate over (cohort, offset) — the standard behavioral
+    rollup, exact distinct counts."""
+    from pyspark.sql import Window as W
+
+    ev = _load_events(spark, sf_dir).withColumn(
+        "day",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            f" DIV {_ST_DAY_US}"
+        ),
+    )
+    cohort = ev.withColumn(
+        "cohort_day", F.min("day").over(W.partitionBy("user_id"))
+    )
+    return (
+        cohort.select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+O_EVENTS_RETENTION = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {_ST_DAY_US} AS day FROM events
+),
+c AS (
+  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ev
+)
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM (SELECT DISTINCT user_id, cohort_day, day - cohort_day AS day_offset FROM c)
+GROUP BY 1, 2
+"""
+
+
 OVERLAP_BIN_US = 3_600_000_000  # 1 h — near the typical session length
 
 
@@ -2569,6 +2608,7 @@ QUERIES = {
     "events_sessionize": (q_events_sessionize, O_EVENTS_SESSIONIZE),
     "sessions_overlap": (q_sessions_overlap, O_SESSIONS_OVERLAP),
     "events_stjoin": (q_events_stjoin, O_EVENTS_STJOIN),
+    "events_retention": (q_events_retention, O_EVENTS_RETENTION),
     "streaming_sessionize": (q_streaming_sessionize, O_EVENTS_SESSIONIZE),
     "events_json": (q_events_json, O_EVENTS_JSON),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
