@@ -2222,8 +2222,12 @@ def q_quality_adaptive(spark, sf_dir):
     of the corpus."""
     from .functions import curate as _curate
 
-    df = _curate.quality_scored_df(load_documents(spark, sf_dir)).select(
-        "doc_id", "lang", "quality"
+    # materialized once (persist/checkpoint on a real cluster): the median
+    # pass and the filter pass would otherwise each re-scan the corpus
+    df = (
+        _curate.quality_scored_df(load_documents(spark, sf_dir))
+        .select("doc_id", "lang", "quality")
+        .localCheckpoint()
     )
     thr = df.groupBy("lang").agg(F.expr("percentile(quality, 0.5)").alias("thr"))
     return (

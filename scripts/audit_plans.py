@@ -54,6 +54,10 @@ AUDITED = [
     "tile_lisa",        # per-cell LISA: co-partitioned lag join + 1-row attach
     "poly_metrics",     # map-side only: per-row ring folds, zero exchanges
     "sessions_overlap",  # bin-keyed equi join + refine, NOT a range theta/BNLJ
+    "events_stjoin",    # temporal refine rides the broadcast cover join
+    "trajectory_length",  # one user_id shuffle; sorted-array fold map-side
+    "events_retention",  # one user_id window + day-pair aggregate
+    "quality_adaptive",  # grouped exact median broadcast back, no 2nd corpus shuffle
     "geofence_transitions",  # PIP label join + one doc_id window pass
     # dedup_cluster / tile_regions / dbscan are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
