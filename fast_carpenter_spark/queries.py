@@ -1396,6 +1396,81 @@ def _o_poly_metrics() -> str:
 O_POLY_METRICS = _o_poly_metrics()
 
 
+def _donut_holes() -> list[tuple]:
+    """Concentric hole ring per polygon (outer scaled 0.5 toward its
+    vertex centroid) — computed ONCE in Python so both engines consume
+    identical double literals."""
+    holes = []
+    for d in synth.polygons():
+        xs, ys = d["ring_lon"], d["ring_lat"]
+        cx, cy = sum(xs) / len(xs), sum(ys) / len(ys)
+        holes.append(
+            (
+                d["poly_id"],
+                [cx + 0.5 * (x - cx) for x in xs],
+                [cy + 0.5 * (y - cy) for y in ys],
+            )
+        )
+    return holes
+
+
+def q_pip_holes(spark, sf_dir):
+    """Polygon-with-holes containment (donut polygons): candidates from
+    the OUTER-ring cell-cover join, then an anti-refine on the broadcast
+    hole ring — inside = outer-parity AND NOT hole-parity (the even-odd
+    rule decomposed so the hole test only touches outer-matched
+    candidates).  Per-polygon count of span points in the annulus."""
+    from .spatial.pip import pip_condition_sql
+
+    from pyspark.sql import types as T
+
+    df = flat_spans(spark, sf_dir)
+    stage = SpatialJoinStage(name="holes", polygons=synth.polygons())
+    cand = stage.apply(df)
+    schema = T.StructType(
+        [
+            T.StructField("poly_id", T.StringType(), False),
+            T.StructField("hole_lon", T.ArrayType(T.DoubleType(), False), False),
+            T.StructField("hole_lat", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+    holes = spark.createDataFrame(_donut_holes(), schema)
+    inhole = pip_condition_sql("lon", "lat", "hole_lon", "hole_lat", "spark")
+    return (
+        cand.join(F.broadcast(holes), "poly_id")
+        .filter(F.expr(f"NOT ({inhole})"))
+        .groupBy("poly_id")
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+    )
+
+
+def _o_pip_holes() -> str:
+    from .spatial.pip import pip_condition_sql
+
+    pts = f"SELECT doc_id, span_offset, lon, lat FROM ({O_SPANS_FLAT})"
+    outer = pip_oracle_sql(
+        pts,
+        synth.polygons_values_sql("duck"),
+        point_keys="doc_id, span_offset, lon, lat",
+    )
+    rows = ",\n ".join(
+        f"('{pid}', {synth._arr(hx, 'duck')}, {synth._arr(hy, 'duck')})"
+        for pid, hx, hy in _donut_holes()
+    )
+    inhole = pip_condition_sql("lon", "lat", "hole_lon", "hole_lat", "duck")
+    return f"""
+WITH io AS ({outer}),
+h AS (SELECT * FROM (VALUES {rows}) AS t(poly_id, hole_lon, hole_lat))
+SELECT poly_id, count(*) AS n_pts
+FROM io JOIN h USING (poly_id)
+WHERE NOT ({inhole})
+GROUP BY 1
+"""
+
+
+O_PIP_HOLES = _o_pip_holes()
+
+
 DBSCAN_EPS, DBSCAN_MIN_PTS = 12.0, 4
 
 
@@ -2625,6 +2700,7 @@ QUERIES = {
     "pip_join": (q_pip_join, O_PIP_JOIN),
     "pip_join_salted": (q_pip_join_salted, O_PIP_JOIN),
     "pip_anti": (q_pip_anti, O_PIP_ANTI),
+    "pip_holes": (q_pip_holes, O_PIP_HOLES),
     "pip_tile_agg": (q_pip_tile_agg, O_PIP_TILE_AGG),
     "knn": (q_knn, O_KNN),
     "radius_join": (q_radius_join, O_RADIUS_JOIN),
