@@ -900,6 +900,38 @@ GROUP BY 1
 O_EVENTS_STJOIN = _o_events_stjoin()
 
 
+_STAR_SQL = """
+SELECT r_name, n_name,
+       count(*) AS n_lines,
+       -- fixed-point BIGINT (1e-4 currency units): decimal sums are exact
+       -- in both engines but DuckDB's pandas bridge renders wide DECIMAL
+       -- as float64, so ship the scaled integer instead
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+         AS revenue_e4
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_star_revenue(spark, sf_dir):
+    """Star-schema revenue rollup over the TPC-H tables (the Q5 join
+    shape): fact⋈fact on the order key, every dimension broadcast by
+    Catalyst (size-based).  Money stays DECIMAL end-to-end — decimal sums
+    are exact in both engines, so the aggregate is order-insensitive and
+    hash-safe where a double sum would not be."""
+    for t in ["lineitem", "orders", "customer", "nation", "region"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(_STAR_SQL)
+
+
+O_STAR_REVENUE = _STAR_SQL
+
+
 def q_events_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-seen day; for each
     (cohort_day, day_offset) the number of distinct returning users.  ONE
@@ -2688,6 +2720,7 @@ QUERIES = {
     "sessions_overlap": (q_sessions_overlap, O_SESSIONS_OVERLAP),
     "events_stjoin": (q_events_stjoin, O_EVENTS_STJOIN),
     "events_retention": (q_events_retention, O_EVENTS_RETENTION),
+    "star_revenue": (q_star_revenue, O_STAR_REVENUE),
     "streaming_sessionize": (q_streaming_sessionize, O_EVENTS_SESSIONIZE),
     "events_json": (q_events_json, O_EVENTS_JSON),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
