@@ -932,6 +932,69 @@ def q_star_revenue(spark, sf_dir):
 O_STAR_REVENUE = _STAR_SQL
 
 
+def _pricing_sql(ship_cutoff: str) -> str:
+    """TPC-H Q1 pricing-summary shape with exact fixed-point outputs.
+    The disc_price product is re-cast to DECIMAL(18,4) (exact: <= 4
+    fractional digits by construction) before the tax multiply so the
+    three-way product never exceeds precision 38 — Spark would otherwise
+    truncate scale (allowPrecisionLoss) where DuckDB widens to 128-bit."""
+    qty = "CAST(l_quantity AS DECIMAL(18,2))"
+    price = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    disc = "CAST(l_discount AS DECIMAL(18,2))"
+    tax = "CAST(l_tax AS DECIMAL(18,2))"
+    disc_price = f"CAST({price} * (1 - {disc}) AS DECIMAL(18,4))"
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(sum({qty}) * 100 AS BIGINT) AS sum_qty_e2,
+       CAST(sum({price}) * 100 AS BIGINT) AS sum_base_e2,
+       CAST(sum({disc_price}) * 10000 AS BIGINT) AS sum_disc_e4,
+       CAST(sum({disc_price} * (1 + {tax})) * 1000000 AS BIGINT) AS sum_charge_e6
+FROM lineitem
+WHERE l_shipdate <= {ship_cutoff}
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1 pricing summary (the reference-domain 'cutflow over a fact
+    table' analogue): one scan, partial-agg'd groupBy on two low-card
+    keys; all money exact fixed-point BIGINT."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_pricing_sql("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+
+
+O_LINEITEM_PRICING = _pricing_sql("TIMESTAMP '1998-09-02 00:00:00'")
+
+
+_BRAND_SQL = """
+SELECT p_brand, n_name,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+         AS revenue_e4
+FROM lineitem
+JOIN part     ON l_partkey   = p_partkey
+JOIN supplier ON l_suppkey   = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY p_brand, n_name
+"""
+
+
+def q_brand_revenue(spark, sf_dir):
+    """Revenue by part brand × supplier nation — covers the part/supplier
+    dimensions: fact scan + three broadcast dimension joins, exact
+    fixed-point money."""
+    for t in ["lineitem", "part", "supplier", "nation"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(_BRAND_SQL)
+
+
+O_BRAND_REVENUE = _BRAND_SQL
+
+
 def q_events_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-seen day; for each
     (cohort_day, day_offset) the number of distinct returning users.  ONE
@@ -2721,6 +2784,8 @@ QUERIES = {
     "events_stjoin": (q_events_stjoin, O_EVENTS_STJOIN),
     "events_retention": (q_events_retention, O_EVENTS_RETENTION),
     "star_revenue": (q_star_revenue, O_STAR_REVENUE),
+    "lineitem_pricing": (q_lineitem_pricing, O_LINEITEM_PRICING),
+    "brand_revenue": (q_brand_revenue, O_BRAND_REVENUE),
     "streaming_sessionize": (q_streaming_sessionize, O_EVENTS_SESSIONIZE),
     "events_json": (q_events_json, O_EVENTS_JSON),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
