@@ -58,6 +58,9 @@ AUDITED = [
     "trajectory_length",  # one user_id shuffle; sorted-array fold map-side
     "events_retention",  # one user_id window + day-pair aggregate
     "quality_adaptive",  # grouped exact median broadcast back, no 2nd corpus shuffle
+    "star_revenue",     # fact⋈fact + broadcast dims (Q5 shape), decimal partial agg
+    "lineitem_pricing",  # Q1: one scan, low-card groupBy, partial agg
+    "pip_holes",        # outer cover join + broadcast hole anti-refine
     "geofence_transitions",  # PIP label join + one doc_id window pass
     # dedup_cluster / tile_regions / dbscan are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
