@@ -312,6 +312,49 @@ SELECT vec_id, {ivf_assign_sql('embedding', 'duck')} AS list_id FROM embeddings
 """
 
 
+def ivf_centroid_update(emb: DataFrame) -> DataFrame:
+    """One exact distributed k-means M-step for the IVF quantizer:
+    per (list_id, dim) the member count and the fixed-point component sum
+    (the centroid numerator; consumer divides sum_e6 / (n · 1e6)).
+
+    Exactness: each float32 component is widened to double (exact), scaled
+    by 1e6 (exact double product for these magnitudes) and FLOORED to
+    BIGINT — floor is deterministic where round() ties are engine-policy —
+    so the sum is an integer aggregate, order-insensitive.  Shape: one
+    shuffle on (list_id, dim) after a constant-width posexplode; partial
+    agg map-side.  This is the building block that makes IVF training a
+    sequence of exact, restartable Spark jobs."""
+    assigned = emb.withColumn(
+        "list_id", F.expr(ivf_assign_sql("embedding", "spark"))
+    )
+    return (
+        assigned.select("list_id", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("list_id", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)")
+            ).alias("sum_e6"),
+        )
+    )
+
+
+def ivf_centroid_update_oracle_sql() -> str:
+    return f"""
+WITH a AS (
+  SELECT {ivf_assign_sql('embedding', 'duck')} AS list_id, embedding FROM embeddings
+),
+e AS (
+  SELECT list_id, i AS dim,
+         CAST(floor(CAST(list_extract(embedding, i + 1) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS xi
+  FROM (SELECT list_id, embedding, unnest(range(0, len(embedding))) AS i FROM a)
+)
+SELECT list_id, dim, count(*) AS n, CAST(sum(xi) AS BIGINT) AS sum_e6
+FROM e GROUP BY 1, 2
+"""
+
+
 def ivf_topk(
     emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
     n_probe: int = N_PROBE,

@@ -1976,6 +1976,16 @@ def q_ann_ivf_assign(spark, sf_dir):
 O_ANN_IVF_ASSIGN = _ann.ivf_assign_oracle_sql()
 
 
+def q_ann_ivf_centroids(spark, sf_dir):
+    """Exact k-means M-step for the IVF lists: per (list, dim) member
+    count + fixed-point centroid numerator (floor-scaled BIGINT sums —
+    order-insensitive, restartable)."""
+    return _ann.ivf_centroid_update(_load_embeddings(spark, sf_dir))
+
+
+O_ANN_IVF_CENTROIDS = _ann.ivf_centroid_update_oracle_sql()
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF n_probe nearest-list probe + exact cosine rerank."""
     return _ann.ivf_topk(_load_embeddings(spark, sf_dir))
@@ -2836,6 +2846,7 @@ QUERIES = {
     "ann_lsh_rerank": (q_ann_lsh_rerank, O_ANN_LSH_RERANK),
     "ann_rerank_recall": (q_ann_rerank_recall, O_ANN_RERANK_RECALL),
     "ann_ivf_assign": (q_ann_ivf_assign, O_ANN_IVF_ASSIGN),
+    "ann_ivf_centroids": (q_ann_ivf_centroids, O_ANN_IVF_CENTROIDS),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
     "ann_ivf_recall": (q_ann_ivf_recall, O_ANN_IVF_RECALL),
     "dedup_embedding_cosine": (q_dedup_embedding, O_DEDUP_EMBEDDING),
