@@ -355,6 +355,41 @@ FROM e GROUP BY 1, 2
 """
 
 
+def _purity_body_sql(assigned_sql: str) -> str:
+    """Shared (Spark ≡ DuckDB) text: per-list majority label + counts,
+    deterministic tie-break (count desc, label asc)."""
+    return f"""
+WITH a AS ({assigned_sql}),
+c AS (SELECT list_id, label, count(*) AS n FROM a GROUP BY list_id, label),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY list_id ORDER BY n DESC, label) AS rk
+  FROM c
+),
+t AS (SELECT list_id, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY list_id)
+SELECT r.list_id, t.total, r.label AS top_label, r.n AS top_n
+FROM r JOIN t ON r.list_id = t.list_id
+WHERE rk = 1
+"""
+
+
+def ivf_label_purity(emb: DataFrame) -> DataFrame:
+    """Quantizer quality: per IVF list the member count and the majority
+    class label (purity = top_n / total at the consumer).  Two partial-
+    agg'd shuffles on (list, label) then list; the top-1 window rides the
+    second grouping's partitioning."""
+    spark = emb.sparkSession
+    emb.select(
+        F.expr(ivf_assign_sql("embedding", "spark")).alias("list_id"), "label"
+    ).createOrReplaceTempView("_ivf_assigned")
+    return spark.sql(_purity_body_sql("SELECT list_id, label FROM _ivf_assigned"))
+
+
+def ivf_label_purity_oracle_sql() -> str:
+    return _purity_body_sql(
+        f"SELECT {ivf_assign_sql('embedding', 'duck')} AS list_id, label FROM embeddings"
+    )
+
+
 def ivf_topk(
     emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
     n_probe: int = N_PROBE,

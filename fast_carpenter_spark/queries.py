@@ -1986,6 +1986,15 @@ def q_ann_ivf_centroids(spark, sf_dir):
 O_ANN_IVF_CENTROIDS = _ann.ivf_centroid_update_oracle_sql()
 
 
+def q_ann_label_purity(spark, sf_dir):
+    """Per-IVF-list majority label + counts — the quantizer-quality
+    diagnostic (purity = top_n/total), deterministic tie-break."""
+    return _ann.ivf_label_purity(_load_embeddings(spark, sf_dir))
+
+
+O_ANN_LABEL_PURITY = _ann.ivf_label_purity_oracle_sql()
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF n_probe nearest-list probe + exact cosine rerank."""
     return _ann.ivf_topk(_load_embeddings(spark, sf_dir))
@@ -2847,6 +2856,7 @@ QUERIES = {
     "ann_rerank_recall": (q_ann_rerank_recall, O_ANN_RERANK_RECALL),
     "ann_ivf_assign": (q_ann_ivf_assign, O_ANN_IVF_ASSIGN),
     "ann_ivf_centroids": (q_ann_ivf_centroids, O_ANN_IVF_CENTROIDS),
+    "ann_label_purity": (q_ann_label_purity, O_ANN_LABEL_PURITY),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
     "ann_ivf_recall": (q_ann_ivf_recall, O_ANN_IVF_RECALL),
     "dedup_embedding_cosine": (q_dedup_embedding, O_DEDUP_EMBEDDING),
