@@ -342,3 +342,50 @@ def test_geofence_stream_restart_with_backfill(spark, tmp_path):
     got = rows_sorted(stage.result(spark))
     want = rows_sorted(q_geofence_transitions(spark, SF_DIR))
     assert got == want
+
+
+def test_streaming_enrich_sees_dim_as_of_each_batch(spark, docs, tmp_path):
+    """Slowly-changing dimension: batches drained before the dim update
+    carry v1 attributes, batches after carry v2 — pinned per-batch re-read
+    semantics (a raw stream-static join leaves the version undefined)."""
+    from fast_carpenter_spark.streaming.enrich_stream import StreamingEnrich
+
+    input_dir = str(tmp_path / "in")
+    dim_path = str(tmp_path / "dim")
+
+    def write_dim(version):
+        spark.createDataFrame(
+            [(lang, f"{lang}_{version}") for lang in ["en", "de", "fr", "es", "zh"]],
+            "lang string, lang_label string",
+        ).write.mode("overwrite").parquet(dim_path)
+
+    write_dim("v1")
+    docs.filter("doc_id % 2 = 0").select("doc_id", "lang").write.parquet(input_dir)
+    stage = StreamingEnrich(
+        name="en1", dim_path=dim_path, on="lang",
+        out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q = stage.start(spark, input_dir)
+    q.awaitTermination(300)
+    first = stage.result(spark)
+    n1 = first.count()
+    assert n1 > 0
+    assert first.filter(~F.col("lang_label").endswith("_v1")).count() == 0
+
+    # dim update + second drain with appended input: only new batches v2
+    write_dim("v2")
+    docs.filter("doc_id % 2 = 1").select("doc_id", "lang").write.mode(
+        "append"
+    ).parquet(input_dir)
+    q = stage.start(spark, input_dir)
+    q.awaitTermination(300)
+    final = stage.result(spark)
+    v1 = final.filter(F.col("lang_label").endswith("_v1"))
+    v2 = final.filter(F.col("lang_label").endswith("_v2"))
+    # exactly-once: batch-1 rows untouched (still v1), new rows v2
+    assert v1.count() == n1
+    assert v2.count() == final.count() - n1 > 0
+    # version boundary aligns with the batch boundary
+    max_v1_batch = v1.agg(F.max("_batch")).first()[0]
+    min_v2_batch = v2.agg(F.min("_batch")).first()[0]
+    assert max_v1_batch < min_v2_batch
