@@ -2672,6 +2672,51 @@ def q_streaming_geofence(spark, sf_dir):
     return stage.result(spark)
 
 
+_ENRICH_LANGS = ["en", "de", "fr", "es", "zh", "ja", "ru", "pt"]
+
+
+def q_streaming_enrich(spark, sf_dir):
+    """Streaming dimension enrichment drained with availableNow: docs
+    stream in file-sized micro-batches, each batch broadcast-joined to the
+    dim read fresh per batch (pinned SCD semantics —
+    streaming/enrich_stream.py); with the dim static over the drain the
+    merged result must equal the plain batch join exactly.  Mid-stream
+    dim updates + exactly-once are pinned in tests/test_streaming.py."""
+    import tempfile
+
+    from .streaming.enrich_stream import StreamingEnrich
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "lang")
+    d_in = tempfile.mkdtemp(prefix="fcs_enr_in_")
+    docs.repartition(4, "doc_id").write.mode("overwrite").parquet(d_in)
+    dim_path = tempfile.mkdtemp(prefix="fcs_enr_dim_")
+    spark.createDataFrame(
+        [(lang, f"label_{lang}") for lang in _ENRICH_LANGS],
+        "lang string, lang_label string",
+    ).write.mode("overwrite").parquet(dim_path)
+    stage = StreamingEnrich(
+        name="enrq",
+        dim_path=dim_path,
+        on="lang",
+        out_dir=tempfile.mkdtemp(prefix="fcs_enr_out_"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="fcs_enr_ckpt_"),
+    )
+    q = stage.start(spark, d_in, available_now=True)
+    q.awaitTermination(300)
+    return stage.result(spark).drop("_batch")
+
+
+def _o_streaming_enrich() -> str:
+    rows = ", ".join(f"('{lang}', 'label_{lang}')" for lang in _ENRICH_LANGS)
+    return f"""
+SELECT d.doc_id, d.lang, t.lang_label
+FROM documents d JOIN (VALUES {rows}) AS t(lang, lang_label) USING (lang)
+"""
+
+
+O_STREAMING_ENRICH = _o_streaming_enrich()
+
+
 def q_seq_pack(spark, sf_dir):
     """Concat-and-chunk training-sequence packing: documents in doc_id
     order are conceptually concatenated token-wise and cut into fixed
@@ -2787,6 +2832,7 @@ QUERIES = {
     "geofence_transitions": (q_geofence_transitions, O_GEOFENCE_TRANSITIONS),
     "events_asof": (q_events_asof, O_EVENTS_ASOF),
     "streaming_geofence": (q_streaming_geofence, O_GEOFENCE_TRANSITIONS),
+    "streaming_enrich": (q_streaming_enrich, O_STREAMING_ENRICH),
     "seq_pack": (q_seq_pack, _o_seq_pack()),
     "doc_chunks": (q_doc_chunks, O_DOC_CHUNKS),
     "cover_lookup": (q_cover_lookup, O_COVER_LOOKUP),
