@@ -390,6 +390,78 @@ def ivf_label_purity_oracle_sql() -> str:
     )
 
 
+def ivf_reassign(emb: DataFrame) -> DataFrame:
+    """The E-step completing one exact k-means round: re-assign every
+    vector to its nearest UPDATED centroid (from the fixed-point M-step).
+
+    Determinism chain: centroid components are ratios of exact integers
+    (bit-identical divisions), the squared distance is a pinned-order
+    left fold over dims (bit-identical accumulation), and argmin
+    tie-breaks on list_id via struct-min — so the assignment, an
+    iterative-ML step, is oracle-exact.  Shape: the centroid table
+    (n_lists rows) broadcasts; one fold per (point, centroid) map-side;
+    argmin is a partial-agg'd groupBy on vec_id.  Iterating
+    M-step → E-step to convergence is this pair in a loop with a
+    localCheckpoint per round (the Pregel recipe)."""
+    cent = (
+        ivf_centroid_update(emb)
+        .groupBy("list_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, "
+                "CAST(sum_e6 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS c))), "
+                "s -> s.c)"
+            ).alias("centroid")
+        )
+    )
+    diff = (
+        "(CAST(element_at(embedding, i) AS DOUBLE) - element_at(centroid, i))"
+    )
+    dist = (
+        f"aggregate(sequence(1, size(embedding)), CAST(0.0 AS DOUBLE), "
+        f"(acc, i) -> acc + {diff} * {diff})"
+    )
+    return (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))  # n_lists rows: bounded by construction
+        .withColumn("d2", F.expr(dist))
+        .groupBy("vec_id")
+        .agg(F.min(F.expr("struct(d2, list_id)")).alias("m"))
+        .selectExpr("vec_id", "m.list_id AS list_id")
+    )
+
+
+def ivf_reassign_oracle_sql() -> str:
+    cent_update = ivf_centroid_update_oracle_sql().strip()
+    diff = (
+        "(CAST(list_extract(embedding, i) AS DOUBLE) - list_extract(centroid, i))"
+    )
+    dist = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len(embedding) + 1), i -> {diff} * {diff})), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+WITH m AS ({cent_update}),
+cent AS (
+  SELECT list_id,
+         list(CAST(sum_e6 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+              ORDER BY dim) AS centroid
+  FROM m GROUP BY list_id
+),
+d AS (
+  SELECT vec_id, list_id, {dist} AS d2
+  FROM embeddings CROSS JOIN cent
+),
+r AS (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rk
+  FROM d
+)
+SELECT vec_id, list_id FROM r WHERE rk = 1
+"""
+
+
 def ivf_topk(
     emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
     n_probe: int = N_PROBE,

@@ -1986,6 +1986,16 @@ def q_ann_ivf_centroids(spark, sf_dir):
 O_ANN_IVF_CENTROIDS = _ann.ivf_centroid_update_oracle_sql()
 
 
+def q_ann_ivf_reassign(spark, sf_dir):
+    """One full exact k-means round (M-step centroids → E-step nearest-
+    centroid reassignment) — iterative ML training as oracle-exact Spark
+    jobs (pinned-fold distances, integer-ratio centroids)."""
+    return _ann.ivf_reassign(_load_embeddings(spark, sf_dir))
+
+
+O_ANN_IVF_REASSIGN = _ann.ivf_reassign_oracle_sql()
+
+
 def q_ann_label_purity(spark, sf_dir):
     """Per-IVF-list majority label + counts — the quantizer-quality
     diagnostic (purity = top_n/total), deterministic tie-break."""
@@ -2903,6 +2913,7 @@ QUERIES = {
     "ann_ivf_assign": (q_ann_ivf_assign, O_ANN_IVF_ASSIGN),
     "ann_ivf_centroids": (q_ann_ivf_centroids, O_ANN_IVF_CENTROIDS),
     "ann_label_purity": (q_ann_label_purity, O_ANN_LABEL_PURITY),
+    "ann_ivf_reassign": (q_ann_ivf_reassign, O_ANN_IVF_REASSIGN),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
     "ann_ivf_recall": (q_ann_ivf_recall, O_ANN_IVF_RECALL),
     "dedup_embedding_cosine": (q_dedup_embedding, O_DEDUP_EMBEDDING),
