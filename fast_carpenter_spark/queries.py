@@ -277,6 +277,66 @@ FROM contrib GROUP BY 1
 """
 
 
+def q_tile_gauss(spark, sf_dir):
+    """Binomial-weighted 3×3 smoothing (the separable [1,2,1]⊗[1,2,1]
+    Gaussian approximation): like tile_smooth but each neighbour
+    contributes weight (2-|dx|)·(2-|dy|) ∈ {1,2,4} — integer weights keep
+    the count channel exact BIGINT, and the weight channel stays exact
+    because span weights are binary fractions.  Same single-explode,
+    no-join shape as the box smooth."""
+    n = 1 << REGION_RES
+    tiles = (
+        flat_spans(spark, sf_dir)
+        .withColumn("cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark")))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("w_sumw"))
+    )
+    x = grid.unpack_x_sql("cell", "spark")
+    y = grid.unpack_y_sql("cell", "spark")
+    ring = (
+        "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> "
+        f"struct({x} + dx AS x, {y} + dy AS y, "
+        "(2 - abs(dx)) * (2 - abs(dy)) AS kw))))"
+    )
+    contrib = (
+        tiles.select("n", "w_sumw", F.explode(F.expr(ring)).alias("_nc"))
+        .filter(
+            (F.col("_nc.x") >= 0) & (F.col("_nc.x") < n)
+            & (F.col("_nc.y") >= 0) & (F.col("_nc.y") < n)
+        )
+        .select(
+            F.expr(grid.pack_sql(REGION_RES, "_nc.x", "_nc.y")).alias("cell"),
+            F.expr("CAST(_nc.kw AS BIGINT) * n").alias("kn"),
+            F.expr("CAST(_nc.kw AS DOUBLE) * w_sumw").alias("kws"),
+        )
+    )
+    return contrib.groupBy("cell").agg(
+        F.sum("kn").alias("n_gauss"), F.sum("kws").alias("w_gauss")
+    )
+
+
+O_TILE_GAUSS = f"""
+WITH tiles AS (
+  SELECT {grid.cell_sql('lon', 'lat', REGION_RES, 'duck')} AS cell,
+         count(*) AS n, sum(w) AS w_sumw
+  FROM ({O_SPANS_FLAT})
+  GROUP BY 1
+),
+contrib AS (
+  SELECT {grid.pack_sql(REGION_RES, f"({grid.unpack_x_sql('cell', 'duck')} + dx)", f"({grid.unpack_y_sql('cell', 'duck')} + dy)")} AS tcell,
+         CAST((2 - abs(dx)) * (2 - abs(dy)) AS BIGINT) * n AS kn,
+         CAST((2 - abs(dx)) * (2 - abs(dy)) AS DOUBLE) * w_sumw AS kws
+  FROM tiles,
+       (SELECT unnest(range(-1, 2)) AS dx),
+       (SELECT unnest(range(-1, 2)) AS dy)
+  WHERE {grid.unpack_x_sql('cell', 'duck')} + dx BETWEEN 0 AND {_n6 - 1}
+    AND {grid.unpack_y_sql('cell', 'duck')} + dy BETWEEN 0 AND {_n6 - 1}
+)
+SELECT tcell AS cell, CAST(sum(kn) AS BIGINT) AS n_gauss, sum(kws) AS w_gauss
+FROM contrib GROUP BY 1
+"""
+
+
 def q_tile_hotspot(spark, sf_dir):
     """Getis–Ord Gi* hotspot z-scores over the res-6 tile field — the
     cutflow-style 'is this region significant' classifier on top of the
@@ -2835,6 +2895,7 @@ QUERIES = {
     "cell_compact": (q_cell_compact, O_CELL_COMPACT),
     "cell_uncompact": (q_cell_uncompact, O_CELL_UNCOMPACT),
     "tile_smooth": (q_tile_smooth, O_TILE_SMOOTH),
+    "tile_gauss": (q_tile_gauss, O_TILE_GAUSS),
     "tile_hotspot": (q_tile_hotspot, O_TILE_HOTSPOT),
     "tile_moran": (q_tile_moran, O_TILE_MORAN),
     "tile_lisa": (q_tile_lisa, O_TILE_LISA),
