@@ -693,6 +693,71 @@ def _o_trajectory_od() -> str:
 O_TRAJECTORY_OD = _o_trajectory_od()
 
 
+def q_tile_flow(spark, sf_dir):
+    """Per-segment flow matrix: every consecutive span pair in a document
+    contributes one (from_cell → to_cell) movement edge at REGION_RES —
+    the flow-map operator (trajectory_od's endpoint matrix, refined to
+    per-hop flux; self-loops = within-cell movement kept).  One doc_id
+    window shuffle + a flow-cardinality aggregate."""
+    from pyspark.sql import Window as W
+
+    pts = flat_spans(spark, sf_dir).withColumn(
+        "cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark"))
+    )
+    w = W.partitionBy("doc_id").orderBy("span_idx")
+    return (
+        pts.withColumn("prev_cell", F.lag("cell").over(w))
+        .filter(F.col("prev_cell").isNotNull())
+        .groupBy(
+            F.col("prev_cell").alias("from_cell"), F.col("cell").alias("to_cell")
+        )
+        .agg(F.count(F.lit(1)).alias("n_moves"))
+    )
+
+
+O_TILE_FLOW = f"""
+WITH pts AS (
+  SELECT doc_id, span_idx, {grid.cell_sql('lon', 'lat', REGION_RES, 'duck')} AS cell
+  FROM ({O_SPANS_FLAT})
+),
+seg AS (
+  SELECT cell, lag(cell) OVER (PARTITION BY doc_id ORDER BY span_idx) AS prev_cell
+  FROM pts
+)
+SELECT prev_cell AS from_cell, cell AS to_cell, count(*) AS n_moves
+FROM seg WHERE prev_cell IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_kind_transitions(spark, sf_dir):
+    """Span-kind Markov transition counts within documents (text→image→
+    table chains of the interleaved format): lag window on span order,
+    transition-matrix aggregate — the modality-structure profile of an
+    interleaved corpus."""
+    from pyspark.sql import Window as W
+
+    df = flat_spans(spark, sf_dir).select("doc_id", "span_idx", "kind")
+    w = W.partitionBy("doc_id").orderBy("span_idx")
+    return (
+        df.withColumn("prev_kind", F.lag("kind").over(w))
+        .filter(F.col("prev_kind").isNotNull())
+        .groupBy(F.col("prev_kind").alias("from_kind"), F.col("kind").alias("to_kind"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_KIND_TRANSITIONS = f"""
+WITH s AS (
+  SELECT kind, lag(kind) OVER (PARTITION BY doc_id ORDER BY span_idx) AS prev_kind
+  FROM ({O_SPANS_FLAT})
+)
+SELECT prev_kind AS from_kind, kind AS to_kind, count(*) AS n
+FROM s WHERE prev_kind IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_trajectory_length(spark, sf_dir):
     """Per-user planar path length / displacement / wander ratio — the
     order-sensitive float aggregate done deterministically (sort_array +
@@ -1652,6 +1717,44 @@ def _dbscan_oracle():
 
 
 O_DBSCAN = _dbscan_oracle()
+
+
+def q_poly_regions(spark, sf_dir):
+    """Merged-region labelling: connected components over the polygon
+    overlay graph (polygons whose rings intersect belong to one region) —
+    the dissolve/union precursor, third reuse of the shared Pregel loop."""
+    from .functions.graph import connected_components
+    from .spatial.overlay import polygon_overlap_join
+
+    pairs = polygon_overlap_join(synth.polygons_df(spark)).select("poly_a", "poly_b")
+    edges = pairs.selectExpr("poly_a AS src", "poly_b AS dst").union(
+        pairs.selectExpr("poly_b AS src", "poly_a AS dst")
+    )
+    nodes = synth.polygons_df(spark).select(F.col("poly_id").alias("node"))
+    return (
+        connected_components(nodes, edges, node_col="node")
+        .withColumnRenamed("node", "poly_id")
+        .withColumnRenamed("cluster_id", "region_id")
+    )
+
+
+def _o_poly_regions() -> str:
+    from .functions.graph import reach_cte_sql
+
+    ov = O_POLY_OVERLAP.strip()
+    cte = reach_cte_sql(
+        f"SELECT poly_a AS src, poly_b AS dst FROM ({ov}) "
+        f"UNION ALL SELECT poly_b, poly_a FROM ({ov})",
+        f"SELECT poly_id AS node FROM {synth.polygons_values_sql('duck')}",
+        "node",
+    )
+    return (
+        f"WITH RECURSIVE {cte} "
+        "SELECT node AS poly_id, cluster_id AS region_id FROM cl"
+    )
+
+
+O_POLY_REGIONS = _o_poly_regions()
 
 
 KNN_RES, KNN_RING, KNN_K = 5, 1, 3
@@ -2910,6 +3013,8 @@ QUERIES = {
     "trajectory_cells": (q_trajectory_cells, O_TRAJECTORY_CELLS),
     "trajectory_od": (q_trajectory_od, O_TRAJECTORY_OD),
     "trajectory_length": (q_trajectory_length, O_TRAJECTORY_LENGTH),
+    "tile_flow": (q_tile_flow, O_TILE_FLOW),
+    "kind_transitions": (q_kind_transitions, O_KIND_TRANSITIONS),
     "spans_reconstruct": (q_spans_reconstruct, O_SPANS_RECONSTRUCT),
     "tile_distinct": (q_tile_distinct, O_TILE_DISTINCT),
     "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),
@@ -2941,6 +3046,7 @@ QUERIES = {
     "radius_join_geo": (q_radius_join_geo, O_RADIUS_JOIN_GEO),
     "dbscan": (q_dbscan, O_DBSCAN),
     "poly_metrics": (q_poly_metrics, O_POLY_METRICS),
+    "poly_regions": (q_poly_regions, O_POLY_REGIONS),
     "knn_geo": (q_knn_geo, O_KNN_GEO),
     "poly_overlap": (q_poly_overlap, O_POLY_OVERLAP),
     "knn_local": (q_knn_local, O_KNN),
