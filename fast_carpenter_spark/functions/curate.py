@@ -287,3 +287,90 @@ SELECT ev.doc_id,
 FROM ev LEFT JOIN cor USING (sh)
 GROUP BY ev.doc_id
 """
+
+
+# --- Bloom-prefiltered decontamination semi-join ---------------------------
+
+# Sized for the TEST corpus to actually exhibit false positives (the point
+# of the diagnostic); production sizing is m >= ~10 bits/key (2^30+ for
+# billions of eval keys) — the shape below is unchanged.
+BLOOM_BITS = 512
+# (a, b) per probe: h < 1e9+7 and a <= 131 keeps h*a+b well inside BIGINT
+# under ANSI overflow checking.  NB: affine probes of ONE base hash are
+# correlated (measured FP above the independent-hash bound) — production
+# would Kirsch-Mitzenmacher with two independent base hashes; the plan
+# shape is identical.
+BLOOM_PROBES = [(31, 7), (97, 17), (131, 3)]
+
+
+def _bloom_pos_sql(h: str, a: int, b: int) -> str:
+    return f"(({h}) * {a} + {b}) % {BLOOM_BITS}"
+
+
+def bloom_prefilter(
+    docs: DataFrame, *, eval_filter: str = "doc_id % 10 = 0", text_col: str = "text"
+) -> DataFrame:
+    """Sketch-prefiltered membership test: build a Bloom filter (k probe
+    positions per key, deterministic shared-text hashes) over the EVAL
+    set's document fingerprints, broadcast its set-bit table, and flag
+    every corpus document with (bloom_hit, exact_hit) — exact_hit ⊆
+    bloom_hit by construction; the gap is the deterministic
+    false-positive set.
+
+    The 100 TB shape: the eval side compresses to <= m set-bit rows
+    (broadcastable regardless of eval-set cardinality), the corpus side is
+    one scan + a constant k-explode + a broadcast join — the pattern that
+    replaces an unbroadcastable raw-key semi-join; Bloom-positives then
+    feed the exact (shuffle) join at a tiny fraction of the input."""
+    from .text import text_hash_sql
+
+    spark = docs.sparkSession
+    h = text_hash_sql(text_col, "spark")
+    base = docs.selectExpr("doc_id", f"{h} AS h").localCheckpoint()
+    ev = base.filter(eval_filter).select("h").distinct()
+    probes = ", ".join(_bloom_pos_sql("h", a, b) for a, b in BLOOM_PROBES)
+    bits = (
+        ev.selectExpr(f"explode(array({probes})) AS pos").distinct()
+        .withColumnRenamed("pos", "pos")
+    )
+    pos = base.selectExpr("doc_id", f"explode(array({probes})) AS pos")
+    k = len(BLOOM_PROBES)
+    bh = (
+        pos.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nm"))
+    )
+    return (
+        base.join(bh, "doc_id", "left")
+        .join(
+            F.broadcast(ev.withColumn("_e", F.lit(1))), "h", "left"
+        )
+        .selectExpr(
+            "doc_id",
+            f"COALESCE(nm, 0) = {k} AS bloom_hit",
+            "_e IS NOT NULL AS exact_hit",
+        )
+    )
+
+
+def bloom_prefilter_oracle_sql(
+    *, eval_filter: str = "doc_id % 10 = 0", text_col: str = "text"
+) -> str:
+    from .text import text_hash_sql
+
+    h = text_hash_sql(text_col, "duck")
+    probes = ", ".join(
+        f"({a}, {b})" for a, b in BLOOM_PROBES
+    )
+    k = len(BLOOM_PROBES)
+    return f"""
+WITH base AS (SELECT doc_id, {h} AS h FROM documents),
+ev AS (SELECT DISTINCT h FROM base WHERE {eval_filter}),
+kf(a, b) AS (SELECT * FROM (VALUES {probes})),
+bits AS (SELECT DISTINCT (h * a + b) % {BLOOM_BITS} AS pos FROM ev CROSS JOIN kf),
+pos AS (SELECT doc_id, (h * a + b) % {BLOOM_BITS} AS pos FROM base CROSS JOIN kf),
+bh AS (SELECT doc_id, count(*) AS nm FROM pos JOIN bits USING (pos) GROUP BY doc_id)
+SELECT base.doc_id, COALESCE(bh.nm, 0) = {k} AS bloom_hit,
+       base.h IN (SELECT h FROM ev) AS exact_hit
+FROM base LEFT JOIN bh USING (doc_id)
+"""

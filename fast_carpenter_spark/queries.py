@@ -2516,6 +2516,26 @@ def q_dedup_canonical(spark, sf_dir):
     return _dedup.dedup_canonical(load_documents(spark, sf_dir))
 
 
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-prefiltered decontamination membership: eval-set fingerprints
+    → k deterministic probe positions → broadcast set-bit table; every doc
+    flagged (bloom_hit, exact_hit).  exact ⊆ bloom; the gap is the
+    deterministic false-positive set (filter sized at test scale to
+    actually exhibit it)."""
+    from .functions.curate import bloom_prefilter
+
+    return bloom_prefilter(load_documents(spark, sf_dir))
+
+
+def _o_bloom_prefilter() -> str:
+    from .functions.curate import bloom_prefilter_oracle_sql
+
+    return bloom_prefilter_oracle_sql()
+
+
+O_BLOOM_PREFILTER = _o_bloom_prefilter()
+
+
 def q_dedup_triangles(spark, sf_dir):
     """Per-doc triangle counts in the thresholded near-dup graph —
     triangle density separates true duplicate CLIQUES from chains of
@@ -3068,6 +3088,7 @@ QUERIES = {
     "quality_filter": (q_quality_filter, O_QUALITY_FILTER),
     "quality_adaptive": (q_quality_adaptive, O_QUALITY_ADAPTIVE),
     "decontaminate": (q_decontaminate, O_DECONTAMINATE),
+    "bloom_prefilter": (q_bloom_prefilter, O_BLOOM_PREFILTER),
     "dedup_canonical": (q_dedup_canonical, O_DEDUP_CANONICAL),
     "dedup_triangles": (q_dedup_triangles, O_DEDUP_TRIANGLES),
     "text_features": (q_text_features, O_TEXT_FEATURES),
