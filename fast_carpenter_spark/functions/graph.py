@@ -69,6 +69,78 @@ def connected_components(
     return labels
 
 
+def bfs_hops(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    seed,
+    node_col: str = "node",
+    max_iter: int = 64,
+) -> DataFrame:
+    """Unweighted shortest-hop distances from ``seed`` (Pregel min-dist
+    propagation — the BFS sibling of :func:`connected_components`; rounds
+    = eccentricity of the seed).  ``edges`` must carry both orientations.
+    Returns (``node_col``, hops) for REACHABLE nodes only."""
+    INF = 1 << 60
+    edges = edges.repartition("dst").localCheckpoint()
+    dist = (
+        nodes.select(
+            F.col(node_col),
+            F.when(F.col(node_col) == seed, F.lit(0))
+            .otherwise(F.lit(INF))
+            .cast("long")
+            .alias("hops"),
+        )
+        .repartition(node_col)
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(dist, edges["dst"] == dist[node_col])
+            .groupBy(F.col("src").alias(node_col))
+            .agg(F.min(F.expr("hops + 1")).alias("_nbr"))
+        )
+        new = (
+            dist.join(msgs, node_col, "left")
+            .select(
+                node_col,
+                F.least(F.col("hops"), F.coalesce("_nbr", F.col("hops"))).alias(
+                    "hops"
+                ),
+            )
+            .repartition(node_col)
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(dist.alias("o"), node_col)
+            .filter("n.hops <> o.hops")
+            .limit(1)
+            .count()
+        )
+        dist = new
+        if changed == 0:
+            break
+    return dist.filter(F.col("hops") < INF)
+
+
+def bfs_cte_sql(
+    edges_sql: str, seed_sql: str, node_col: str = "node", max_hops: int = 64
+) -> str:
+    """DuckDB oracle twin: bounded recursive walk, min hop count per node.
+    ``edges_sql`` must yield (src, dst) in both orientations."""
+    return f"""
+edges AS ({edges_sql}),
+walk(node, d) AS (
+  SELECT ({seed_sql}), 0
+  UNION
+  SELECT e.src, w.d + 1 FROM edges e JOIN walk w ON e.dst = w.node
+  WHERE w.d < {max_hops}
+),
+hops AS (SELECT node AS {node_col}, CAST(min(d) AS BIGINT) AS hops FROM walk GROUP BY 1)
+"""
+
+
 def triangle_counts(pairs: DataFrame) -> DataFrame:
     """Per-node triangle counts via degree-oriented wedge join
     (compact-forward / Cohen's MapReduce triangle algorithm).

@@ -431,22 +431,10 @@ REGION_CC_RES = 5
 REGION_CC_MIN = 4
 
 
-def q_tile_regions(spark, sf_dir):
-    """Contiguous hot-region labelling — the spatial twin of near-dup
-    clustering: dense tiles (n >= REGION_CC_MIN at res REGION_CC_RES) are
-    nodes, 8-adjacency (Chebyshev distance 1) gives edges, and the shared
-    Pregel min-label loop (functions/graph.py) labels each contiguous
-    region with its minimum cell id.  Output: one row per region with its
-    cell count and total point count.
-
-    Scale shape: the dense-cell table is the POST-aggregation tile table
-    (orders of magnitude smaller than the input), the neighbour explode is
-    a fixed x8, and the adjacency join is an equi-join on packed cell ids
-    — broadcastable whenever the dense set is, shuffle-safe otherwise.
-    Region diameter bounds the rounds, and real hot regions are blobs
-    (diameter ~ sqrt(cells)), not chains."""
-    from .functions.graph import connected_components
-
+def _dense_cells_edges(spark, sf_dir):
+    """Dense-cell table (n >= REGION_CC_MIN at REGION_CC_RES) and its
+    8-adjacency edge list (both orientations) — shared by the region
+    labelling and BFS queries."""
     cell = grid.cell_sql("lon", "lat", REGION_CC_RES, "spark")
     dense = (
         flat_spans(spark, sf_dir)
@@ -486,6 +474,26 @@ def q_tile_regions(spark, sf_dir):
     edges = nbr.join(
         dense.select(F.col("cell").alias("nbr")), "nbr"
     ).select(F.col("cell").alias("src"), F.col("nbr").alias("dst"))
+    return dense, edges
+
+
+def q_tile_regions(spark, sf_dir):
+    """Contiguous hot-region labelling — the spatial twin of near-dup
+    clustering: dense tiles (n >= REGION_CC_MIN at res REGION_CC_RES) are
+    nodes, 8-adjacency (Chebyshev distance 1) gives edges, and the shared
+    Pregel min-label loop (functions/graph.py) labels each contiguous
+    region with its minimum cell id.  Output: one row per region with its
+    cell count and total point count.
+
+    Scale shape: the dense-cell table is the POST-aggregation tile table
+    (orders of magnitude smaller than the input), the neighbour explode is
+    a fixed x8, and the adjacency join is an equi-join on packed cell ids
+    — broadcastable whenever the dense set is, shuffle-safe otherwise.
+    Region diameter bounds the rounds, and real hot regions are blobs
+    (diameter ~ sqrt(cells)), not chains."""
+    from .functions.graph import connected_components
+
+    dense, edges = _dense_cells_edges(spark, sf_dir)
     labels = connected_components(dense.select("cell"), edges, node_col="cell")
     return (
         dense.join(labels, "cell")
@@ -2800,6 +2808,44 @@ CHUNK_SIZE = 256  # chars per context chunk
 CHUNK_STEP = 192  # 25% overlap between consecutive chunks
 
 
+def q_tile_bfs(spark, sf_dir):
+    """Hop-distance field (isochrone-lite): BFS over the dense-cell
+    8-adjacency graph from the DENSEST cell (ties -> min id; the min-id
+    cell can be an isolated singleton) — Pregel min-dist propagation
+    (functions/graph.py bfs_hops); unreachable regions are absent by
+    definition."""
+    from .functions.graph import bfs_hops
+
+    dense, edges = _dense_cells_edges(spark, sf_dir)
+    seed = dense.orderBy(F.desc("n"), "cell").first()["cell"]
+    return bfs_hops(dense.select("cell"), edges, seed=seed, node_col="cell")
+
+
+def _o_tile_bfs() -> str:
+    from .functions.graph import bfs_cte_sql
+
+    cell = grid.cell_sql("lon", "lat", REGION_CC_RES, "duck")
+    ux = lambda e: grid.unpack_x_sql(e, "duck")  # noqa: E731
+    uy = lambda e: grid.unpack_y_sql(e, "duck")  # noqa: E731
+    edges_sql = f"""SELECT a.cell AS src, b.cell AS dst FROM dense a JOIN dense b
+  ON a.cell <> b.cell
+ AND abs({ux('a.cell')} - {ux('b.cell')}) <= 1
+ AND abs({uy('a.cell')} - {uy('b.cell')}) <= 1"""
+    cte = bfs_cte_sql(
+        edges_sql, "SELECT cell FROM dense ORDER BY n DESC, cell LIMIT 1", "cell"
+    )
+    return f"""
+WITH RECURSIVE
+dense AS (SELECT {cell} AS cell, count(*) AS n FROM ({O_SPANS_FLAT})
+          GROUP BY 1 HAVING count(*) >= {REGION_CC_MIN}),
+{cte}
+SELECT cell, hops FROM hops
+"""
+
+
+O_TILE_BFS = _o_tile_bfs()
+
+
 def q_geofence_transitions(spark, sf_dir):
     """Geofence enter/exit detection along each document's span trajectory:
     label every span point with the polygon it falls in (min poly_id when
@@ -3023,6 +3069,7 @@ QUERIES = {
     "tile_moran": (q_tile_moran, O_TILE_MORAN),
     "tile_lisa": (q_tile_lisa, O_TILE_LISA),
     "tile_regions": (q_tile_regions, O_TILE_REGIONS),
+    "tile_bfs": (q_tile_bfs, O_TILE_BFS),
     "geofence_transitions": (q_geofence_transitions, O_GEOFENCE_TRANSITIONS),
     "events_asof": (q_events_asof, O_EVENTS_ASOF),
     "streaming_geofence": (q_streaming_geofence, O_GEOFENCE_TRANSITIONS),
