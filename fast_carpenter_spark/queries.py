@@ -1128,6 +1128,50 @@ def q_brand_revenue(spark, sf_dir):
 O_BRAND_REVENUE = _BRAND_SQL
 
 
+FUNNEL_WINDOW_US = 6 * 3_600_000_000  # each stage must convert within 6 h
+
+
+def _funnel_sql(us: str) -> str:
+    """Ordered windowed funnel view → click → purchase: each stage's
+    first event must come strictly AFTER the previous stage's first event
+    and within FUNNEL_WINDOW_US of it (the standard strictly-ordered
+    windowed funnel).  Three tiny stage tables chained by user_id joins —
+    the heavy lifting is three partial-agg'd min()s over one scan; ``us``
+    is the dialect's epoch-µs expression."""
+    w = FUNNEL_WINDOW_US
+    return f"""
+WITH ev AS (SELECT user_id, event_id, event_type, {us} AS us FROM events),
+s0 AS (SELECT user_id, min(us) AS t0 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (
+  SELECT ev.user_id, min(us) AS t1 FROM ev JOIN s0 USING (user_id)
+  WHERE event_type = 'click' AND us > t0 AND us <= t0 + {w} GROUP BY ev.user_id
+),
+s2 AS (
+  SELECT ev.user_id, min(us) AS t2 FROM ev JOIN s1 USING (user_id)
+  WHERE event_type = 'purchase' AND us > t1 AND us <= t1 + {w} GROUP BY ev.user_id
+)
+SELECT CAST(1 + CASE WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+       count(*) AS n_users
+FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+GROUP BY 1
+"""
+
+
+def q_events_funnel(spark, sf_dir):
+    """Strictly-ordered conversion funnel (view → click → purchase):
+    stage counts per furthest stage reached."""
+    _load_events(spark, sf_dir)
+    return spark.sql(
+        _funnel_sql(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    )
+
+
+O_EVENTS_FUNNEL = _funnel_sql("epoch_us(ts)")
+
+
 def q_events_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-seen day; for each
     (cohort_day, day_offset) the number of distinct returning users.  ONE
@@ -3091,6 +3135,7 @@ QUERIES = {
     "sessions_overlap": (q_sessions_overlap, O_SESSIONS_OVERLAP),
     "events_stjoin": (q_events_stjoin, O_EVENTS_STJOIN),
     "events_retention": (q_events_retention, O_EVENTS_RETENTION),
+    "events_funnel": (q_events_funnel, O_EVENTS_FUNNEL),
     "star_revenue": (q_star_revenue, O_STAR_REVENUE),
     "lineitem_pricing": (q_lineitem_pricing, O_LINEITEM_PRICING),
     "brand_revenue": (q_brand_revenue, O_BRAND_REVENUE),
