@@ -1824,6 +1824,49 @@ O_KNN = knn_oracle_sql(
 )
 
 
+def q_knn_kdist(spark, sf_dir):
+    """k-distance diagnostic (the DBSCAN eps-selection curve): each
+    point's k-th-NN squared distance, bucketed into a decile histogram by
+    sorted rank — rides the bounded-ring kNN (points whose ring holds
+    < k neighbours are absent, as in the standard plot)."""
+    from pyspark.sql import Window as W
+
+    kd = (
+        q_knn(spark, sf_dir)
+        .filter(F.col("rank") == KNN_K)
+        .select("doc_id", "dist2")
+    )
+    w = W.orderBy("dist2", "doc_id")
+    # NB: the global sort is the PLOT's semantics (a one-dimensional
+    # ordered curve); the decile bucket keeps the output tiny
+    return (
+        kd.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(kd.agg(F.count(F.lit(1)).alias("n_pts"))))
+        .withColumn("decile", F.expr("CAST((rn - 1) * 10 DIV n_pts AS BIGINT)"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("dist2").alias("d2_min"),
+            F.max("dist2").alias("d2_max"),
+        )
+    )
+
+
+O_KNN_KDIST = f"""
+WITH kd AS (
+  SELECT doc_id, dist2 FROM ({O_KNN.strip()}) WHERE rank = {KNN_K}
+),
+r AS (
+  SELECT dist2, row_number() OVER (ORDER BY dist2, doc_id) AS rn,
+         count(*) OVER () AS n_pts
+  FROM kd
+)
+SELECT (rn - 1) * 10 // n_pts AS decile, count(*) AS n,
+       min(dist2) AS d2_min, max(dist2) AS d2_max
+FROM r GROUP BY 1
+"""
+
+
 def q_knn_local(spark, sf_dir):
     """Scale-path kNN (per-cell local search via applyInPandas) — same
     semantics and oracle as q_knn."""
@@ -3162,6 +3205,7 @@ QUERIES = {
     "knn_geo": (q_knn_geo, O_KNN_GEO),
     "poly_overlap": (q_poly_overlap, O_POLY_OVERLAP),
     "knn_local": (q_knn_local, O_KNN),
+    "knn_kdist": (q_knn_kdist, O_KNN_KDIST),
     "raster_join": (q_raster_join, O_RASTER_JOIN),
     "binned_1d": (q_binned_1d, O_BINNED_1D),
     "binned_1d_padded": (q_binned_1d_padded, O_BINNED_1D_PADDED),
