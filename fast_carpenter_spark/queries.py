@@ -1771,6 +1771,54 @@ def _dbscan_oracle():
 O_DBSCAN = _dbscan_oracle()
 
 
+SEG_RADIUS = 6.0
+
+
+def _event_segments_sql(dialect: str) -> str:
+    """(user_id, seg_idx, ax, ay, bx, by) — consecutive event-point
+    segments per user, shared text both engines."""
+    from .spatial.trajectory import _coords_sql
+
+    lon, lat = _coords_sql()
+    return f"""
+SELECT user_id, seg_idx, ax, ay, bx, by FROM (
+  SELECT user_id,
+         lag({lon}) OVER w AS ax, lag({lat}) OVER w AS ay,
+         {lon} AS bx, {lat} AS by,
+         row_number() OVER w - 2 AS seg_idx
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) t WHERE ax IS NOT NULL
+"""
+
+
+def q_segment_join(spark, sf_dir):
+    """Nearest-trajectory-segment join (the map-matching primitive): each
+    doc representative point snaps to the closest event-trajectory SEGMENT
+    within SEG_RADIUS planar degrees — exact point-to-segment distance,
+    candidates from point-ring × segment-bbox-cover cell join
+    (spatial/segment.py)."""
+    from .spatial.segment import nearest_segment_join
+
+    _load_events(spark, sf_dir)
+    pts = flat_spans(spark, sf_dir).filter("span_idx = 0").select("doc_id", "lon", "lat")
+    segs = spark.sql(_event_segments_sql("spark"))
+    return nearest_segment_join(pts, segs, radius=SEG_RADIUS)
+
+
+def _o_segment_join() -> str:
+    from .spatial.segment import nearest_segment_oracle_sql
+
+    return nearest_segment_oracle_sql(
+        f"SELECT doc_id, lon, lat FROM ({O_SPANS_FLAT}) WHERE span_idx = 0",
+        _event_segments_sql("duck"),
+        radius=SEG_RADIUS,
+    )
+
+
+O_SEGMENT_JOIN = _o_segment_join()
+
+
 def q_poly_regions(spark, sf_dir):
     """Merged-region labelling: connected components over the polygon
     overlay graph (polygons whose rings intersect belong to one region) —
@@ -3202,6 +3250,7 @@ QUERIES = {
     "dbscan": (q_dbscan, O_DBSCAN),
     "poly_metrics": (q_poly_metrics, O_POLY_METRICS),
     "poly_regions": (q_poly_regions, O_POLY_REGIONS),
+    "segment_join": (q_segment_join, O_SEGMENT_JOIN),
     "knn_geo": (q_knn_geo, O_KNN_GEO),
     "poly_overlap": (q_poly_overlap, O_POLY_OVERLAP),
     "knn_local": (q_knn_local, O_KNN),
