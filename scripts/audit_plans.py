@@ -61,6 +61,7 @@ AUDITED = [
     "star_revenue",     # fact⋈fact + broadcast dims (Q5 shape), decimal partial agg
     "lineitem_pricing",  # Q1: one scan, low-card groupBy, partial agg
     "pip_holes",        # outer cover join + broadcast hole anti-refine
+    "segment_join",     # point-ring x segment-bbox-cover equi join, exact refine
     "geofence_transitions",  # PIP label join + one doc_id window pass
     # dedup_cluster / tile_regions / dbscan are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
