@@ -329,10 +329,7 @@ def bloom_prefilter(
     base = docs.selectExpr("doc_id", f"{h} AS h").localCheckpoint()
     ev = base.filter(eval_filter).select("h").distinct()
     probes = ", ".join(_bloom_pos_sql("h", a, b) for a, b in BLOOM_PROBES)
-    bits = (
-        ev.selectExpr(f"explode(array({probes})) AS pos").distinct()
-        .withColumnRenamed("pos", "pos")
-    )
+    bits = ev.selectExpr(f"explode(array({probes})) AS pos").distinct()
     pos = base.selectExpr("doc_id", f"explode(array({probes})) AS pos")
     k = len(BLOOM_PROBES)
     bh = (
