@@ -1128,6 +1128,50 @@ def q_brand_revenue(spark, sf_dir):
 O_BRAND_REVENUE = _BRAND_SQL
 
 
+def _anomaly_sql(us: str, dialect: str) -> str:
+    """Per-(cell, day) event-count anomalies vs the cell's own Poisson
+    baseline: mean = cell total / GLOBAL day-span (so silent days count),
+    z = (n - mean)/sqrt(mean).  All z inputs exact integers; one
+    shared-text double formula; emits |z| >= 2 rows."""
+    from .spatial.trajectory import _coords_sql
+
+    lon, lat = _coords_sql()
+    cell = grid.cell_sql("lon", "lat", COARSE_RES, dialect)
+    day = grid._idiv(f"({us})", str(_ST_DAY_US), dialect)
+    mean = "(CAST(cell_total AS DOUBLE) / CAST(n_days AS DOUBLE))"
+    z = f"((CAST(n AS DOUBLE) - {mean}) / sqrt({mean}))"
+    return f"""
+WITH ev AS (
+  SELECT user_id, {day} AS day, {lon} AS lon, {lat} AS lat
+  FROM events
+),
+cd AS (SELECT {cell} AS cell, day, count(*) AS n FROM ev GROUP BY 1, 2),
+span AS (SELECT max(day) - min(day) + 1 AS n_days FROM ev),
+ct AS (SELECT cell, CAST(sum(n) AS BIGINT) AS cell_total FROM cd GROUP BY 1)
+SELECT cd.cell, cd.day, cd.n, ct.cell_total, {z} AS z
+FROM cd JOIN ct ON cd.cell = ct.cell CROSS JOIN span
+WHERE abs({z}) >= 2.0
+"""
+
+
+def q_tile_anomaly(spark, sf_dir):
+    """Spatiotemporal anomaly detection: per-(cell, day) event counts
+    z-scored against the cell's own Poisson baseline over the global day
+    span — integer inputs, shared-text double (bit-identical), one
+    (cell, day) shuffle + a co-partitioned per-cell totals join + a 1-row
+    span broadcast."""
+    _load_events(spark, sf_dir)
+    return spark.sql(
+        _anomaly_sql(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)",
+            "spark",
+        )
+    )
+
+
+O_TILE_ANOMALY = _anomaly_sql("epoch_us(ts)", "duck")
+
+
 FUNNEL_WINDOW_US = 6 * 3_600_000_000  # each stage must convert within 6 h
 
 
@@ -2776,6 +2820,45 @@ WHERE quality >= thr
 O_QUALITY_ADAPTIVE = _o_quality_adaptive()
 
 
+def q_lang_quantiles(spark, sf_dir):
+    """Per-language document-length profile over the TABLE's ground-truth
+    lang column (not the predicted lang-ID, which collapses on the
+    synthetic corpus): exact interpolated token-count quantiles (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, bit-identical) — the curation
+    dashboard's stratified length distribution."""
+    from .functions import text as _text
+
+    load_documents(spark, sf_dir)
+    n_tok = f"CAST(size({_text.tokens_sql('text', 'spark')}) AS BIGINT)"
+    return spark.sql(
+        f"""
+SELECT lang, count(*) AS n_docs,
+       percentile(n_tok, 0.25) AS p25,
+       percentile(n_tok, 0.5)  AS p50,
+       percentile(n_tok, 0.75) AS p75,
+       percentile(n_tok, 0.95) AS p95
+FROM (SELECT lang, {n_tok} AS n_tok FROM documents) GROUP BY lang
+"""
+    )
+
+
+def _o_lang_quantiles() -> str:
+    from .functions import text as _text
+
+    n_tok = f"CAST(len({_text.tokens_sql('text', 'duck')}) AS BIGINT)"
+    return f"""
+SELECT lang, count(*) AS n_docs,
+       quantile_cont(n_tok, 0.25) AS p25,
+       quantile_cont(n_tok, 0.5)  AS p50,
+       quantile_cont(n_tok, 0.75) AS p75,
+       quantile_cont(n_tok, 0.95) AS p95
+FROM (SELECT lang, {n_tok} AS n_tok FROM documents) GROUP BY lang
+"""
+
+
+O_LANG_QUANTILES = _o_lang_quantiles()
+
+
 def q_quality_cutflow(spark, sf_dir):
     """Per-rule pass/fail counters (weighted by the quality score) for the
     curation rule tree — the data-pipeline reuse of the HEP cutflow."""
@@ -3200,6 +3283,7 @@ QUERIES = {
     "cell_uncompact": (q_cell_uncompact, O_CELL_UNCOMPACT),
     "tile_smooth": (q_tile_smooth, O_TILE_SMOOTH),
     "tile_gauss": (q_tile_gauss, O_TILE_GAUSS),
+    "tile_anomaly": (q_tile_anomaly, O_TILE_ANOMALY),
     "tile_hotspot": (q_tile_hotspot, O_TILE_HOTSPOT),
     "tile_moran": (q_tile_moran, O_TILE_MORAN),
     "tile_lisa": (q_tile_lisa, O_TILE_LISA),
@@ -3272,6 +3356,7 @@ QUERIES = {
     "quality_cutflow": (q_quality_cutflow, O_QUALITY_CUTFLOW),
     "quality_filter": (q_quality_filter, O_QUALITY_FILTER),
     "quality_adaptive": (q_quality_adaptive, O_QUALITY_ADAPTIVE),
+    "lang_quantiles": (q_lang_quantiles, O_LANG_QUANTILES),
     "decontaminate": (q_decontaminate, O_DECONTAMINATE),
     "bloom_prefilter": (q_bloom_prefilter, O_BLOOM_PREFILTER),
     "dedup_canonical": (q_dedup_canonical, O_DEDUP_CANONICAL),
