@@ -2859,6 +2859,42 @@ FROM (SELECT lang, {n_tok} AS n_tok FROM documents) GROUP BY lang
 O_LANG_QUANTILES = _o_lang_quantiles()
 
 
+def q_source_profile(spark, sf_dir):
+    """Per-source corpus profile: doc count, median quality score, median
+    token count — medians are exact interpolated percentiles (hash-safe
+    where a mean of arbitrary doubles would be order-dependent)."""
+    from .functions import curate as _curate
+
+    scored = _curate.quality_scored_df(load_documents(spark, sf_dir)).select(
+        "doc_id", "n_tok", "quality"
+    )
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    docs.join(scored, "doc_id").createOrReplaceTempView("_src_scored")
+    return spark.sql(
+        """
+SELECT source, count(*) AS n_docs,
+       percentile(quality, 0.5) AS q_med,
+       percentile(n_tok, 0.5) AS tok_med
+FROM _src_scored GROUP BY source
+"""
+    )
+
+
+def _o_source_profile() -> str:
+    from .functions import curate as _curate
+
+    return f"""
+SELECT d.source, count(*) AS n_docs,
+       quantile_cont(s.quality, 0.5) AS q_med,
+       quantile_cont(s.n_tok, 0.5) AS tok_med
+FROM documents d JOIN ({_curate.quality_scored_oracle_sql()}) s USING (doc_id)
+GROUP BY d.source
+"""
+
+
+O_SOURCE_PROFILE = _o_source_profile()
+
+
 def q_quality_cutflow(spark, sf_dir):
     """Per-rule pass/fail counters (weighted by the quality score) for the
     curation rule tree — the data-pipeline reuse of the HEP cutflow."""
@@ -3357,6 +3393,7 @@ QUERIES = {
     "quality_filter": (q_quality_filter, O_QUALITY_FILTER),
     "quality_adaptive": (q_quality_adaptive, O_QUALITY_ADAPTIVE),
     "lang_quantiles": (q_lang_quantiles, O_LANG_QUANTILES),
+    "source_profile": (q_source_profile, O_SOURCE_PROFILE),
     "decontaminate": (q_decontaminate, O_DECONTAMINATE),
     "bloom_prefilter": (q_bloom_prefilter, O_BLOOM_PREFILTER),
     "dedup_canonical": (q_dedup_canonical, O_DEDUP_CANONICAL),
