@@ -2379,6 +2379,109 @@ def q_dedup_embedding(spark, sf_dir):
 O_DEDUP_EMBEDDING = _ann.embedding_near_dup_oracle_sql()
 
 
+CONSENSUS_TAU = 0.4
+
+
+def q_dedup_consensus(spark, sf_dir):
+    """Multi-signal near-dup consensus: pairs flagged by BOTH the textual
+    MinHash-LSH path (jaccard >= threshold) AND the embedding-cosine path
+    (cos >= tau, same LSH bucket) — the high-precision keep-list a real
+    dedup pipeline acts on (either signal alone over-fires on boilerplate
+    / on topic-similar docs respectively).  One equi-join of the two pair
+    sets on (doc_a, doc_b)."""
+    from .functions.ann import cosine_sql, lsh_buckets
+
+    mh = _dedup.minhash_lsh_pairs(load_documents(spark, sf_dir)).filter(
+        f"jaccard >= {_dedup.CLUSTER_JACCARD}"
+    )
+    emb = _load_embeddings(spark, sf_dir)
+    b = lsh_buckets(emb).join(emb, "vec_id")
+    a = b.select(
+        F.col("vec_id").alias("doc_a"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("doc_b"), F.col("embedding").alias("cv"), "bucket"
+    )
+    ep = (
+        a.join(c, "bucket")
+        .filter("doc_a < doc_b")
+        .withColumn("cos", F.expr(cosine_sql("qv", "cv", "spark")))
+        .filter(F.col("cos") >= CONSENSUS_TAU)
+        .select("doc_a", "doc_b", "cos")
+    )
+    return mh.join(ep, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard", "cos")
+
+
+def _o_dedup_consensus() -> str:
+    from .functions.ann import cosine_sql, lsh_bucket_sql
+
+    cos = cosine_sql("a.embedding", "b.embedding", "duck")
+    ba = lsh_bucket_sql("a.embedding", "duck")
+    bb = lsh_bucket_sql("b.embedding", "duck")
+    return f"""
+WITH mh AS (
+  SELECT doc_a, doc_b, jaccard FROM ({O_MINHASH_LSH.strip()})
+  WHERE jaccard >= {_dedup.CLUSTER_JACCARD}
+),
+ep AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, {cos} AS cos
+  FROM embeddings a JOIN embeddings b
+    ON ({ba}) = ({bb}) AND a.vec_id < b.vec_id
+  WHERE {cos} >= {CONSENSUS_TAU!r}
+)
+SELECT mh.doc_a, mh.doc_b, mh.jaccard, ep.cos
+FROM mh JOIN ep USING (doc_a, doc_b)
+"""
+
+
+O_DEDUP_CONSENSUS = _o_dedup_consensus()
+
+
+def q_tile_cooccur(spark, sf_dir):
+    """Cross-source spatial co-occurrence: cells (COARSE_RES) where BOTH
+    document spans and user-event trajectories land, with both counts —
+    the two geo sources joined at tile grain (each side partial-agg'd
+    before one co-partitioned cell join)."""
+    from .spatial.trajectory import _coords_sql
+
+    doc_cells = (
+        flat_spans(spark, sf_dir)
+        .groupBy(
+            F.expr(grid.cell_sql("lon", "lat", COARSE_RES, "spark")).alias("cell")
+        )
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+    _load_events(spark, sf_dir)
+    lon, lat = _coords_sql()
+    ev_cells = spark.sql(
+        f"SELECT {grid.cell_sql(lon, lat, COARSE_RES, 'spark')} AS cell, "
+        "count(*) AS n_events FROM events GROUP BY 1"
+    )
+    return doc_cells.join(ev_cells, "cell")
+
+
+def _o_tile_cooccur() -> str:
+    from .spatial.trajectory import _coords_sql
+
+    lon, lat = _coords_sql()
+    return f"""
+WITH dc AS (
+  SELECT {grid.cell_sql('lon', 'lat', COARSE_RES, 'duck')} AS cell,
+         count(*) AS n_spans
+  FROM ({O_SPANS_FLAT}) GROUP BY 1
+),
+ec AS (
+  SELECT {grid.cell_sql(lon, lat, COARSE_RES, 'duck')} AS cell,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT cell, n_spans, n_events FROM dc JOIN ec USING (cell)
+"""
+
+
+O_TILE_COOCCUR = _o_tile_cooccur()
+
+
 def q_media_decode(spark, sf_dir):
     return decode_media_spans(flat_spans(spark, sf_dir))
 
@@ -3412,6 +3515,8 @@ QUERIES = {
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
     "ann_ivf_recall": (q_ann_ivf_recall, O_ANN_IVF_RECALL),
     "dedup_embedding_cosine": (q_dedup_embedding, O_DEDUP_EMBEDDING),
+    "dedup_consensus": (q_dedup_consensus, O_DEDUP_CONSENSUS),
+    "tile_cooccur": (q_tile_cooccur, O_TILE_COOCCUR),
     "media_decode": (q_media_decode, O_MEDIA_DECODE),
     "media_text_align": (q_media_text_align, O_MEDIA_TEXT_ALIGN),
     "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
