@@ -2853,6 +2853,15 @@ def _o_dedup_triangles() -> str:
 O_DEDUP_TRIANGLES = _o_dedup_triangles()
 
 
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Near-dup cluster size histogram: (cluster_size, n_clusters) — the
+    dedup report's headline table (how much of the corpus collapses, and
+    into how many groups); singletons included."""
+    cl = _dedup.dedup_clusters(load_documents(spark, sf_dir))
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
 def q_sample_stratified(spark, sf_dir):
     """Training-corpus curation: top-K docs per language by quality score,
     stamped with a deterministic content-hash train/val split."""
@@ -3107,6 +3116,12 @@ cl AS (
 
 
 O_DEDUP_CLUSTER = f"WITH RECURSIVE {_o_cluster_cte()} SELECT doc_id, cluster_id FROM cl"
+
+O_DEDUP_CLUSTER_STATS = f"""
+WITH RECURSIVE {_o_cluster_cte()},
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1
+"""
 
 O_DEDUP_CANONICAL = f"""
 WITH RECURSIVE {_o_cluster_cte()},
@@ -3501,6 +3516,7 @@ QUERIES = {
     "bloom_prefilter": (q_bloom_prefilter, O_BLOOM_PREFILTER),
     "dedup_canonical": (q_dedup_canonical, O_DEDUP_CANONICAL),
     "dedup_triangles": (q_dedup_triangles, O_DEDUP_TRIANGLES),
+    "dedup_cluster_stats": (q_dedup_cluster_stats, O_DEDUP_CLUSTER_STATS),
     "text_features": (q_text_features, O_TEXT_FEATURES),
     "token_topk": (q_token_topk, O_TOKEN_TOPK),
     "ann_cosine_topk": (q_ann_cosine, O_ANN_COSINE),

@@ -173,6 +173,39 @@ class SnapshotReader:
         return spark.read.parquet(*paths)
 
 
+def expire_snapshots(table_path: str, *, keep: int) -> dict:
+    """Snapshot retention + file GC (the Iceberg ``expire_snapshots``
+    maintenance op): drop all but the newest ``keep`` manifests, then
+    delete every data file no retained snapshot references.  Files are
+    immutable and shared across append commits, so a file survives as
+    long as ANY kept snapshot lists it — time travel within the retention
+    window stays intact.  Returns the removed snapshot ids and file count.
+    """
+    sids = list_snapshots(table_path)
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    dropped = sids[:-keep]
+    if not dropped:
+        return {"removed_snapshots": [], "removed_files": 0}
+    keep_files: set[str] = set()
+    for sid in sids[-keep:]:
+        keep_files |= {
+            f["path"] for f in SnapshotReader(table_path, sid).snapshot.files
+        }
+    removed_files = 0
+    for sid in dropped:
+        snap = SnapshotReader(table_path, sid).snapshot
+        for f in snap.files:
+            if f["path"] in keep_files:
+                continue
+            fp = os.path.join(table_path, f["path"])
+            if os.path.exists(fp):
+                os.remove(fp)
+                removed_files += 1
+        os.remove(os.path.join(table_path, f"{MANIFEST_PREFIX}{sid}.json"))
+    return {"removed_snapshots": dropped, "removed_files": removed_files}
+
+
 # --- data-import plugin registry (ref: data_import/__init__.py:6-41) -------
 
 _PLUGINS: dict[str, object] = {}

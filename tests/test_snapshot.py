@@ -90,3 +90,49 @@ def test_append_commit_and_incremental_scan(spark, tmp_path, docs):
 
     with _pytest.raises(ValueError):
         new.load_incremental(spark, "snap-b")
+
+
+def test_expire_snapshots_retains_shared_files(spark, tmp_path, docs):
+    from fast_carpenter_spark.sources.snapshot import (
+        SnapshotReader,
+        expire_snapshots,
+        list_snapshots,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "tbl_expire")
+    a = write_snapshot(
+        docs.filter("doc_id % 2 = 0").repartition(2, "doc_id"),
+        table, snapshot_id="snap-a",
+    )
+    write_snapshot(
+        docs.filter("doc_id % 2 = 1").repartition(2, "doc_id"),
+        table, snapshot_id="snap-b", base=a,
+    )
+    # expire keep=1: snap-a's manifest goes, but its FILES survive — the
+    # retained append snapshot still references them
+    out = expire_snapshots(table, keep=1)
+    assert out["removed_snapshots"] == ["snap-a"]
+    assert out["removed_files"] == 0
+    assert list_snapshots(table) == ["snap-b"]
+    assert SnapshotReader(table).load(spark).count() == docs.count()
+
+    # an independent rewrite, then expire: snap-b AND every file only it
+    # referenced are gone; the survivor loads alone
+    write_snapshot(
+        docs.limit(100).repartition(1, "doc_id"), table, snapshot_id="snap-c"
+    )
+    out = expire_snapshots(table, keep=1)
+    assert out["removed_snapshots"] == ["snap-b"]
+    assert out["removed_files"] > 0
+    assert list_snapshots(table) == ["snap-c"]
+    assert SnapshotReader(table).load(spark).count() == 100
+    # no orphan parquet left outside snap-c's own data dir
+    import os as _os
+
+    on_disk = {
+        _os.path.join(r.split(table + "/")[-1], f)
+        for r, _, fs in _os.walk(table) for f in fs if f.endswith(".parquet")
+    }
+    referenced = {f["path"] for f in SnapshotReader(table).snapshot.files}
+    assert on_disk == referenced
