@@ -3171,6 +3171,86 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+ASOF_TOL_US = 2 * 3_600_000_000  # 2 h attribution window
+
+
+def q_events_asof_tol(spark, sf_dir):
+    """As-of join with a staleness tolerance: a purchase only attributes
+    to its most recent preceding view when that view is within
+    ASOF_TOL_US (stale matches become NULL, the standard bounded
+    last-touch).  Same one-shuffle union-merge core; the tolerance is a
+    post-predicate on the matched timestamp."""
+    from .functions.asof import asof_join
+
+    ev = _load_events(spark, sf_dir)
+    epoch = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.expr(epoch.format("ts")).alias("view_ts_us"),
+    )
+    joined = asof_join(
+        left, right, by="user_id", on="ts", right_cols=["view_id", "view_ts_us"]
+    )
+    fresh = f"(ts_us - view_ts_us_r) <= {ASOF_TOL_US}"
+    return joined.withColumn("ts_us", F.expr(epoch.format("ts"))).selectExpr(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        f"CASE WHEN {fresh} THEN view_id_r END AS view_id",
+        f"CASE WHEN {fresh} THEN ts_us - view_ts_us_r END AS staleness_us",
+    )
+
+
+O_EVENTS_ASOF_TOL = f"""
+WITH a AS (
+  SELECT l.event_id, l.user_id,
+         CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+         l.value,
+         r.event_id AS view_id,
+         CAST(epoch_us(r.ts) AS BIGINT) AS view_ts_us
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT event_id, user_id, ts_us, value,
+       CASE WHEN ts_us - view_ts_us <= {ASOF_TOL_US} THEN view_id END AS view_id,
+       CASE WHEN ts_us - view_ts_us <= {ASOF_TOL_US} THEN ts_us - view_ts_us END
+         AS staleness_us
+FROM a
+"""
+
+
+def q_media_dedup(spark, sf_dir):
+    """Asset-level exact dedup: media references shared across documents
+    (the media twin of text dedup_exact) — per duplicated asset, how many
+    docs/spans reuse it and the canonical (min) owning doc."""
+    df = flat_spans(spark, sf_dir).filter("media_ref IS NOT NULL")
+    return (
+        df.groupBy("media_ref")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+O_MEDIA_DEDUP = f"""
+SELECT media_ref, count(DISTINCT doc_id) AS n_docs, count(*) AS n_spans,
+       min(doc_id) AS canonical_doc
+FROM ({O_SPANS_FLAT})
+WHERE media_ref IS NOT NULL
+GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data shaping: geofence transitions, sequence packing, chunking
 # ---------------------------------------------------------------------------
@@ -3445,6 +3525,8 @@ QUERIES = {
     "tile_bfs": (q_tile_bfs, O_TILE_BFS),
     "geofence_transitions": (q_geofence_transitions, O_GEOFENCE_TRANSITIONS),
     "events_asof": (q_events_asof, O_EVENTS_ASOF),
+    "events_asof_tol": (q_events_asof_tol, O_EVENTS_ASOF_TOL),
+    "media_dedup": (q_media_dedup, O_MEDIA_DEDUP),
     "streaming_geofence": (q_streaming_geofence, O_GEOFENCE_TRANSITIONS),
     "streaming_enrich": (q_streaming_enrich, O_STREAMING_ENRICH),
     "seq_pack": (q_seq_pack, _o_seq_pack()),
