@@ -1968,6 +1968,24 @@ def q_knn_local(spark, sf_dir):
     return knn_local(pts, res=KNN_RES, ring=KNN_RING, k=KNN_K)
 
 
+def q_raster_focal(spark, sf_dir):
+    """Focal 3×3 raster statistics (map-algebra focal max/min/sum) over
+    the generated raster grid — exact channels (values are binary
+    fractions), one constant explode + re-aggregation."""
+    from .spatial.raster import focal_stats
+
+    return focal_stats(spark, res=6)
+
+
+def _o_raster_focal() -> str:
+    from .spatial.raster import focal_stats_oracle_sql
+
+    return focal_stats_oracle_sql(res=6)
+
+
+O_RASTER_FOCAL = _o_raster_focal()
+
+
 def q_raster_join(spark, sf_dir):
     df = flat_spans(spark, sf_dir).select("doc_id", "span_idx", "lon", "lat")
     return raster_vector_join(df, res=REGION_RES).select(
@@ -3576,6 +3594,7 @@ QUERIES = {
     "knn_local": (q_knn_local, O_KNN),
     "knn_kdist": (q_knn_kdist, O_KNN_KDIST),
     "raster_join": (q_raster_join, O_RASTER_JOIN),
+    "raster_focal": (q_raster_focal, O_RASTER_FOCAL),
     "binned_1d": (q_binned_1d, O_BINNED_1D),
     "binned_1d_padded": (q_binned_1d_padded, O_BINNED_1D_PADDED),
     "systematics": (q_systematics, O_SYSTEMATICS),

@@ -44,6 +44,61 @@ def tile_centers(spark, res: int = 6) -> DataFrame:
     return raster.selectExpr("tile_id", "zoom", "tile_value", f"{cx} AS lon", f"{cy} AS lat")
 
 
+def focal_stats(spark, *, res: int = 6) -> DataFrame:
+    """Focal (moving-window) raster statistics: per tile, the 3×3
+    neighbourhood max / min / sum of ``tile_value`` plus the neighbour
+    count (grid-boundary-clamped) — the map-algebra 'focal' op on the
+    generated raster.  Same single-explode no-join shape as the tile
+    smooth; tile values are exact binary fractions so the sum channel is
+    order-insensitive."""
+    n = 1 << res
+    raster = spark.sql(raster_sql("spark", res))
+    x = grid.unpack_x_sql("tile_id", "spark")
+    y = grid.unpack_y_sql("tile_id", "spark")
+    ring = (
+        "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> "
+        f"struct({x} + dx AS x, {y} + dy AS y))))"
+    )
+    contrib = (
+        raster.select("tile_value", F.explode(F.expr(ring)).alias("_nc"))
+        .filter(
+            (F.col("_nc.x") >= 0) & (F.col("_nc.x") < n)
+            & (F.col("_nc.y") >= 0) & (F.col("_nc.y") < n)
+        )
+        .select(
+            F.expr(grid.pack_sql(res, "_nc.x", "_nc.y")).alias("tile_id"),
+            "tile_value",
+        )
+    )
+    return contrib.groupBy("tile_id").agg(
+        F.max("tile_value").alias("f_max"),
+        F.min("tile_value").alias("f_min"),
+        F.sum("tile_value").alias("f_sum"),
+        F.count(F.lit(1)).alias("n_nbr"),
+    )
+
+
+def focal_stats_oracle_sql(res: int = 6) -> str:
+    """DuckDB oracle twin of :func:`focal_stats`."""
+    n = 1 << res
+    ux = grid.unpack_x_sql("tile_id", "duck")
+    uy = grid.unpack_y_sql("tile_id", "duck")
+    return f"""
+WITH raster AS ({raster_sql('duck', res)}),
+contrib AS (
+  SELECT {grid.pack_sql(res, f"({ux} + dx)", f"({uy} + dy)")} AS tcell, tile_value
+  FROM raster,
+       (SELECT unnest(range(-1, 2)) AS dx),
+       (SELECT unnest(range(-1, 2)) AS dy)
+  WHERE {ux} + dx BETWEEN 0 AND {n - 1}
+    AND {uy} + dy BETWEEN 0 AND {n - 1}
+)
+SELECT tcell AS tile_id, max(tile_value) AS f_max, min(tile_value) AS f_min,
+       sum(tile_value) AS f_sum, count(*) AS n_nbr
+FROM contrib GROUP BY 1
+"""
+
+
 def zonal_stats(spark, polygons: list[dict], *, res: int = 6) -> DataFrame:
     """Per-polygon raster aggregate (zonal statistics): tiles whose CENTER
     lies inside the polygon contribute (n_tiles, sum, sum-of-squares of
