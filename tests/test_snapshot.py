@@ -136,3 +136,54 @@ def test_expire_snapshots_retains_shared_files(spark, tmp_path, docs):
     }
     referenced = {f["path"] for f in SnapshotReader(table).snapshot.files}
     assert on_disk == referenced
+
+
+def test_streaming_commits_append_snapshots(spark, tmp_path, docs):
+    """foreachBatch as an Iceberg-style writer: every micro-batch lands as
+    an APPEND snapshot commit; the latest snapshot reads the full input
+    and each commit's incremental scan returns exactly its batch."""
+    from fast_carpenter_spark.sources.snapshot import (
+        SnapshotReader,
+        list_snapshots,
+        write_snapshot,
+    )
+
+    input_dir = str(tmp_path / "in")
+    table = str(tmp_path / "tbl_stream")
+    docs.select("doc_id", "lang").repartition(3, "doc_id").write.parquet(input_dir)
+
+    def commit_batch(batch_df, batch_id):
+        sids = list_snapshots(table) if __import__("os").path.isdir(table) else []
+        write_snapshot(
+            batch_df.coalesce(1),
+            table,
+            snapshot_id=f"snap-{batch_id:04d}",
+            base=sids[-1] if sids else None,
+        )
+
+    schema = spark.read.parquet(input_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    sids = list_snapshots(table)
+    assert len(sids) == 3
+    # latest snapshot = the whole input (append lineage)
+    latest = SnapshotReader(table)
+    assert latest.load(spark).count() == docs.count()
+    # each commit's manifest diff = exactly its own batch
+    total = 0
+    for prev, cur in zip(sids, sids[1:]):
+        inc = SnapshotReader(table, cur).load_incremental(spark, prev)
+        n = inc.count()
+        assert n > 0
+        total += n
+    first = SnapshotReader(table, sids[0]).load(spark).count()
+    assert first + total == docs.count()
