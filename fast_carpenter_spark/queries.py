@@ -921,6 +921,44 @@ SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
 FROM events GROUP BY 1, 2
 """
 
+
+SLIDE_S, SLIDE_WIN_S = 600, 3000  # 10-min slide, 50-min window (5 slides)
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding event-time windows (50-min window, 10-min slide): each
+    event lands in 5 overlapping windows — Spark's native window()
+    generator vs the oracle's explicit slide-offset explode, epoch-aligned
+    identically.  Counts and exact distinct users per window."""
+    ev = _load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", f"{SLIDE_WIN_S} seconds", f"{SLIDE_S} seconds").alias("win")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', win.start)"
+            ).cast("long").alias("win_start"),
+            "n",
+            "n_users",
+        )
+    )
+
+
+O_EVENTS_SLIDING = f"""
+WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+hit AS (
+  SELECT user_id, (s // {SLIDE_S} - j) * {SLIDE_S} AS win_start
+  FROM ev, (SELECT unnest(range(0, {SLIDE_WIN_S // SLIDE_S})) AS j)
+)
+SELECT win_start, count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM hit GROUP BY 1
+"""
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
@@ -3560,6 +3598,7 @@ QUERIES = {
     "streaming_tile_agg": (q_streaming_tile_agg, O_TILE_AGG),
     "streaming_dedup": (q_streaming_dedup, O_DEDUP_EXACT),
     "events_window": (q_events_window, O_EVENTS_WINDOW),
+    "events_sliding": (q_events_sliding, O_EVENTS_SLIDING),
     "events_sessionize": (q_events_sessionize, O_EVENTS_SESSIONIZE),
     "sessions_overlap": (q_sessions_overlap, O_SESSIONS_OVERLAP),
     "events_stjoin": (q_events_stjoin, O_EVENTS_STJOIN),
