@@ -2217,6 +2217,54 @@ SELECT lang, token, n, CAST(rank AS INT) AS rank FROM (
 """
 
 
+BIGRAM_TOPK = 20
+
+
+def q_bigram_topk(spark, sf_dir):
+    """Corpus-level top-K bigram STRINGS (collocation audit — the n>1
+    companion of the token heavy-hitters): adjacent-token pairs via an
+    indexed transform over each doc's token array (map-side), then one
+    partial-agg'd count + global top-K with (count desc, bigram asc)
+    tie-break."""
+    toks = _text.tokens_sql("text", "spark")
+    bigrams = (
+        f"transform(sequence(1, size({toks}) - 1), i -> "
+        f"concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+    )
+    docs = load_documents(spark, sf_dir).filter(f"size({toks}) >= 2")
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select(F.explode(F.expr(bigrams)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BIGRAM_TOPK)
+    )
+
+
+def _o_bigram_topk() -> str:
+    toks = _text.tokens_sql("text", "duck")
+    bigrams = (
+        f"list_transform(range(1, len({toks})), i -> "
+        f"list_extract({toks}, i) || ' ' || list_extract({toks}, i + 1))"
+    )
+    return f"""
+SELECT bigram, n, CAST(rank AS INT) AS rank FROM (
+  SELECT bigram, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, bigram) AS rank
+  FROM (SELECT unnest({bigrams}) AS bigram FROM documents WHERE len({toks}) >= 2)
+  GROUP BY bigram
+) WHERE rank <= {BIGRAM_TOPK}
+"""
+
+
+O_BIGRAM_TOPK = _o_bigram_topk()
+
+
 def q_dedup_exact(spark, sf_dir):
     return _dedup.exact_dedup(load_documents(spark, sf_dir))
 
@@ -3659,6 +3707,7 @@ QUERIES = {
     "dedup_cluster_stats": (q_dedup_cluster_stats, O_DEDUP_CLUSTER_STATS),
     "text_features": (q_text_features, O_TEXT_FEATURES),
     "token_topk": (q_token_topk, O_TOKEN_TOPK),
+    "bigram_topk": (q_bigram_topk, O_BIGRAM_TOPK),
     "ann_cosine_topk": (q_ann_cosine, O_ANN_COSINE),
     "ann_lsh_bucket": (q_ann_lsh_bucket, O_ANN_LSH_BUCKET),
     "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
