@@ -2217,6 +2217,38 @@ SELECT lang, token, n, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_modality_profile(spark, sf_dir):
+    """Document modality-mix histogram (interleaved-format structure): per
+    doc the (text, image, audio, table) span counts, then how many docs
+    share each exact mix — one conditional-aggregate pass + a tiny
+    profile-keyed aggregate."""
+    df = flat_spans(spark, sf_dir)
+    per_doc = df.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("kind") == k, 1).otherwise(0)).alias(f"n_{k}")
+            for k in ["text", "image", "audio", "table"]
+        ]
+    )
+    return per_doc.groupBy("n_text", "n_image", "n_audio", "n_table").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+O_MODALITY_PROFILE = f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+         CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_image,
+         CAST(sum(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+         CAST(sum(CASE WHEN kind = 'table' THEN 1 ELSE 0 END) AS BIGINT) AS n_table
+  FROM ({O_SPANS_FLAT})
+  GROUP BY doc_id
+)
+SELECT n_text, n_image, n_audio, n_table, count(*) AS n_docs
+FROM per_doc GROUP BY 1, 2, 3, 4
+"""
+
+
 BIGRAM_TOPK = 20
 
 
@@ -3708,6 +3740,7 @@ QUERIES = {
     "text_features": (q_text_features, O_TEXT_FEATURES),
     "token_topk": (q_token_topk, O_TOKEN_TOPK),
     "bigram_topk": (q_bigram_topk, O_BIGRAM_TOPK),
+    "modality_profile": (q_modality_profile, O_MODALITY_PROFILE),
     "ann_cosine_topk": (q_ann_cosine, O_ANN_COSINE),
     "ann_lsh_bucket": (q_ann_lsh_bucket, O_ANN_LSH_BUCKET),
     "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
