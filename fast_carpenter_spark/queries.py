@@ -1954,6 +1954,46 @@ O_KNN = knn_oracle_sql(
 )
 
 
+def q_knn_mutual(spark, sf_dir):
+    """Mutual-kNN graph clustering: an edge only where BOTH points rank
+    each other in their top-k (the density-robust graph used for spectral
+    / agglomerative pipelines), then Pregel components label the clusters.
+    Mutuality = one self-join of the directed kNN edge set on the swapped
+    key pair; the mutual set is symmetric by construction."""
+    from .functions.graph import connected_components
+
+    kn = q_knn(spark, sf_dir).select("doc_id", "neighbor_id").localCheckpoint()
+    rev = kn.select(
+        F.col("neighbor_id").alias("doc_id"), F.col("doc_id").alias("neighbor_id")
+    )
+    mutual = kn.join(rev, ["doc_id", "neighbor_id"]).select(
+        F.col("doc_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    pts = flat_spans(spark, sf_dir).filter("span_idx = 0").select(
+        F.col("doc_id").alias("node")
+    )
+    return (
+        connected_components(pts, mutual, node_col="node")
+        .withColumnRenamed("node", "doc_id")
+    )
+
+
+def _o_knn_mutual() -> str:
+    from .functions.graph import reach_cte_sql
+
+    kn = O_KNN.strip()
+    edges = (
+        f"SELECT a.doc_id AS src, a.neighbor_id AS dst FROM ({kn}) a "
+        f"JOIN ({kn}) b ON a.doc_id = b.neighbor_id AND a.neighbor_id = b.doc_id"
+    )
+    nodes = f"SELECT doc_id AS node FROM ({O_SPANS_FLAT}) WHERE span_idx = 0"
+    cte = reach_cte_sql(edges, nodes, "node")
+    return f"WITH RECURSIVE {cte} SELECT node AS doc_id, cluster_id FROM cl"
+
+
+O_KNN_MUTUAL = _o_knn_mutual()
+
+
 def q_knn_kdist(spark, sf_dir):
     """k-distance diagnostic (the DBSCAN eps-selection curve): each
     point's k-th-NN squared distance, bucketed into a decile histogram by
@@ -3474,6 +3514,24 @@ FROM t WHERE prev_lbl IS NOT NULL AND prev_lbl <> lbl
 O_GEOFENCE_TRANSITIONS = _o_geofence_transitions()
 
 
+def q_geofence_flows(spark, sf_dir):
+    """Region-to-region flow matrix: geofence transition events aggregated
+    to (from_poly → to_poly) counts — the polygon-level OD companion of
+    tile_flow, one extra tiny aggregate on the transition stream."""
+    return (
+        q_geofence_transitions(spark, sf_dir)
+        .groupBy("from_poly", "to_poly")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+O_GEOFENCE_FLOWS = f"""
+SELECT from_poly, to_poly, count(*) AS n_transitions
+FROM ({O_GEOFENCE_TRANSITIONS})
+GROUP BY 1, 2
+"""
+
+
 def q_streaming_geofence(spark, sf_dir):
     """Streaming geofence transitions drained with availableNow: the span
     table is re-written as contiguous (span_idx, doc_id) range slices, so
@@ -3660,6 +3718,7 @@ QUERIES = {
     "tile_regions": (q_tile_regions, O_TILE_REGIONS),
     "tile_bfs": (q_tile_bfs, O_TILE_BFS),
     "geofence_transitions": (q_geofence_transitions, O_GEOFENCE_TRANSITIONS),
+    "geofence_flows": (q_geofence_flows, O_GEOFENCE_FLOWS),
     "events_asof": (q_events_asof, O_EVENTS_ASOF),
     "events_asof_tol": (q_events_asof_tol, O_EVENTS_ASOF_TOL),
     "media_dedup": (q_media_dedup, O_MEDIA_DEDUP),
@@ -3712,6 +3771,7 @@ QUERIES = {
     "poly_overlap": (q_poly_overlap, O_POLY_OVERLAP),
     "knn_local": (q_knn_local, O_KNN),
     "knn_kdist": (q_knn_kdist, O_KNN_KDIST),
+    "knn_mutual": (q_knn_mutual, O_KNN_MUTUAL),
     "raster_join": (q_raster_join, O_RASTER_JOIN),
     "raster_focal": (q_raster_focal, O_RASTER_FOCAL),
     "binned_1d": (q_binned_1d, O_BINNED_1D),
