@@ -3699,6 +3699,57 @@ FROM (
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    # Driver-sample rotation (round 3): the correctness driver checks the
+    # FIRST 50 insertion-order entries each round.  The 45 entries below
+    # have no driver-green row from rounds 1-2 (dedup_simhash -- the only
+    # ever-red row, fixed in 81b9041 -- leads), so this round's sample
+    # clears them; the 80 entries after already have a green driver row
+    # (CORRECTNESS_r01/r02).  Rotate again next round.
+    "dedup_simhash": (q_simhash, O_SIMHASH),
+    "jagged_nested": (q_jagged_nested, O_JAGGED_NESTED),
+    "pip_join_salted": (q_pip_join_salted, O_PIP_JOIN),
+    "pip_holes": (q_pip_holes, O_PIP_HOLES),
+    "radius_join_geo": (q_radius_join_geo, O_RADIUS_JOIN_GEO),
+    "dbscan": (q_dbscan, O_DBSCAN),
+    "poly_metrics": (q_poly_metrics, O_POLY_METRICS),
+    "poly_regions": (q_poly_regions, O_POLY_REGIONS),
+    "segment_join": (q_segment_join, O_SEGMENT_JOIN),
+    "knn_geo": (q_knn_geo, O_KNN_GEO),
+    "poly_overlap": (q_poly_overlap, O_POLY_OVERLAP),
+    "knn_kdist": (q_knn_kdist, O_KNN_KDIST),
+    "knn_mutual": (q_knn_mutual, O_KNN_MUTUAL),
+    "raster_focal": (q_raster_focal, O_RASTER_FOCAL),
+    "dedup_simhash_pairs": (q_simhash_pairs, O_SIMHASH_PAIRS),
+    "dedup_cluster": (q_dedup_cluster, O_DEDUP_CLUSTER),
+    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
+    "tfidf_topk": (q_tfidf_topk, O_TFIDF_TOPK),
+    "quality_cutflow": (q_quality_cutflow, O_QUALITY_CUTFLOW),
+    "quality_filter": (q_quality_filter, O_QUALITY_FILTER),
+    "quality_adaptive": (q_quality_adaptive, O_QUALITY_ADAPTIVE),
+    "lang_quantiles": (q_lang_quantiles, O_LANG_QUANTILES),
+    "source_profile": (q_source_profile, O_SOURCE_PROFILE),
+    "decontaminate": (q_decontaminate, O_DECONTAMINATE),
+    "bloom_prefilter": (q_bloom_prefilter, O_BLOOM_PREFILTER),
+    "dedup_canonical": (q_dedup_canonical, O_DEDUP_CANONICAL),
+    "dedup_triangles": (q_dedup_triangles, O_DEDUP_TRIANGLES),
+    "dedup_cluster_stats": (q_dedup_cluster_stats, O_DEDUP_CLUSTER_STATS),
+    "token_topk": (q_token_topk, O_TOKEN_TOPK),
+    "bigram_topk": (q_bigram_topk, O_BIGRAM_TOPK),
+    "modality_profile": (q_modality_profile, O_MODALITY_PROFILE),
+    "ann_lsh_rerank": (q_ann_lsh_rerank, O_ANN_LSH_RERANK),
+    "ann_rerank_recall": (q_ann_rerank_recall, O_ANN_RERANK_RECALL),
+    "ann_ivf_assign": (q_ann_ivf_assign, O_ANN_IVF_ASSIGN),
+    "ann_ivf_centroids": (q_ann_ivf_centroids, O_ANN_IVF_CENTROIDS),
+    "ann_label_purity": (q_ann_label_purity, O_ANN_LABEL_PURITY),
+    "ann_ivf_reassign": (q_ann_ivf_reassign, O_ANN_IVF_REASSIGN),
+    "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
+    "ann_ivf_recall": (q_ann_ivf_recall, O_ANN_IVF_RECALL),
+    "dedup_consensus": (q_dedup_consensus, O_DEDUP_CONSENSUS),
+    "tile_cooccur": (q_tile_cooccur, O_TILE_COOCCUR),
+    "media_text_align": (q_media_text_align, O_MEDIA_TEXT_ALIGN),
+    "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
+    "snapshot_incremental": (q_snapshot_incremental, O_SNAPSHOT_INCREMENTAL),
+    "bucketed_join": (q_bucketed_join, O_BUCKETED_JOIN),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),
     "tile_agg": (q_tile_agg, O_TILE_AGG),
@@ -3750,30 +3801,17 @@ QUERIES = {
     "events_json": (q_events_json, O_EVENTS_JSON),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
     "jagged_reduce": (q_jagged_reduce, O_JAGGED_REDUCE),
-    "jagged_nested": (q_jagged_nested, O_JAGGED_NESTED),
     "cutflow": (q_cutflow, O_CUTFLOW),
     "cutflow_data": (q_cutflow_data, O_CUTFLOW_DATA),
     "cutflow_filter": (q_cutflow_filter, O_CUTFLOW_FILTER),
     "select_phasespace": (q_select_phasespace, O_SELECT_PHASESPACE),
     "pip_join": (q_pip_join, O_PIP_JOIN),
-    "pip_join_salted": (q_pip_join_salted, O_PIP_JOIN),
     "pip_anti": (q_pip_anti, O_PIP_ANTI),
-    "pip_holes": (q_pip_holes, O_PIP_HOLES),
     "pip_tile_agg": (q_pip_tile_agg, O_PIP_TILE_AGG),
     "knn": (q_knn, O_KNN),
     "radius_join": (q_radius_join, O_RADIUS_JOIN),
-    "radius_join_geo": (q_radius_join_geo, O_RADIUS_JOIN_GEO),
-    "dbscan": (q_dbscan, O_DBSCAN),
-    "poly_metrics": (q_poly_metrics, O_POLY_METRICS),
-    "poly_regions": (q_poly_regions, O_POLY_REGIONS),
-    "segment_join": (q_segment_join, O_SEGMENT_JOIN),
-    "knn_geo": (q_knn_geo, O_KNN_GEO),
-    "poly_overlap": (q_poly_overlap, O_POLY_OVERLAP),
     "knn_local": (q_knn_local, O_KNN),
-    "knn_kdist": (q_knn_kdist, O_KNN_KDIST),
-    "knn_mutual": (q_knn_mutual, O_KNN_MUTUAL),
     "raster_join": (q_raster_join, O_RASTER_JOIN),
-    "raster_focal": (q_raster_focal, O_RASTER_FOCAL),
     "binned_1d": (q_binned_1d, O_BINNED_1D),
     "binned_1d_padded": (q_binned_1d_padded, O_BINNED_1D_PADDED),
     "systematics": (q_systematics, O_SYSTEMATICS),
@@ -3781,45 +3819,13 @@ QUERIES = {
     "skim": (q_skim, O_SKIM),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_minhash_lsh, O_MINHASH_LSH),
-    "dedup_simhash": (q_simhash, O_SIMHASH),
-    "dedup_simhash_pairs": (q_simhash_pairs, O_SIMHASH_PAIRS),
     "dedup_ngram_jaccard": (q_ngram_jaccard, O_NGRAM_JACCARD),
-    "dedup_cluster": (q_dedup_cluster, O_DEDUP_CLUSTER),
-    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
-    "tfidf_topk": (q_tfidf_topk, O_TFIDF_TOPK),
-    "quality_cutflow": (q_quality_cutflow, O_QUALITY_CUTFLOW),
-    "quality_filter": (q_quality_filter, O_QUALITY_FILTER),
-    "quality_adaptive": (q_quality_adaptive, O_QUALITY_ADAPTIVE),
-    "lang_quantiles": (q_lang_quantiles, O_LANG_QUANTILES),
-    "source_profile": (q_source_profile, O_SOURCE_PROFILE),
-    "decontaminate": (q_decontaminate, O_DECONTAMINATE),
-    "bloom_prefilter": (q_bloom_prefilter, O_BLOOM_PREFILTER),
-    "dedup_canonical": (q_dedup_canonical, O_DEDUP_CANONICAL),
-    "dedup_triangles": (q_dedup_triangles, O_DEDUP_TRIANGLES),
-    "dedup_cluster_stats": (q_dedup_cluster_stats, O_DEDUP_CLUSTER_STATS),
     "text_features": (q_text_features, O_TEXT_FEATURES),
-    "token_topk": (q_token_topk, O_TOKEN_TOPK),
-    "bigram_topk": (q_bigram_topk, O_BIGRAM_TOPK),
-    "modality_profile": (q_modality_profile, O_MODALITY_PROFILE),
     "ann_cosine_topk": (q_ann_cosine, O_ANN_COSINE),
     "ann_lsh_bucket": (q_ann_lsh_bucket, O_ANN_LSH_BUCKET),
     "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
-    "ann_lsh_rerank": (q_ann_lsh_rerank, O_ANN_LSH_RERANK),
-    "ann_rerank_recall": (q_ann_rerank_recall, O_ANN_RERANK_RECALL),
-    "ann_ivf_assign": (q_ann_ivf_assign, O_ANN_IVF_ASSIGN),
-    "ann_ivf_centroids": (q_ann_ivf_centroids, O_ANN_IVF_CENTROIDS),
-    "ann_label_purity": (q_ann_label_purity, O_ANN_LABEL_PURITY),
-    "ann_ivf_reassign": (q_ann_ivf_reassign, O_ANN_IVF_REASSIGN),
-    "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
-    "ann_ivf_recall": (q_ann_ivf_recall, O_ANN_IVF_RECALL),
     "dedup_embedding_cosine": (q_dedup_embedding, O_DEDUP_EMBEDDING),
-    "dedup_consensus": (q_dedup_consensus, O_DEDUP_CONSENSUS),
-    "tile_cooccur": (q_tile_cooccur, O_TILE_COOCCUR),
     "media_decode": (q_media_decode, O_MEDIA_DECODE),
-    "media_text_align": (q_media_text_align, O_MEDIA_TEXT_ALIGN),
-    "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
-    "snapshot_incremental": (q_snapshot_incremental, O_SNAPSHOT_INCREMENTAL),
-    "bucketed_join": (q_bucketed_join, O_BUCKETED_JOIN),
     "media_resize": (q_media_resize, O_MEDIA_RESIZE),
     "media_frame_sample": (q_media_frames, O_MEDIA_FRAMES),
     "zonal_stats": (q_zonal_stats, O_ZONAL_STATS),
