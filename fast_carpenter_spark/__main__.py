@@ -134,9 +134,13 @@ def main(argv=None) -> int:
             path + ".json", orient="records", lines=True, double_precision=15
         ),
         "pickle": lambda pdf, path: pdf.to_pickle(path + ".pkl"),
-        # Stata has no +-inf: open-ended bin edges become missing values
+        # Stata has no +-inf: open-ended bin EDGES (the *_lo/*_hi bound
+        # columns BinnedDataframe attaches) become missing values; metric
+        # columns are left untouched so a legitimate infinite aggregate
+        # fails loudly in to_stata rather than silently becoming missing.
         "dta": lambda pdf, path: pdf.replace(
-            [float("inf"), float("-inf")], float("nan")
+            {c: {float("inf"): float("nan"), float("-inf"): float("nan")}
+             for c in pdf.columns if c.endswith(("_lo", "_hi"))}
         ).to_stata(path + ".dta", write_index=False),
     }
     formats = processing.get("output_formats", ["csv"])

@@ -49,6 +49,12 @@ def asof_join(
     duplicate ``on`` values must pre-aggregate to their preferred
     representative, which also makes the match deterministic.
     """
+    clash = {"_side", "_rp", "_match"} & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {sorted(clash)} collide with internal "
+            "helper names (_side/_rp/_match); rename them before joining"
+        )
     payload = F.struct(*[F.col(c) for c in right_cols])
     r = right.select(
         F.col(by), F.col(on), F.lit(0).alias("_side"), payload.alias("_rp")

@@ -55,7 +55,10 @@ def write_snapshot(
     an incremental scan between two snapshots is a manifest diff."""
     import pyarrow.parquet as pq
 
-    snapshot_id = snapshot_id or f"snap-{int(time.monotonic_ns())}"
+    # Zero-padded wall-clock ns: default ids sort lexicographically in
+    # commit order even across process restarts (monotonic_ns resets per
+    # boot and unpadded ids compare wrongly once the digit count grows).
+    snapshot_id = snapshot_id or f"snap-{time.time_ns():020d}"
     base_files: list[dict] = []
     parent_id = None
     if base is not None:
@@ -109,11 +112,35 @@ def write_snapshot(
 
 
 def list_snapshots(table_path: str) -> list[str]:
-    out = []
-    for name in sorted(os.listdir(table_path)):
+    """Snapshot ids in COMMIT order (oldest first).
+
+    Ordering is lineage-first, not name-first: each manifest records its
+    ``parent_id``, so a child always sorts after its parent (chain depth),
+    and independent roots / branches tie-break on manifest mtime then id.
+    Filename sort alone is unsafe for user-supplied ids — a newer commit
+    named ``snap-1`` would sort before an older ``snap-9`` and the GC in
+    :func:`expire_snapshots` would delete the wrong snapshot's files.
+    """
+    meta: dict[str, tuple] = {}
+    parents: dict[str, str | None] = {}
+    for name in os.listdir(table_path):
         if name.startswith(MANIFEST_PREFIX) and name.endswith(".json"):
-            out.append(name[len(MANIFEST_PREFIX):-len(".json")])
-    return out
+            sid = name[len(MANIFEST_PREFIX):-len(".json")]
+            path = os.path.join(table_path, name)
+            with open(path) as f:
+                parents[sid] = json.load(f).get("parent_id")
+            meta[sid] = (os.stat(path).st_mtime_ns, sid)
+
+    def depth(sid: str) -> int:
+        d = 0
+        seen = set()
+        while parents.get(sid) in meta and sid not in seen:
+            seen.add(sid)
+            sid = parents[sid]
+            d += 1
+        return d
+
+    return sorted(meta, key=lambda s: (depth(s),) + meta[s])
 
 
 class SnapshotReader:
@@ -187,8 +214,29 @@ def expire_snapshots(table_path: str, *, keep: int) -> dict:
     dropped = sids[:-keep]
     if not dropped:
         return {"removed_snapshots": [], "removed_files": 0}
+    kept = set(sids[-keep:])
+    # Lineage guard: never drop a DESCENDANT of a kept snapshot — that
+    # would mean commit order put an ancestor after its child, i.e. the
+    # ordering is corrupt, and deleting the descendant's unshared files
+    # would be data loss.  Walk each dropped snapshot's parent chain; a
+    # kept ancestor is fine (expected), a kept snapshot whose parent chain
+    # passes through a dropped one is checked from the kept side.
+    parent_of: dict[str, str | None] = {}
+    for sid in sids:
+        with open(os.path.join(table_path, f"{MANIFEST_PREFIX}{sid}.json")) as f:
+            parent_of[sid] = json.load(f).get("parent_id")
+    for sid in dropped:
+        anc, seen = parent_of.get(sid), set()
+        while anc is not None and anc not in seen:
+            if anc in kept:
+                raise RuntimeError(
+                    f"refusing to expire {sid!r}: it descends from kept "
+                    f"snapshot {anc!r} (retention would delete a newer commit)"
+                )
+            seen.add(anc)
+            anc = parent_of.get(anc)
     keep_files: set[str] = set()
-    for sid in sids[-keep:]:
+    for sid in kept:
         keep_files |= {
             f["path"] for f in SnapshotReader(table_path, sid).snapshot.files
         }

@@ -78,7 +78,15 @@ def uncompact_cells(cells: DataFrame, res_to: int) -> DataFrame:
     x = grid.unpack_x_sql("cell", "spark")
     y = grid.unpack_y_sql("cell", "spark")
     r = grid.unpack_res_sql("cell", "spark")
-    span = f"shiftleft(CAST(1 AS BIGINT), {res_to} - CAST({r} AS INT))"
+    # Guard the mirror of compact_cells' res assert: a cell FINER than
+    # res_to would make the shift negative and silently emit an empty
+    # sequence (wrong output) — fail loudly instead.
+    span = (
+        f"CASE WHEN CAST({r} AS INT) > {res_to} THEN "
+        f"CAST(raise_error(concat('uncompact_cells: cell res ', CAST({r} AS STRING),"
+        f" ' exceeds res_to {res_to}')) AS BIGINT) "
+        f"ELSE shiftleft(CAST(1 AS BIGINT), {res_to} - CAST({r} AS INT)) END"
+    )
     child = grid.pack_sql(
         res_to,
         f"(({x}) * _s + _i DIV _s)",

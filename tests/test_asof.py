@@ -47,3 +47,12 @@ def test_left_rows_all_kept_and_plan_has_no_nlj(spark):
     assert out.count() == 100
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_helper_column_collision_rejected(spark):
+    left = spark.createDataFrame([(1, 10, "x")], ["k", "t", "_side"])
+    right = spark.createDataFrame([(1, 5, 2.0)], ["k", "t", "v"])
+    import pytest
+
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(left, right, by="k", on="t", right_cols=["v"])

@@ -232,3 +232,19 @@ def test_compact_cells_properties(spark):
                 leaf = (x * span + dx, y * span + dy)
                 assert leaf not in leaves
                 leaves.add(leaf)
+
+
+def test_uncompact_rejects_finer_cells(spark):
+    """A cell finer than res_to must raise, not silently vanish."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    import numpy as np
+
+    from fast_carpenter_spark import grid
+    from fast_carpenter_spark.spatial.compact import uncompact_cells
+
+    fine = grid.pack_cells(6, np.array([3]), np.array([5]))[0]  # res 6 -> res 4
+    df = spark.createDataFrame([(int(fine),)], ["cell"])
+    with pytest.raises(Exception, match="uncompact_cells|exceeds"):
+        uncompact_cells(df, 4).collect()

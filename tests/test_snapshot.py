@@ -187,3 +187,63 @@ def test_streaming_commits_append_snapshots(spark, tmp_path, docs):
         total += n
     first = SnapshotReader(table, sids[0]).load(spark).count()
     assert first + total == docs.count()
+
+
+def test_commit_order_beats_filename_order(spark, tmp_path, docs):
+    """Ids that sort lexicographically BACKWARD must still list in commit
+    order (lineage first), and expire_snapshots must GC the old snapshot,
+    never the newer append commit (ADVICE r2: monotonic/unpadded ids made
+    name-sort delete the newest snapshot's files)."""
+    from fast_carpenter_spark.sources.snapshot import (
+        SnapshotReader,
+        expire_snapshots,
+        list_snapshots,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "tbl_order")
+    d = docs.select("doc_id", "lang").limit(10).coalesce(1)
+    # older commit named snap-9, newer child commit named snap-1
+    s_old = write_snapshot(d, table, snapshot_id="snap-9")
+    write_snapshot(d.limit(3), table, snapshot_id="snap-1", base=s_old)
+    assert list_snapshots(table) == ["snap-9", "snap-1"]
+
+    out = expire_snapshots(table, keep=1)
+    assert out["removed_snapshots"] == ["snap-9"]
+    latest = SnapshotReader(table)
+    assert latest.snapshot_id == "snap-1"
+    assert latest.load(spark).count() == 13  # full append lineage intact
+
+
+def test_default_ids_sort_across_sessions(tmp_path, docs):
+    """Default snapshot ids are zero-padded wall-clock ns, so two commits
+    written by different processes still sort in commit order."""
+    from fast_carpenter_spark.sources.snapshot import list_snapshots, write_snapshot
+
+    table = str(tmp_path / "tbl_wc")
+    d = docs.select("doc_id").limit(2).coalesce(1)
+    a = write_snapshot(d, table)
+    b = write_snapshot(d, table, base=a)
+    sid_a, sid_b = a.snapshot_id, b.snapshot_id
+    assert sid_a < sid_b and len(sid_a) == len(sid_b)  # padded, ordered
+    assert list_snapshots(table) == [sid_a, sid_b]
+
+
+def test_expire_lineage_guard_refuses_corrupt_order(tmp_path, docs, monkeypatch):
+    """If ordering ever regressed to put a kept snapshot before its
+    descendant, expire must refuse rather than delete the newer commit."""
+    import fast_carpenter_spark.sources.snapshot as snap_mod
+
+    table = str(tmp_path / "tbl_guard")
+    d = docs.select("doc_id").limit(2).coalesce(1)
+    a = snap_mod.write_snapshot(d, table, snapshot_id="snap-a")
+    snap_mod.write_snapshot(d, table, snapshot_id="snap-b", base=a)
+
+    # simulate a corrupt/legacy ordering that keeps the ancestor
+    monkeypatch.setattr(
+        snap_mod, "list_snapshots", lambda p: ["snap-b", "snap-a"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="descends from kept"):
+        snap_mod.expire_snapshots(table, keep=1)
