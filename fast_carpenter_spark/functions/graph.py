@@ -1,22 +1,46 @@
-"""Generic Pregel-style connected components (min-label propagation).
+"""Distributed connected components + graph kernels.
 
-Extracted from the near-dup clustering path so every component-labelling
-operator (near-dup graphs, adjacent-dense-cell clusters, session stitching)
-shares one audited loop.  Each superstep: every node adopts
-``min(own label, min over in-neighbour labels)`` via ONE edge-keyed shuffle
-join + groupBy — exactly the GraphX/GraphFrames connectedComponents
-superstep.  Rounds = component diameter.
+Two component-labelling implementations share one signature:
 
-Per-round ``localCheckpoint`` truncates the logical plan: persist alone
-does NOT, and an iterative loop otherwise compounds lineage until plan
-construction itself OOMs (observed on a diameter-11 chain).  On a real
-cluster substitute reliable ``checkpoint()`` (HDFS-backed) and bucket the
-edge table by ``dst`` so the per-round join is co-partitioned.
+* :func:`connected_components` — alternating LARGE-STAR / SMALL-STAR
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC 2014).  Converges in O(log n) rounds REGARDLESS of component
+  diameter — the 100 TB shape: a chained near-dup corpus can have
+  diameter in the hundreds, which kills any per-hop propagation.
+* :func:`connected_components_minlabel` — classic Pregel min-label
+  propagation (rounds = component diameter), kept as the independently
+  derived twin; a result-identity test pins the two to each other and
+  the DuckDB recursive-CTE oracle pins both.
+
+Per-round plan truncation: ``localCheckpoint`` by default (fast,
+executor-local blocks); set ``spark.graft.checkpointDir`` to switch every
+iterative loop in this package to reliable ``checkpoint()`` (HDFS-backed)
+so a lost executor can't kill a long iterative job on a real cluster —
+persist alone does NOT truncate, and an iterative loop otherwise compounds
+lineage until plan construction itself OOMs (observed on a diameter-11
+chain).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def plan_truncate(df: DataFrame) -> DataFrame:
+    """Cut lineage between supersteps of an iterative loop.
+
+    Default: ``localCheckpoint(eager=True)`` — blocks live on executors,
+    no DFS round-trip, right for local mode and short loops.  When
+    ``spark.graft.checkpointDir`` is set, use reliable ``checkpoint()``
+    instead: blocks go to the fault-tolerant store, so on a real cluster
+    an executor loss mid-loop recomputes nothing older than one round.
+    """
+    spark = df.sparkSession
+    ckdir = spark.conf.get("spark.graft.checkpointDir", None)
+    if ckdir:
+        spark.sparkContext.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -25,27 +49,117 @@ def connected_components(
     *,
     node_col: str = "node",
     max_iter: int = 50,
+    _stats: dict | None = None,
 ) -> DataFrame:
-    """Label every node with its component's minimum node id.
+    """Label every node with its component's minimum node id — alternating
+    large-star/small-star, O(log n) rounds.
 
     ``nodes``: one column ``node_col`` (any orderable type, must be unique).
-    ``edges``: columns (src, dst); treated as DIRECTED messages dst -> src,
-    so pass both orientations for an undirected graph.
-    Returns (``node_col``, cluster_id).
+    ``edges``: columns (src, dst); orientation is irrelevant (edges are
+    canonicalized), self-loops ignored.  Returns (``node_col``, cluster_id).
+
+    Round shape (all BIGINT/orderable-keyed equi-joins + groupBys, no
+    collect): LARGE-STAR symmetrizes, computes each node's neighborhood
+    min m = min(N(u) ∪ {u}) with one groupBy, and rewires every LARGER
+    neighbor to m; SMALL-STAR (edges now oriented hi→lo) rewires every
+    smaller neighbor and u itself to the group min.  Both strictly
+    decrease the potential Σ(u - root(u)), halving tree heights, hence
+    O(log n) rounds; convergence = edge set unchanged (exact ``exceptAll``
+    probe, one extra shuffle per round — cheap next to the round itself).
+
+    ``_stats``: optional dict; records ``rounds`` for diagnostics/tests.
     """
-    edges = edges.repartition("dst").localCheckpoint()
-    labels = (
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    e = plan_truncate(e.repartition("u"))
+    e_count = e.count()
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: m = min over symmetric neighborhood ∪ self;
+        # every neighbor v > u re-attaches to m (output oriented hi→lo)
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", "u").alias("m"))
+        )
+        ls = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: all neighbors of u are < u; m = their min; every
+        # neighbor AND u itself re-attach to m
+        smin = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        ss = plan_truncate(ss.repartition("u"))
+        # both sides are distinct sets, so ss == e  ⇔  |ss| = |e| ∧ ss\e = ∅;
+        # a one-sided exceptAll alone would accept a strict subset and stop
+        # on a not-yet-converged edge set
+        ss_count = ss.count()
+        changed = ss_count != e_count or ss.exceptAll(e).limit(1).count() > 0
+        e, e_count = ss, ss_count
+        if not changed:
+            break
+    if _stats is not None:
+        _stats["rounds"] = rounds
+    stars = e.groupBy(F.col("u").alias(node_col)).agg(
+        F.min("v").alias("_root")
+    )
+    return nodes.join(stars, node_col, "left").select(
+        node_col,
+        F.coalesce("_root", F.col(node_col)).alias("cluster_id"),
+    )
+
+
+def connected_components_minlabel(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    max_iter: int = 50,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """Pregel min-label propagation twin of :func:`connected_components`.
+
+    Each superstep: every node adopts ``min(own label, min over
+    in-neighbour labels)`` via ONE edge-keyed shuffle join + groupBy —
+    the GraphX/GraphFrames connectedComponents superstep.  Rounds =
+    component DIAMETER, so this is the small-graph / oracle-parity path;
+    the alternating-star version is the at-scale default.
+
+    ``edges``: treated as DIRECTED messages dst -> src, so pass both
+    orientations for an undirected graph (kept from the original
+    signature; the star version canonicalizes internally instead).
+    """
+    edges = plan_truncate(edges.repartition("dst"))
+    labels = plan_truncate(
         nodes.select(F.col(node_col), F.col(node_col).alias("cluster_id"))
         .repartition(node_col)
-        .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         msgs = (
             edges.join(labels, edges["dst"] == labels[node_col])
             .groupBy(F.col("src").alias(node_col))
             .agg(F.min("cluster_id").alias("_nbr_min"))
         )
-        new = (
+        new = plan_truncate(
             labels.join(msgs, node_col, "left")
             .select(
                 node_col,
@@ -54,7 +168,6 @@ def connected_components(
                 ).alias("cluster_id"),
             )
             .repartition(node_col)
-            .localCheckpoint()
         )
         changed = (
             new.alias("n")
@@ -66,6 +179,8 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if _stats is not None:
+        _stats["rounds"] = rounds
     return labels
 
 

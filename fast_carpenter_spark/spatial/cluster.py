@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.graph import connected_components, reach_cte_sql
+from ..functions.graph import connected_components, plan_truncate, reach_cte_sql
 from .knn import radius_join
 
 
@@ -59,16 +59,16 @@ def dbscan(
     sym = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
-        .localCheckpoint()
     )
+    sym = plan_truncate(sym)
     ids = points.select(F.col(id_col).alias("id"))
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("_deg"))
     core = (
         ids.join(deg, "id", "left")
         .filter(F.coalesce("_deg", F.lit(0)) + 1 >= min_pts)
         .select("id")
-        .localCheckpoint()
     )
+    core = plan_truncate(core)
     core_edges = (
         sym.join(core.select(F.col("id").alias("src")), "src")
         .join(core.select(F.col("id").alias("dst")), "dst")

@@ -6,7 +6,11 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from fast_carpenter_spark.functions.graph import connected_components, reach_cte_sql
+from fast_carpenter_spark.functions.graph import (
+    connected_components,
+    connected_components_minlabel,
+    reach_cte_sql,
+)
 
 
 def _undirected(spark, pairs):
@@ -35,10 +39,66 @@ def test_long_chain_converges(spark):
     assert set(got.values()) == {0}
 
 
-def test_max_iter_caps_rounds(spark):
+def test_max_iter_caps_rounds_minlabel(spark):
     # one round of min-propagation on a chain only moves labels one hop
-    got = _run(spark, 4, [(i, i + 1) for i in range(3)], max_iter=1)
+    nodes = spark.range(4).select(F.col("id").alias("node"))
+    labels = connected_components_minlabel(
+        nodes, _undirected(spark, [(i, i + 1) for i in range(3)]), max_iter=1
+    )
+    got = {r["node"]: r["cluster_id"] for r in labels.collect()}
     assert got == {0: 0, 1: 0, 2: 1, 3: 2}
+
+
+def test_star_beats_minlabel_rounds_on_chain(spark):
+    # diameter-19 chain: min-label needs ~diameter supersteps, the
+    # alternating large-star/small-star must land in O(log n) — the 100 TB
+    # justification for making it the default (VERDICT r2 item 3)
+    pairs = [(i, i + 1) for i in range(19)]
+    nodes = spark.range(20).select(F.col("id").alias("node"))
+    s_star, s_min = {}, {}
+    star = connected_components(
+        nodes, _undirected(spark, pairs), _stats=s_star
+    )
+    mini = connected_components_minlabel(
+        nodes, _undirected(spark, pairs), _stats=s_min
+    )
+    got_star = {r["node"]: r["cluster_id"] for r in star.collect()}
+    got_min = {r["node"]: r["cluster_id"] for r in mini.collect()}
+    assert got_star == got_min == {i: 0 for i in range(20)}
+    assert s_star["rounds"] <= 7 < s_min["rounds"]
+
+
+def test_star_minlabel_identity_random(spark):
+    # random graph result-identity between the two implementations
+    import random
+
+    rng = random.Random(7)
+    pairs = {(rng.randrange(60), rng.randrange(60)) for _ in range(45)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    nodes = spark.range(60).select(F.col("id").alias("node"))
+    e = _undirected(spark, pairs)
+    a = {(r["node"], r["cluster_id"])
+         for r in connected_components(nodes, e).collect()}
+    b = {(r["node"], r["cluster_id"])
+         for r in connected_components_minlabel(nodes, e).collect()}
+    assert a == b
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    # spark.graft.checkpointDir switches iterative loops to reliable
+    # checkpoint(); result must be identical
+    pairs = [(i, i + 1) for i in range(9)]
+    nodes = spark.range(10).select(F.col("id").alias("node"))
+    spark.conf.set("spark.graft.checkpointDir", str(tmp_path / "ck"))
+    try:
+        labels = connected_components(nodes, _undirected(spark, pairs))
+        got = {r["node"]: r["cluster_id"] for r in labels.collect()}
+    finally:
+        spark.conf.unset("spark.graft.checkpointDir")
+    assert got == {i: 0 for i in range(10)}
+    import os
+
+    assert os.listdir(str(tmp_path / "ck"))  # blocks actually written
 
 
 def test_custom_node_col(spark):
