@@ -55,11 +55,14 @@ def load_dataset(spark, cfg: dict, input_table: str, idx: int = 0):
     elif input_table == "spans_nested":
         # the interleaved doc-level view (doc_id, spans:array<struct>) plus
         # jagged/scalar derivations the reference-style Define/CutFlow
-        # configs operate on (nBJets-like reductions need a jagged column)
+        # configs operate on (nBJets-like reductions need a jagged column).
+        # weight is a binary fraction (k/16) so weighted double sums are
+        # order-insensitive and the binned output stays bit-exact vs the
+        # DuckDB oracle (same rule as synth.doc_weight_sql)
         df = spark.sql(
             f"SELECT t.*, transform(t.spans, s -> s.offset) AS offsets, "
             f"size(t.spans) AS n_spans, "
-            f"CAST(1.0 + size(t.spans) / 10.0 AS DOUBLE) AS weight_nominal "
+            f"CAST(1.0 + size(t.spans) / 16.0 AS DOUBLE) AS weight_nominal "
             f"FROM ({synth.spans_table_sql('spark', docs=view)}) t"
         )
     else:

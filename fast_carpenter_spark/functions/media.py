@@ -34,7 +34,9 @@ DECODE_SCHEMA = T.StructType(
 )
 
 
-def _stub_decode(refs: pd.Series, kinds: pd.Series) -> pd.DataFrame:
+def _stub_decode(
+    refs: pd.Series, kinds: pd.Series, payloads: pd.Series | None = None
+) -> pd.DataFrame:
     """STUB decode: deterministic fake metadata from the media reference.
 
     A real deployment replaces this body with (e.g.) PIL/ffmpeg over the
@@ -53,19 +55,72 @@ def _stub_decode(refs: pd.Series, kinds: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"width": width, "height": height, "n_frames": n_frames})
 
 
+def _probe_real_decoder():
+    """Capability probe: return a codec-backed decode kernel when a real
+    image library is importable, else None.  This container ships no codec
+    libs, so the probe returns None here and the stub carries the pipeline;
+    on a real deployment the PIL path activates with no other code change
+    (tests/test_media_probe.py drives a fake decoder through the identical
+    seam to prove the swap)."""
+    try:
+        from PIL import Image  # noqa: F401
+    except Exception:
+        return None
+    import io
+
+    from PIL import Image
+
+    def pil_decode(
+        refs: pd.Series, kinds: pd.Series, payloads: pd.Series | None = None
+    ) -> pd.DataFrame:
+        if payloads is None:
+            # reference-only rows carry no bytes; fall back to the stub so
+            # metadata stays deterministic
+            return _stub_decode(refs, kinds)
+        rows = []
+        for blob in payloads:
+            with Image.open(io.BytesIO(blob)) as im:
+                rows.append((im.width, im.height, getattr(im, "n_frames", 1)))
+        out = pd.DataFrame(rows, columns=["width", "height", "n_frames"])
+        return out.astype({"width": "int32", "height": "int32", "n_frames": "int32"})
+
+    return pil_decode
+
+
+_REAL_DECODER = _probe_real_decoder()
+
+
+def active_decoder():
+    """The decode kernel decode_media_spans ships to executors: the real
+    codec-backed decoder when its library imported at module load, else
+    the deterministic stub.  Resolved at PLAN BUILD time and captured in
+    the mapInPandas closure, so the chosen kernel travels to the Python
+    workers via cloudpickle (a worker-side module lookup would not see a
+    driver-side override)."""
+    return _REAL_DECODER if _REAL_DECODER is not None else _stub_decode
+
+
 def decode_media_spans(flat_spans: DataFrame) -> DataFrame:
-    """Media-span metadata extraction via Arrow-batched mapInPandas."""
-    media = flat_spans.filter("kind != 'text'").select(
-        "doc_id", "span_idx", "kind", "media_ref"
+    """Media-span metadata extraction via Arrow-batched mapInPandas.
+    If the input carries a binary ``payload`` column it is handed to the
+    decode kernel; the testdata tables are reference-only."""
+    decoder = active_decoder()
+    has_payload = "payload" in flat_spans.columns
+    cols = ["doc_id", "span_idx", "kind", "media_ref"] + (
+        ["payload"] if has_payload else []
     )
+    media = flat_spans.filter("kind != 'text'").select(*cols)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = _stub_decode(pdf["media_ref"], pdf["kind"])
+            meta = decoder(
+                pdf["media_ref"], pdf["kind"],
+                pdf["payload"] if has_payload else None,
+            )
             out = pdf[["doc_id", "span_idx", "kind", "media_ref"]].copy()
-            out["width"] = meta["width"]
-            out["height"] = meta["height"]
-            out["n_frames"] = meta["n_frames"]
+            out["width"] = meta["width"].values
+            out["height"] = meta["height"].values
+            out["n_frames"] = meta["n_frames"].values
             yield out
 
     return media.mapInPandas(decode, schema=DECODE_SCHEMA)

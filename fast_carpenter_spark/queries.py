@@ -2547,6 +2547,61 @@ def q_ann_ivf_recall(spark, sf_dir):
 O_ANN_IVF_RECALL = _ann.ivf_recall_oracle_sql()
 
 
+def _load_clustered(spark, sf_dir):
+    """Deterministic Gaussian-mixture-style embeddings derived from
+    (vec_id, label) — pure integer-hash arithmetic, so Spark and the DuckDB
+    oracle generate bit-identical vectors (see ann.clustered_vec_sql)."""
+    return _ann.clustered_embeddings(_load_embeddings(spark, sf_dir))
+
+
+def q_embed_clustered(spark, sf_dir):
+    """The clustered synthetic embedding table itself, summarized per
+    vector (first/middle component + exact norm): proves both engines
+    derive identical mixture vectors before any ANN query consumes them."""
+    ce = _load_clustered(spark, sf_dir)
+    return ce.select(
+        "vec_id",
+        "label",
+        F.expr("element_at(embedding, 1)").alias("c0"),
+        F.expr("element_at(embedding, 33)").alias("c32"),
+        F.expr(_ann.norm_sql("embedding", "spark")).alias("norm"),
+    )
+
+
+O_EMBED_CLUSTERED = f"""
+WITH {_ann.clustered_table_cte()}
+SELECT vec_id, label,
+       list_extract(embedding, 1) AS c0,
+       list_extract(embedding, 33) AS c32,
+       {_ann.norm_sql('embedding', 'duck')} AS norm
+FROM embeddings_c
+"""
+
+
+def q_ann_ivf_recall_clustered(spark, sf_dir):
+    """IVF recall@5 on CLUSTERED embeddings: same machinery as
+    ann_ivf_recall, but measured on a corpus with real cluster structure —
+    the honest recall number (near-uniform vectors bound recall at ~0.5
+    no matter the probe settings; clustered corpora are what IVF is for)."""
+    return _ann.ivf_recall(_load_clustered(spark, sf_dir))
+
+
+O_ANN_IVF_RECALL_CLUSTERED = _ann.ivf_recall_oracle_sql(
+    table="embeddings_c", extra_cte=_ann.clustered_table_cte() + ", "
+)
+
+
+def q_ann_rerank_recall_clustered(spark, sf_dir):
+    """Multi-probe LSH rerank recall@5 on CLUSTERED embeddings — the
+    LSH-family twin of ann_ivf_recall_clustered."""
+    return _ann.rerank_recall(_load_clustered(spark, sf_dir))
+
+
+O_ANN_RERANK_RECALL_CLUSTERED = _ann.rerank_recall_oracle_sql(
+    table="embeddings_c", extra_cte=_ann.clustered_table_cte() + ", "
+)
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup (LSH-bucketed pair join + canonical-min)."""
     return _ann.embedding_near_dup(_load_embeddings(spark, sf_dir))
@@ -2966,6 +3021,119 @@ def q_checkpoint_resume(spark, sf_dir):
     resumed.execute(spark)  # restart: ledger skips the finished units
     final, _metrics = resumed.finalize(spark)
     return final
+
+
+# Reference demo-config LAYOUT verbatim (ref: docs/demo_process_cfg.yml):
+# stage name -> dotted class path, per-stage config under the top-level
+# stage-name key, string weights, reduce-in-selection, edges binning with
+# out-rename — our interleaved table's columns standing in for the HEP
+# branch names.  Same text as the CLI integration test, plus dataset_col so
+# the mc/data union stays distinguishable in one result table.
+DEMO_PIPELINE_CFG = """
+input: spans_nested
+
+stages:
+    - span_cleaning: fast_carpenter.Define
+    - event_selection: fast_carpenter.CutFlow
+    - histogram: fast_carpenter.BinnedDataframe
+
+span_cleaning:
+    variables:
+        - big_offsets: "offsets > 10"
+        - n_big: {reduce: count_nonzero, formula: big_offsets}
+
+event_selection:
+    selection:
+        All:
+            - "n_spans > 1"
+            - {reduce: -1, formula: "offsets > 10"}
+            - Any:
+                - "n_big >= 2"
+                - "n_spans >= 3"
+    weights: weight_nominal
+
+histogram:
+    binning:
+        - {in: n_big}
+        - {in: n_spans, out: nsp, bins: {edges: [0, 2, 4, 8]}}
+    weights: weight_nominal
+    dataset_col: dataset
+"""
+
+
+def q_demo_pipeline(spark, sf_dir):
+    """The reference's demo processing config run end-to-end at driver
+    grain through the ACTUAL CLI internals (Pipeline.from_config +
+    load_dataset + specialize): one mc and one data dataset over the same
+    documents, Define -> CutFlow (weights MC-only) -> BinnedDataframe,
+    unioned on the dataset column — reference-UX parity with a hard
+    correctness row (ref: docs/demo_process_cfg.yml;
+    benchmarks/compare_carpenter_versions/run.sh:60-83 A/B spirit)."""
+    import yaml
+
+    from .__main__ import load_dataset, specialize
+    from .plans.pipeline import Pipeline
+
+    processing = yaml.safe_load(DEMO_PIPELINE_CFG)
+    results = []
+    for i, (name, etype) in enumerate((("mc_demo", "mc"), ("data_demo", "data"))):
+        pipe = specialize(Pipeline.from_config(processing), etype == "mc")
+        cfg = {"name": name, "files": [f"{sf_dir}/documents.parquet"]}
+        results.append(pipe.apply(load_dataset(spark, cfg, "spans_nested", i)))
+    out = results[0].unionByName(results[1])
+    return out.select(
+        "dataset", "n_big", "nsp", "n",
+        F.col("weight_nominal_sumw").alias("sumw"),
+        F.col("weight_nominal_sumw2").alias("sumw2"),
+        "nsp_lo", "nsp_hi",
+    )
+
+
+def _o_demo_pipeline() -> str:
+    """DuckDB twin of the demo pipeline, independently derived from the
+    stage semantics (Define element mask + count_nonzero, All/Any/reduce -1
+    destructive cutflow, left-closed edges binning with +-inf under/
+    overflow, MC-only weights)."""
+    from .operators.binned import Dimension
+
+    dim = Dimension.from_config(
+        {"in": "n_spans", "out": "nsp", "bins": {"edges": [0, 2, 4, 8]}}
+    )
+    idx = dim.index_sql("duck")
+    lo, hi = dim.lo_hi_sql("nsp", "duck")
+    spans = synth.spans_table_sql("duck")
+    return f"""
+WITH st AS ({spans}),
+base AS (
+  SELECT doc_id,
+         CAST(len(spans) AS INT) AS n_spans,
+         [CAST(s.offset AS INT) for s in spans] AS offsets,
+         CAST(1.0 + len(spans) / 16.0 AS DOUBLE) AS weight_nominal
+  FROM st
+),
+defined AS (
+  SELECT *, CAST(len(list_filter(offsets, o -> o > 10)) AS INT) AS n_big
+  FROM base
+),
+selected AS (
+  SELECT * FROM defined
+  WHERE n_spans > 1
+    AND COALESCE(list_extract(offsets, len(offsets)) > 10, FALSE)
+    AND (n_big >= 2 OR n_spans >= 3)
+),
+binned AS (
+  SELECT *, {idx} AS nsp FROM selected
+),
+both_ds AS (
+  SELECT 'mc_demo' AS dataset, n_big, nsp, weight_nominal AS w FROM binned
+  UNION ALL
+  SELECT 'data_demo' AS dataset, n_big, nsp, CAST(1.0 AS DOUBLE) AS w FROM binned
+)
+SELECT dataset, n_big, nsp, count(*) AS n,
+       sum(w) AS sumw, sum(w * w) AS sumw2,
+       {lo} AS nsp_lo, {hi} AS nsp_hi
+FROM both_ds GROUP BY dataset, n_big, nsp
+"""
 
 
 def q_dedup_cluster(spark, sf_dir):
@@ -3750,6 +3918,12 @@ QUERIES = {
     "dedup_incremental": (q_dedup_incremental, O_DEDUP_INCREMENTAL),
     "snapshot_incremental": (q_snapshot_incremental, O_SNAPSHOT_INCREMENTAL),
     "bucketed_join": (q_bucketed_join, O_BUCKETED_JOIN),
+    "embed_clustered": (q_embed_clustered, O_EMBED_CLUSTERED),
+    "ann_ivf_recall_clustered": (
+        q_ann_ivf_recall_clustered, O_ANN_IVF_RECALL_CLUSTERED),
+    "ann_rerank_recall_clustered": (
+        q_ann_rerank_recall_clustered, O_ANN_RERANK_RECALL_CLUSTERED),
+    "demo_pipeline": (q_demo_pipeline, _o_demo_pipeline()),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),
     "tile_agg": (q_tile_agg, O_TILE_AGG),

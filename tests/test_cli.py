@@ -177,7 +177,7 @@ def test_demo_config_outputs(demo_run, spark):
         "SELECT size(spans) AS n_spans, "
         "size(filter(spans, s -> s.offset > 10)) AS n_big, "
         "element_at(spans, -1).offset AS last_offset, "
-        "CAST(1.0 + size(spans) / 10.0 AS DOUBLE) AS w "
+        "CAST(1.0 + size(spans) / 16.0 AS DOUBLE) AS w "
         f"FROM ({synth.spans_table_sql('spark')})"
     )
     surviving = nested.filter(
