@@ -617,14 +617,16 @@ def embedding_near_dup(emb: DataFrame, *, tau: float = 0.4) -> DataFrame:
     )
 
 
-def embedding_near_dup_oracle_sql(*, tau: float = 0.4) -> str:
+def embedding_near_dup_oracle_sql(
+    *, tau: float = 0.4, table: str = "embeddings", extra_cte: str = ""
+) -> str:
     cos = cosine_sql("a.embedding", "b.embedding", "duck")
     ba = lsh_bucket_sql("a.embedding", "duck")
     bb = lsh_bucket_sql("b.embedding", "duck")
     return f"""
-WITH pairs AS (
+WITH {extra_cte}pairs AS (
   SELECT a.vec_id AS _id, b.vec_id AS _nbr
-  FROM embeddings a JOIN embeddings b
+  FROM {table} a JOIN {table} b
     ON ({ba}) = ({bb}) AND a.vec_id != b.vec_id
   WHERE {cos} >= {tau!r}
 ),
@@ -634,7 +636,7 @@ dup_min AS (
 SELECT e.vec_id,
        least(e.vec_id, coalesce(d._mn, e.vec_id)) AS canonical_id,
        CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups
-FROM embeddings e LEFT JOIN dup_min d ON e.vec_id = d._id
+FROM {table} e LEFT JOIN dup_min d ON e.vec_id = d._id
 """
 
 

@@ -2602,6 +2602,21 @@ O_ANN_RERANK_RECALL_CLUSTERED = _ann.rerank_recall_oracle_sql(
 )
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SEMANTIC dedup on the clustered mixture table: same LSH-bucketed
+    pair join + canonical-min as dedup_embedding_cosine, but at tau=0.95 on
+    vectors with real cluster structure — near-dup groups recover the
+    mixture components (every member maps to its component's min id), the
+    behavior semantic dedup is supposed to exhibit and the uniform base
+    table cannot."""
+    return _ann.embedding_near_dup(_load_clustered(spark, sf_dir), tau=0.95)
+
+
+O_DEDUP_SEMANTIC = _ann.embedding_near_dup_oracle_sql(
+    tau=0.95, table="embeddings_c", extra_cte=_ann.clustered_table_cte() + ", "
+)
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup (LSH-bucketed pair join + canonical-min)."""
     return _ann.embedding_near_dup(_load_embeddings(spark, sf_dir))
@@ -3923,6 +3938,7 @@ QUERIES = {
         q_ann_ivf_recall_clustered, O_ANN_IVF_RECALL_CLUSTERED),
     "ann_rerank_recall_clustered": (
         q_ann_rerank_recall_clustered, O_ANN_RERANK_RECALL_CLUSTERED),
+    "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),
     "demo_pipeline": (q_demo_pipeline, _o_demo_pipeline()),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),

@@ -63,6 +63,9 @@ AUDITED = [
     "pip_holes",        # outer cover join + broadcast hole anti-refine
     "segment_join",     # point-ring x segment-bbox-cover equi join, exact refine
     "geofence_transitions",  # PIP label join + one doc_id window pass
+    "demo_pipeline",    # Define->CutFlow->Binned through the CLI internals
+    "ann_ivf_recall_clustered",  # IVF probe equi join on clustered vectors
+    "embed_clustered",  # map-side mixture synthesis, zero exchanges
     # dedup_cluster / tile_regions / dbscan are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
     # join is the same edge-keyed hash-join shape audited via
@@ -110,7 +113,18 @@ def summarize(name: str, text: str) -> list[str]:
 #   cardinality 1 by construction); the expected BNLJ count is pinned so a
 #   refactor cannot add an unvetted cross.
 ALLOW_BNLJ_GRIDSYNTH = {"zonal_stats"}
-ALLOW_BNLJ_GLOBAL_ATTACH = {"tile_hotspot": 1, "tile_moran": 1, "tile_lisa": 1}
+# ann_ivf_recall_clustered carries TWO vetted BNLJs: (1) the exact
+# brute-force BASELINE the recall is measured against — a broadcast of the
+# tiny sampled query set crossed with ONE corpus scan (linear in the
+# corpus, by design the only place brute force is permitted; the measured
+# path is the IVF equi join in the same plan); (2) the one-row recall
+# summary crossJoining two keyless 1-row aggregates (n_exact × n_hit) —
+# the usual 1-row global attach.  Counts pinned so a refactor cannot add
+# an unvetted cross.
+ALLOW_BNLJ_GLOBAL_ATTACH = {
+    "tile_hotspot": 1, "tile_moran": 1, "tile_lisa": 1,
+    "ann_ivf_recall_clustered": 2,
+}
 
 
 def check_scale_killers(name: str, text: str) -> None:
