@@ -3151,6 +3151,23 @@ FROM both_ds GROUP BY dataset, n_big, nsp
 """
 
 
+def q_cms_topk(spark, sf_dir):
+    """Count-min-sketch heavy hitters: top-15 tokens by SKETCH estimate
+    with the exact count alongside (est >= exact, the one-sided CMS
+    guarantee, is itself oracle-checked).  Sketch state is a fixed 4x256
+    grid regardless of corpus size — the bounded-state substitute for the
+    unbounded distinct-token shuffle at 10^12 docs."""
+    from .functions import sketch as _sketch
+
+    return _sketch.cms_topk(load_documents(spark, sf_dir))
+
+
+def _o_cms_topk() -> str:
+    from .functions import sketch as _sketch
+
+    return _sketch.cms_topk_oracle_sql()
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Connected components over the MinHash-LSH near-dup graph: every doc
     labelled with its component's min doc_id (Pregel-style neighbor-min
@@ -3940,6 +3957,7 @@ QUERIES = {
         q_ann_rerank_recall_clustered, O_ANN_RERANK_RECALL_CLUSTERED),
     "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),
     "demo_pipeline": (q_demo_pipeline, _o_demo_pipeline()),
+    "cms_topk": (q_cms_topk, _o_cms_topk()),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),
     "tile_agg": (q_tile_agg, O_TILE_AGG),

@@ -1,0 +1,33 @@
+"""Count-min sketch invariants (oracle parity is covered by the
+parametrized tests/test_queries_oracle.py sweep over QUERIES)."""
+
+from pyspark.sql import functions as F
+
+from fast_carpenter_spark.functions import sketch
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_sketch_is_bounded(spark):
+    s = sketch.cms_sketch(_docs(spark))
+    n = s.count()
+    assert n <= sketch.D_ROWS * sketch.W_COLS
+    # every token increments exactly one cell per row -> the per-row cell
+    # sums are all equal to the total token count
+    per_row = {r["row"]: r["s"] for r in
+               s.groupBy("row").agg(F.sum("cnt").alias("s")).collect()}
+    assert len(set(per_row.values())) == 1
+    assert set(per_row) == set(range(sketch.D_ROWS))
+
+
+def test_estimate_is_one_sided(spark):
+    out = sketch.cms_topk(_docs(spark), k=50).collect()
+    assert len(out) > 0
+    assert all(r["est"] >= r["exact"] for r in out)
+    # at this vocabulary size vs 4x256 cells, the top tokens should be
+    # estimated exactly (collisions would add, never subtract)
+    assert out[0]["est"] == out[0]["exact"]
