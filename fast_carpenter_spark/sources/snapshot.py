@@ -104,7 +104,15 @@ def write_snapshot(
     manifest = os.path.join(table_path, f"{MANIFEST_PREFIX}{snapshot_id}.json")
     with open(manifest, "w") as f:
         json.dump(
-            {"snapshot_id": snapshot_id, "parent_id": parent_id, "files": all_files},
+            {
+                "snapshot_id": snapshot_id,
+                "parent_id": parent_id,
+                # the COMMIT's schema (Iceberg-style: the table schema
+                # evolves with the commit; older data files keep their own
+                # file schema and are read under the snapshot schema)
+                "schema": df.schema.jsonValue(),
+                "files": all_files,
+            },
             f,
             indent=1,
         )
@@ -157,6 +165,18 @@ class SnapshotReader:
         ) as f:
             m = json.load(f)
         self.snapshot = Snapshot(self.snapshot_id, table_path, m["files"])
+        # snapshot-pinned schema (add-column evolution): reads happen under
+        # THIS snapshot's schema — files from pre-evolution commits fill
+        # the added columns with NULL, files from later commits have their
+        # extra columns ignored, and time travel reproduces exactly the
+        # schema the snapshot was committed with.  Renames/drops need
+        # Iceberg field ids and stay out of scope (documented non-goal —
+        # name-based parquet mapping cannot express them safely).
+        self.schema = None
+        if m.get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            self.schema = StructType.fromJson(m["schema"])
 
     def prune(self, col: str, lo, hi) -> list[str]:
         """Files whose [min,max] for ``col`` may intersect [lo, hi] —
@@ -174,7 +194,15 @@ class SnapshotReader:
         )
         if not paths:
             raise ValueError("pruning removed all files; nothing to read")
-        return spark.read.parquet(*paths)
+        return self._read(spark, paths)
+
+    def _read(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        """Read under the snapshot-pinned schema when one is recorded
+        (pre-schema manifests fall back to parquet inference)."""
+        reader = spark.read
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return reader.parquet(*paths)
 
     def incremental_files(self, base_snapshot_id: str) -> list[str]:
         """Data files added between ``base_snapshot_id`` and this snapshot
@@ -197,7 +225,7 @@ class SnapshotReader:
             raise ValueError(
                 f"no files added between {base_snapshot_id} and {self.snapshot_id}"
             )
-        return spark.read.parquet(*paths)
+        return self._read(spark, paths)
 
 
 def expire_snapshots(table_path: str, *, keep: int) -> dict:

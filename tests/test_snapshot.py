@@ -247,3 +247,64 @@ def test_expire_lineage_guard_refuses_corrupt_order(tmp_path, docs, monkeypatch)
 
     with _pytest.raises(RuntimeError, match="descends from kept"):
         snap_mod.expire_snapshots(table, keep=1)
+
+
+def test_schema_evolution_add_column(tmp_path, docs, spark):
+    """Iceberg-style add-column evolution: an append commit with a wider
+    schema; the snapshot is read under ITS OWN schema — old files fill the
+    added column with NULL, time travel reproduces the pre-evolution
+    schema, incremental scan sees only the new file."""
+    from pyspark.sql import functions as F
+
+    from fast_carpenter_spark.sources.snapshot import SnapshotReader, write_snapshot
+
+    table = str(tmp_path / "tbl_evo")
+    v1_df = docs.select("doc_id").limit(3).coalesce(1)
+    v1 = write_snapshot(v1_df, table, snapshot_id="snap-v1")
+    v2_df = (
+        docs.select("doc_id").limit(2).coalesce(1)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("lang", F.lit("xx"))
+    )
+    write_snapshot(v2_df, table, snapshot_id="snap-v2", base=v1)
+
+    # latest snapshot: evolved schema over ALL files; old rows NULL-filled
+    r2 = SnapshotReader(table)
+    assert r2.snapshot_id == "snap-v2"
+    out = r2.load(spark)
+    assert out.columns == ["doc_id", "lang"]
+    rows = {(x["doc_id"], x["lang"]) for x in out.collect()}
+    assert len(rows) == 5
+    assert sum(1 for _, lang in rows if lang is None) == 3
+    assert sum(1 for _, lang in rows if lang == "xx") == 2
+
+    # time travel: the v1 snapshot keeps its committed schema exactly
+    r1 = SnapshotReader(table, "snap-v1")
+    assert r1.load(spark).columns == ["doc_id"]
+
+    # incremental scan under the evolved schema
+    inc = r2.load_incremental(spark, "snap-v1")
+    assert inc.columns == ["doc_id", "lang"]
+    assert inc.count() == 2
+
+
+def test_schema_evolution_pre_schema_manifest(tmp_path, docs, spark):
+    """Manifests written before schema tracking (no 'schema' key) still
+    read via parquet inference."""
+    import json
+    import os
+
+    from fast_carpenter_spark.sources.snapshot import SnapshotReader, write_snapshot
+
+    table = str(tmp_path / "tbl_legacy")
+    write_snapshot(docs.select("doc_id").limit(2).coalesce(1), table,
+                   snapshot_id="snap-old")
+    mpath = os.path.join(table, "manifest-snap-old.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["schema"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    r = SnapshotReader(table)
+    assert r.schema is None
+    assert r.load(spark).count() == 2
