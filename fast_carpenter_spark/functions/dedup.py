@@ -469,3 +469,63 @@ new AS (
 SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS n_batch
 FROM new GROUP BY fingerprint
 """
+
+
+# --- character-level fuzzy dedup (edit distance) -----------------------------
+
+ED_THRESHOLD = 8
+ED_PREFIX = 4
+ED_LEN_BUCKET = 8
+
+
+def edit_distance_pairs(docs: DataFrame, *, threshold: int = ED_THRESHOLD) -> DataFrame:
+    """Character-level fuzzy near-dup pairs: levenshtein <= ``threshold``
+    within blocking keys — the typo/OCR-noise modality MinHash token
+    shingles can miss (a one-char edit flips at most a few shingles but
+    EVERY containing token).
+
+    Blocking = (first ED_PREFIX normalized chars, length // ED_LEN_BUCKET):
+    candidate pairs only meet inside a block via ONE equi self-join —
+    never an all-pairs theta join; pairs straddling a block boundary are
+    out of contract (same declared-miss model as LSH banding).  At 10^12
+    docs hot blocks get the same size-cap/salting toolbox as hot shingles.
+
+    Unicode note: both engines are levenshtein-capable but DuckDB counts
+    BYTES and Spark counts CODEPOINTS, so non-ASCII chars are normalized
+    to '?' first (regexp_replace is codepoint-wise in both) — making the
+    metric well-defined and the oracle exact on any input."""
+    n = docs.selectExpr(
+        "doc_id",
+        "regexp_replace(text, '[^\\\\x20-\\\\x7e]', '?') AS t",
+    ).selectExpr(
+        "doc_id", "t",
+        f"substring(t, 1, {ED_PREFIX}) AS pfx",
+        f"CAST(floor(length(t) / {ED_LEN_BUCKET}) AS BIGINT) AS lb",
+    )
+    a = n.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"), "pfx", "lb")
+    b = n.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"), "pfx", "lb")
+    return (
+        a.join(b, ["pfx", "lb"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("ed", F.expr("levenshtein(ta, tb)"))
+        .filter(F.col("ed") <= threshold)
+        .select("doc_a", "doc_b", F.col("ed").cast("int").alias("ed"))
+    )
+
+
+def edit_distance_pairs_oracle_sql(*, threshold: int = ED_THRESHOLD) -> str:
+    return f"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7e]', '?', 'g') AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id, t, substr(t, 1, {ED_PREFIX}) AS pfx,
+         CAST(floor(length(t) / {ED_LEN_BUCKET}) AS BIGINT) AS lb
+  FROM n
+)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(levenshtein(a.t, b2.t) AS INT) AS ed
+FROM b a JOIN b b2 ON a.pfx = b2.pfx AND a.lb = b2.lb AND a.doc_id < b2.doc_id
+WHERE levenshtein(a.t, b2.t) <= {threshold}
+"""

@@ -3224,6 +3224,46 @@ FROM both_ds GROUP BY dataset, n_big, nsp
 """
 
 
+def q_dedup_editdist(spark, sf_dir):
+    """Character-level fuzzy near-dup pairs (levenshtein <= 8 inside
+    prefix+length blocks) — the typo/OCR modality that token-shingle
+    MinHash misses; blocked equi self-join, never all-pairs."""
+    return _dedup.edit_distance_pairs(load_documents(spark, sf_dir))
+
+
+def _o_dedup_editdist() -> str:
+    return _dedup.edit_distance_pairs_oracle_sql()
+
+
+def q_profile_cube(spark, sf_dir):
+    """Multi-grain corpus profile in ONE pass: GROUPING SETS over
+    (lang, source) — per-pair, per-lang, per-source and grand-total rows
+    from a single scan + one shuffle (Spark expands sets map-side), the
+    rollup shape dashboards ask of a 100 TB corpus."""
+    docs = load_documents(spark, sf_dir)
+    docs.createOrReplaceTempView("cube_docs")
+    return spark.sql(
+        """
+        SELECT lang, source, count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS chars,
+               CAST(grouping(lang) AS INT) AS g_lang,
+               CAST(grouping(source) AS INT) AS g_source
+        FROM cube_docs
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        """
+    )
+
+
+O_PROFILE_CUBE = """
+SELECT lang, source, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(grouping(lang) AS INT) AS g_lang,
+       CAST(grouping(source) AS INT) AS g_source
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+"""
+
+
 def q_cms_topk(spark, sf_dir):
     """Count-min-sketch heavy hitters: top-15 tokens by SKETCH estimate
     with the exact count alongside (est >= exact, the one-sided CMS
@@ -4035,6 +4075,8 @@ QUERIES = {
     "ann_pq_topk": (q_ann_pq_topk, _o_ann_pq_topk()),
     "ann_pq_recall": (q_ann_pq_recall, _o_ann_pq_recall()),
     "ann_pq_rerank_recall": (q_ann_pq_rerank_recall, _o_ann_pq_rerank_recall()),
+    "dedup_editdist": (q_dedup_editdist, _o_dedup_editdist()),
+    "profile_cube": (q_profile_cube, O_PROFILE_CUBE),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),
     "tile_agg": (q_tile_agg, O_TILE_AGG),
