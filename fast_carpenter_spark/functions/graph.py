@@ -339,3 +339,92 @@ cl AS (
   GROUP BY n.{node_col}
 )
 """
+
+
+# --- PageRank (integer fixed-point) ------------------------------------------
+
+PR_SCALE = 1_000_000_000
+PR_ITERS = 5
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Damped PageRank with EXACT integer fixed-point arithmetic:
+
+        contrib(u) = pr(u) DIV outdeg(u)
+        pr'(v)     = 0.15*scale + (85 * sum_in contrib(u)) DIV 100
+
+    Every operation is BIGINT (floor division, integer sums), so the
+    result is independent of aggregation order — the trick that lets a
+    floating-point-free iterative ML/graph kernel be bit-exact across
+    engines (same family as ivf_centroid_update's fixed-point M-step).
+    Per round: one edge-keyed join + one groupBy (the Pregel superstep
+    shape); plan_truncate bounds lineage; fixed ``iters`` (power-iteration
+    convergence is geometric; rank ordering stabilizes long before
+    values).  Dangling-mass redistribution is intentionally omitted (this
+    is a centrality score, not a probability distribution); isolated
+    nodes sit at the 0.15*scale base.  ``edges`` must contain both
+    orientations for an undirected graph."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    e = plan_truncate(edges.join(deg, "src").repartition("dst"))
+    pr = plan_truncate(
+        nodes.select(F.col(node_col), F.lit(scale).cast("long").alias("pr"))
+    )
+    base = (15 * scale) // 100
+    for _ in range(iters):
+        msgs = (
+            e.join(pr, e["src"] == pr[node_col])
+            .select(F.col("dst"), F.expr("pr DIV _deg").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_m"))
+        )
+        pr = plan_truncate(
+            nodes.select(node_col)
+            .join(msgs, F.col(node_col) == F.col("dst"), "left")
+            .select(
+                F.col(node_col),
+                F.expr(
+                    f"CAST({base} AS BIGINT) + (85 * coalesce(_m, CAST(0 AS BIGINT))) DIV 100"
+                ).alias("pr"),
+            )
+            .repartition(node_col)
+        )
+    return pr
+
+
+def pagerank_cte_sql(
+    edges_sql: str,
+    nodes_sql: str,
+    node_col: str,
+    *,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB twin: the same integer recurrence unrolled as chained CTEs
+    (fixed iteration count -> plain SQL, no recursion needed)."""
+    base = (15 * scale) // 100
+    parts = [
+        f"e AS ({edges_sql})",
+        f"nd AS ({nodes_sql})",
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1)",
+        f"pr0 AS (SELECT {node_col}, CAST({scale} AS BIGINT) AS pr FROM nd)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"m{i} AS (SELECT e.dst AS {node_col}, "
+            f"CAST(sum(pr{i}.pr // deg.d) AS BIGINT) AS m "
+            f"FROM e JOIN deg USING (src) "
+            f"JOIN pr{i} ON pr{i}.{node_col} = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"pr{i + 1} AS (SELECT nd.{node_col}, "
+            f"CAST({base} + (85 * coalesce(m{i}.m, 0)) // 100 AS BIGINT) AS pr "
+            f"FROM nd LEFT JOIN m{i} USING ({node_col}))"
+        )
+    return ",\n".join(parts) + f",\nprf AS (SELECT {node_col}, pr FROM pr{iters})"

@@ -3787,6 +3787,42 @@ SELECT cell, hops FROM hops
 O_TILE_BFS = _o_tile_bfs()
 
 
+def q_tile_pagerank(spark, sf_dir):
+    """Damped PageRank centrality over the dense-cell 8-adjacency graph —
+    which hot tiles are CONNECTORS of the hot region structure, not just
+    locally dense.  Integer fixed-point recurrence (pr DIV deg, BIGINT
+    sums), so the iterative kernel is bit-exact across engines and
+    aggregation orders — the float-free pattern that makes iterative
+    graph/ML jobs verifiable and restartable (functions/graph.py
+    pagerank)."""
+    from .functions.graph import pagerank
+
+    dense, edges = _dense_cells_edges(spark, sf_dir)
+    return pagerank(dense.select("cell"), edges, node_col="cell")
+
+
+def _o_tile_pagerank() -> str:
+    from .functions.graph import pagerank_cte_sql
+
+    cell = grid.cell_sql("lon", "lat", REGION_CC_RES, "duck")
+    ux = lambda e: grid.unpack_x_sql(e, "duck")  # noqa: E731
+    uy = lambda e: grid.unpack_y_sql(e, "duck")  # noqa: E731
+    edges_sql = f"""SELECT a.cell AS src, b.cell AS dst FROM dense a JOIN dense b
+  ON a.cell <> b.cell
+ AND abs({ux('a.cell')} - {ux('b.cell')}) <= 1
+ AND abs({uy('a.cell')} - {uy('b.cell')}) <= 1"""
+    cte = pagerank_cte_sql(edges_sql, "SELECT cell FROM dense", "cell")
+    return f"""
+WITH dense AS (SELECT {cell} AS cell, count(*) AS n FROM ({O_SPANS_FLAT})
+          GROUP BY 1 HAVING count(*) >= {REGION_CC_MIN}),
+{cte}
+SELECT cell, pr FROM prf
+"""
+
+
+O_TILE_PAGERANK = _o_tile_pagerank()
+
+
 def q_geofence_transitions(spark, sf_dir):
     """Geofence enter/exit detection along each document's span trajectory:
     label every span point with the polygon it falls in (min poly_id when
@@ -4095,6 +4131,7 @@ QUERIES = {
     "tile_lisa": (q_tile_lisa, O_TILE_LISA),
     "tile_regions": (q_tile_regions, O_TILE_REGIONS),
     "tile_bfs": (q_tile_bfs, O_TILE_BFS),
+    "tile_pagerank": (q_tile_pagerank, O_TILE_PAGERANK),
     "geofence_transitions": (q_geofence_transitions, O_GEOFENCE_TRANSITIONS),
     "geofence_flows": (q_geofence_flows, O_GEOFENCE_FLOWS),
     "events_asof": (q_events_asof, O_EVENTS_ASOF),

@@ -124,3 +124,25 @@ def test_oracle_cte_matches_spark(spark):
     )
     oracle = dict(duckdb.sql(sql).fetchall())
     assert got == oracle
+
+
+def test_pagerank_star_center_wins(spark):
+    from fast_carpenter_spark.functions.graph import PR_SCALE, pagerank
+
+    # star: 0 is the hub of 1..5
+    nodes = spark.range(6).select(F.col("id").alias("node"))
+    e = _undirected(spark, [(0, i) for i in range(1, 6)])
+    pr = {r["node"]: r["pr"] for r in pagerank(nodes, e).collect()}
+    assert pr[0] > max(pr[i] for i in range(1, 6))
+    assert all(pr[i] == pr[1] for i in range(2, 6))  # symmetric leaves
+    assert all(v >= (15 * PR_SCALE) // 100 for v in pr.values())
+
+
+def test_pagerank_isolated_node_at_base(spark):
+    from fast_carpenter_spark.functions.graph import PR_SCALE, pagerank
+
+    nodes = spark.range(3).select(F.col("id").alias("node"))
+    e = _undirected(spark, [(0, 1)])  # node 2 isolated
+    pr = {r["node"]: r["pr"] for r in pagerank(nodes, e).collect()}
+    assert pr[2] == (15 * PR_SCALE) // 100
+    assert pr[0] == pr[1] > pr[2]
