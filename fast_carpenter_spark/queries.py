@@ -3906,6 +3906,35 @@ def q_streaming_geofence(spark, sf_dir):
     return stage.result(spark)
 
 
+def q_streaming_join(spark, sf_dir):
+    """Native STREAM-STREAM interval join (views ⋈ clicks per user within
+    1 hour), watermarked state-store eviction on both sides, append sink,
+    drained with availableNow — must equal the batch interval join
+    EXACTLY.  State ~ rate × window, not stream length (the finite-state
+    property watermarks buy on unbounded streams)."""
+    import tempfile
+
+    from .streaming.join_stream import StreamingIntervalJoin
+
+    ev = _load_events(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="fcs_ssj_in_")
+    ev.write.mode("overwrite").parquet(d)
+    stage = StreamingIntervalJoin(
+        name="ssjq",
+        out_dir=tempfile.mkdtemp(prefix="fcs_ssj_out_"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="fcs_ssj_ckpt_"),
+    )
+    q = stage.start(spark, d, available_now=True)
+    q.awaitTermination(300)
+    return stage.result(spark)
+
+
+def _o_streaming_join() -> str:
+    from .streaming.join_stream import interval_join_oracle_sql
+
+    return interval_join_oracle_sql()
+
+
 _ENRICH_LANGS = ["en", "de", "fr", "es", "zh", "ja", "ru", "pt"]
 
 
@@ -4138,6 +4167,7 @@ QUERIES = {
     "events_asof_tol": (q_events_asof_tol, O_EVENTS_ASOF_TOL),
     "media_dedup": (q_media_dedup, O_MEDIA_DEDUP),
     "streaming_geofence": (q_streaming_geofence, O_GEOFENCE_TRANSITIONS),
+    "streaming_join": (q_streaming_join, _o_streaming_join()),
     "streaming_enrich": (q_streaming_enrich, O_STREAMING_ENRICH),
     "seq_pack": (q_seq_pack, _o_seq_pack()),
     "doc_chunks": (q_doc_chunks, O_DOC_CHUNKS),

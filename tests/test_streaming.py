@@ -389,3 +389,45 @@ def test_streaming_enrich_sees_dim_as_of_each_batch(spark, docs, tmp_path):
     max_v1_batch = v1.agg(F.max("_batch")).first()[0]
     min_v2_batch = v2.agg(F.min("_batch")).first()[0]
     assert max_v1_batch < min_v2_batch
+
+
+def test_stream_stream_join_state_survives_restart(spark, tmp_path):
+    """Views arriving in tranche 1 must join clicks arriving in tranche 2
+    THROUGH the persisted stream-stream join state: two availableNow
+    drains over the same checkpoint, input split mid-stream, final result
+    == the batch interval join exactly."""
+    import duckdb
+
+    from fast_carpenter_spark.streaming.join_stream import (
+        StreamingIntervalJoin,
+        interval_join_oracle_sql,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    indir = str(tmp_path / "in")
+    # tranche 1: first half of event time; tranche 2: the rest — pairs
+    # straddling the cut can only match via buffered state
+    cut = ev.selectExpr("percentile(CAST(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS BIGINT), 0.5) AS c").collect()[0]["c"]
+    t1 = ev.filter(f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) <= {int(cut)}")
+    t2 = ev.filter(f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) > {int(cut)}")
+    stage = StreamingIntervalJoin(
+        name="ssj_t",
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    t1.coalesce(1).write.mode("overwrite").parquet(indir)
+    stage.start(spark, indir, available_now=True).awaitTermination(300)
+    t2.coalesce(1).write.mode("append").parquet(indir)
+    stage.start(spark, indir, available_now=True).awaitTermination(300)
+
+    got = {
+        (r["user_id"], r["view_id"], r["click_id"], r["gap_us"])
+        for r in stage.result(spark).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    want = {tuple(r) for r in con.execute(interval_join_oracle_sql()).fetchall()}
+    assert got == want and len(want) > 0
