@@ -386,3 +386,256 @@ SELECT CAST({k} AS INT) AS k,
        (SELECT count(*) FROM hit) AS n_hit,
        CAST((SELECT count(*) FROM hit) AS DOUBLE) / (SELECT count(*) FROM exact) AS recall
 """
+
+
+# --- IVF-PQ: residual quantization behind the coarse quantizer ---------------
+# The composed FAISS-style index: ann.ivf_* assigns every vector to its
+# nearest coarse centroid (the inverted lists ARE the partitioning at
+# 10^12 rows); PQ here encodes the RESIDUAL v - C[list] instead of v, so
+# the 4-byte code spends its resolution on the within-list displacement —
+# the composition that makes billion-scale ANN indexes work.  ADC then
+# estimates ||q - v||^2 = ||(q - C_l) - r_v||^2 per PROBED list l: the
+# query builds one LUT per probe from ITS residual wrt that list, and
+# candidates join on (list, m, code).  Everything stays integer-exact on
+# the clustered table (coarse centroids and PQ codebooks are both integer
+# lattices), so sums are order-insensitive and the oracle is bit-exact.
+
+from .ann import N_LISTS, N_PROBE, centroid_sims_sql, ivf_assign_sql
+
+
+def ivf_centroid_component(j: int, d: int) -> int:
+    """ann.centroid_sql's arithmetic as a Python int (operands positive,
+    so Python % == SQL %)."""
+    return ((d * 2654435761 + j * 48271 + 9973) % 1999) - 999
+
+
+def _ivf_cb_matrix_sql(dialect: str) -> str:
+    """Literal N_LISTS x DIM coarse-centroid matrix."""
+    rows = []
+    for j in range(N_LISTS):
+        comps = ", ".join(
+            f"{float(ivf_centroid_component(j, d))!r}" for d in range(DIM)
+        )
+        rows.append(f"array({comps})" if dialect == "spark" else f"[{comps}]")
+    body = ", ".join(rows)
+    return f"array({body})" if dialect == "spark" else f"[{body}]"
+
+
+def residual_sql(vec: str, list_expr: str, dialect: str) -> str:
+    """array<double>: vec - coarse_centroid[list_expr]."""
+    cb = _ivf_cb_matrix_sql(dialect)
+    if dialect == "spark":
+        return (
+            f"zip_with({vec}, element_at({cb}, CAST({list_expr} AS INT) + 1), "
+            f"(x, c) -> CAST(x AS DOUBLE) - c)"
+        )
+    return (
+        f"list_transform(range(1, {DIM} + 1), "
+        f"_i -> CAST(list_extract({vec}, _i) AS DOUBLE) "
+        f"- list_extract(list_extract({cb}, CAST({list_expr} AS INT) + 1), _i))"
+    )
+
+
+def ivfpq_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, list_id, m, code): coarse assignment + PQ codes of the
+    residual, exploded join-ready — the full compressed index entry."""
+    assigned = emb.select(
+        "vec_id", "embedding",
+        F.expr(ivf_assign_sql("embedding", "spark")).alias("list_id"),
+    ).withColumn("residual", F.expr(residual_sql("embedding", "list_id", "spark")))
+    return assigned.select(
+        "vec_id", "list_id",
+        F.posexplode(F.expr(codes_sql("residual", "spark"))).alias("m", "code"),
+    )
+
+
+def ivfpq_codes_oracle_sql(*, table: str = "embeddings", extra_cte: str = "") -> str:
+    res = residual_sql("embedding", "list_id", "duck")
+    cs = codes_sql("residual", "duck")
+    return f"""
+WITH {extra_cte}assigned AS (
+  SELECT vec_id, embedding, {ivf_assign_sql('embedding', 'duck')} AS list_id
+  FROM {table}
+),
+resid AS (SELECT vec_id, list_id, {res} AS residual FROM assigned),
+enc AS (SELECT vec_id, list_id, {cs} AS cs FROM resid)
+SELECT vec_id, list_id,
+       CAST(generate_subscripts(cs, 1) - 1 AS INT) AS m, unnest(cs) AS code
+FROM enc
+"""
+
+
+def _ivfpq_query_lut(emb: DataFrame, query_filter: str, n_probe: int) -> DataFrame:
+    """(query_id, probe, m, code, d2): one PQ LUT per probed list, built
+    from the query's residual wrt THAT list's coarse centroid."""
+    sims = centroid_sims_sql("embedding", "spark")
+    q = emb.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), "embedding",
+        F.posexplode(F.expr(sims)).alias("probe", "_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("probe").asc())
+    qp = (
+        q.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= n_probe)
+        .select(
+            "query_id", "probe",
+            F.expr(residual_sql("embedding", "probe", "spark")).alias("qres"),
+        )
+    )
+    lut = qp.select(
+        "query_id", "probe",
+        F.posexplode(F.expr(_all_dists_sql("qres", "spark"))).alias("m", "_ds"),
+    )
+    return lut.select(
+        "query_id", "probe", "m", F.posexplode(F.col("_ds")).alias("code", "d2")
+    )
+
+
+def ivfpq_rerank_topk(
+    emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
+    n_probe: int = N_PROBE, shortlist: int = 50,
+) -> DataFrame:
+    """IVF-PQ search: probe n_probe lists, ADC-estimate via the per-probe
+    residual LUT join on (list, m, code), shortlist, exact-rerank.
+    Candidates outside the probed lists never join — the inverted-list
+    pruning and the code compression compose in one equi-join plan."""
+    lut = _ivfpq_query_lut(emb, query_filter, n_probe)
+    cand = ivfpq_codes(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("list_id").alias("probe"), "m", "code",
+    )
+    est = (
+        cand.join(F.broadcast(lut), ["probe", "m", "code"])
+        .filter("neighbor_id != query_id")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("est_d2"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("est_d2").asc(), F.col("neighbor_id").asc())
+    short = (
+        est.withColumn("_rk", F.row_number().over(ws))
+        .filter(F.col("_rk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    q = emb.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    pairs = (
+        short.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("d2", F.expr(l2_sql("qv", "cv", "spark")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2")
+    )
+
+
+def ivfpq_rerank_topk_oracle_sql(
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
+    n_probe: int = N_PROBE, shortlist: int = 50,
+    table: str = "embeddings", extra_cte: str = "",
+) -> str:
+    sims = centroid_sims_sql("embedding", "duck")
+    qres = residual_sql("embedding", "probe", "duck")
+    all_ds = _all_dists_sql("qres", "duck")
+    codes_cte = ivfpq_codes_oracle_sql(table=table)
+    d2 = l2_sql("q.embedding", "c.embedding", "duck")
+    return f"""
+WITH {extra_cte}probes AS (
+  SELECT query_id, embedding, probe FROM (
+    SELECT query_id, embedding, probe, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, probe) AS pr
+    FROM (
+      SELECT vec_id AS query_id, embedding,
+             CAST(generate_subscripts(sims, 1) - 1 AS INT) AS probe, unnest(sims) AS sim
+      FROM (SELECT vec_id, embedding, {sims} AS sims FROM {table} WHERE {query_filter})
+    )
+  ) WHERE pr <= {n_probe}
+),
+qres AS (SELECT query_id, probe, {qres} AS qres FROM probes),
+qd AS (
+  SELECT query_id, probe,
+         CAST(generate_subscripts(ds, 1) - 1 AS INT) AS m, unnest(ds) AS dlist
+  FROM (SELECT query_id, probe, {all_ds} AS ds FROM qres)
+),
+lut AS (
+  SELECT query_id, probe, m,
+         CAST(generate_subscripts(dlist, 1) - 1 AS INT) AS code, unnest(dlist) AS d2
+  FROM qd
+),
+cand AS ({codes_cte}),
+est AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.d2) AS est_d2
+  FROM cand c JOIN lut l
+    ON l.probe = c.list_id AND l.m = c.m AND l.code = c.code
+  WHERE c.vec_id != l.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY est_d2 ASC, neighbor_id ASC) AS rk
+    FROM est
+  ) WHERE rk <= {shortlist}
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, d2 FROM (
+  SELECT s.query_id, s.neighbor_id, {d2} AS d2,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY {d2} ASC, s.neighbor_id ASC) AS rank
+  FROM short s
+  JOIN {table} q ON q.vec_id = s.query_id
+  JOIN {table} c ON c.vec_id = s.neighbor_id
+) WHERE rank <= {k}
+"""
+
+
+def ivfpq_recall(
+    emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
+    n_probe: int = N_PROBE, shortlist: int = 50,
+) -> DataFrame:
+    """Recall@k of the full IVF-PQ path vs exact L2."""
+    exact = l2_topk(emb, query_filter=query_filter, k=k)
+    approx = ivfpq_rerank_topk(
+        emb, query_filter=query_filter, k=k, n_probe=n_probe, shortlist=shortlist
+    )
+    hit = exact.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+def ivfpq_recall_oracle_sql(
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
+    n_probe: int = N_PROBE, shortlist: int = 50,
+    table: str = "embeddings", extra_cte: str = "",
+) -> str:
+    exact = l2_topk_oracle_sql(query_filter=query_filter, k=k, table=table)
+    approx = ivfpq_rerank_topk_oracle_sql(
+        query_filter=query_filter, k=k, n_probe=n_probe,
+        shortlist=shortlist, table=table,
+    )
+    return f"""
+WITH {extra_cte}exact AS ({exact}), approx AS ({approx}),
+hit AS (
+  SELECT e.query_id, e.neighbor_id FROM exact e
+  WHERE EXISTS (SELECT 1 FROM approx a
+                WHERE a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+)
+SELECT CAST({k} AS INT) AS k,
+       (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM hit) AS n_hit,
+       CAST((SELECT count(*) FROM hit) AS DOUBLE) / (SELECT count(*) FROM exact) AS recall
+"""

@@ -2675,6 +2675,42 @@ def _o_ann_pq_rerank_recall() -> str:
     )
 
 
+def q_ann_ivfpq_codes(spark, sf_dir):
+    """IVF-PQ index entries: coarse inverted-list assignment + PQ codes of
+    the RESIDUAL v - C[list] — the composed FAISS-style billion-scale
+    index layout (4-byte code spends its resolution on the within-list
+    displacement)."""
+    from .functions import pq as _pq
+
+    return _pq.ivfpq_codes(_load_clustered(spark, sf_dir))
+
+
+def _o_ann_ivfpq_codes() -> str:
+    from .functions import pq as _pq
+
+    return _pq.ivfpq_codes_oracle_sql(
+        table="embeddings_c", extra_cte=_ann.clustered_table_cte() + ", "
+    )
+
+
+def q_ann_ivfpq_recall(spark, sf_dir):
+    """Recall@5 of the FULL IVF-PQ path — probe 4 lists, per-probe
+    residual ADC LUT join on (list, m, code), shortlist 50, exact rerank —
+    vs exact L2.  Inverted-list pruning and code compression compose in
+    one equi-join plan; candidates outside probed lists never join."""
+    from .functions import pq as _pq
+
+    return _pq.ivfpq_recall(_load_clustered(spark, sf_dir))
+
+
+def _o_ann_ivfpq_recall() -> str:
+    from .functions import pq as _pq
+
+    return _pq.ivfpq_recall_oracle_sql(
+        table="embeddings_c", extra_cte=_ann.clustered_table_cte() + ", "
+    )
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SEMANTIC dedup on the clustered mixture table: same LSH-bucketed
     pair join + canonical-min as dedup_embedding_cosine, but at tau=0.95 on
@@ -4140,6 +4176,8 @@ QUERIES = {
     "ann_pq_topk": (q_ann_pq_topk, _o_ann_pq_topk()),
     "ann_pq_recall": (q_ann_pq_recall, _o_ann_pq_recall()),
     "ann_pq_rerank_recall": (q_ann_pq_rerank_recall, _o_ann_pq_rerank_recall()),
+    "ann_ivfpq_codes": (q_ann_ivfpq_codes, _o_ann_ivfpq_codes()),
+    "ann_ivfpq_recall": (q_ann_ivfpq_recall, _o_ann_ivfpq_recall()),
     "dedup_editdist": (q_dedup_editdist, _o_dedup_editdist()),
     "profile_cube": (q_profile_cube, O_PROFILE_CUBE),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),

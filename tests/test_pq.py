@@ -56,3 +56,17 @@ def test_pq_rerank_recall_at_least_0_9(clustered):
     row = pq.pq_rerank_recall(clustered).collect()[0]
     assert row["n_exact"] > 0
     assert row["recall"] >= 0.9, f"PQ rerank recall@5 = {row['recall']}"
+
+
+def test_ivfpq_codes_cover_all_vectors(clustered):
+    codes = pq.ivfpq_codes(clustered)
+    n_vec = clustered.count()
+    assert codes.count() == n_vec * pq.M_SUB
+    lists = codes.select("list_id").distinct().count()
+    assert 1 < lists <= pq.N_LISTS
+
+
+def test_ivfpq_recall_at_least_0_9(clustered):
+    row = pq.ivfpq_recall(clustered).collect()[0]
+    assert row["n_exact"] > 0
+    assert row["recall"] >= 0.9, f"IVF-PQ recall@5 = {row['recall']}"
