@@ -3300,6 +3300,84 @@ GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
 """
 
 
+def _stays_sql(dialect: str) -> str:
+    """Shared-text gaps-and-islands stay detection: contiguous same-cell
+    runs of length >= 3 along each document's span sequence (the
+    stay-point primitive of trajectory mining).  Island key =
+    span_idx - row_number within (doc, cell) — one window pass over the
+    doc_id shuffle, the classic islands idiom."""
+    cell = grid.cell_sql("lon", "lat", REGION_RES, dialect)
+    fs = synth.flat_spans_sql(dialect)
+    return f"""
+WITH fs AS ({fs}),
+cells AS (
+  SELECT doc_id, span_idx, {cell} AS cell FROM fs
+),
+isl AS (
+  SELECT doc_id, cell, span_idx,
+         span_idx - row_number() OVER (
+           PARTITION BY doc_id, cell ORDER BY span_idx) AS g
+  FROM cells
+)
+SELECT doc_id, cell,
+       CAST(min(span_idx) AS INT) AS start_idx,
+       CAST(count(*) AS BIGINT) AS run_len
+FROM isl GROUP BY doc_id, cell, g HAVING count(*) >= 3
+"""
+
+
+def q_trajectory_stays(spark, sf_dir):
+    """Stay-point detection (gaps-and-islands): contiguous same-cell runs
+    (len >= 3) along each document's span trajectory — the dwell/stop
+    primitive of trajectory mining, one window pass on the doc_id key."""
+    load_documents(spark, sf_dir)
+    return spark.sql(_stays_sql("spark"))
+
+
+O_TRAJECTORY_STAYS = _stays_sql("duck")
+
+
+SAMPLE_W_K = 32
+SAMPLE_W_SCALE = 1_000_000_000
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic PRIORITY SAMPLING (Duffield et al.): inclusion
+    probability ~ weight (n_chars) without any transcendental — priority =
+    (hash(doc) * SCALE) DIV weight, keep the K smallest.  All-integer, so
+    the sample is reproducible across engines, restarts and partitionings
+    — the property a 100 TB curation pipeline needs from its sampler.
+    One map-side expression + one top-K (WindowGroupLimit)."""
+    docs = load_documents(spark, sf_dir)
+    pr = (
+        "(CAST((doc_id * 2654435761) % 1000003 + 1 AS BIGINT) "
+        f"* {SAMPLE_W_SCALE}) DIV CAST(greatest(n_chars, 1) AS BIGINT)"
+    )
+    from pyspark.sql import Window
+
+    d = docs.selectExpr("doc_id", "n_chars", f"{pr} AS priority")
+    w = Window.orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_W_K)
+        .select("doc_id", "n_chars", "priority")
+    )
+
+
+O_SAMPLE_WEIGHTED = f"""
+SELECT doc_id, n_chars, priority FROM (
+  SELECT doc_id, n_chars,
+         (CAST((doc_id * 2654435761) % 1000003 + 1 AS BIGINT)
+          * {SAMPLE_W_SCALE}) // CAST(greatest(n_chars, 1) AS BIGINT) AS priority,
+         row_number() OVER (
+           ORDER BY (CAST((doc_id * 2654435761) % 1000003 + 1 AS BIGINT)
+                     * {SAMPLE_W_SCALE}) // CAST(greatest(n_chars, 1) AS BIGINT) ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+) WHERE rk <= {SAMPLE_W_K}
+"""
+
+
 def q_cms_topk(spark, sf_dir):
     """Count-min-sketch heavy hitters: top-15 tokens by SKETCH estimate
     with the exact count alongside (est >= exact, the one-sided CMS
@@ -4172,6 +4250,8 @@ QUERIES = {
     "dedup_semantic": (q_dedup_semantic, O_DEDUP_SEMANTIC),
     "demo_pipeline": (q_demo_pipeline, _o_demo_pipeline()),
     "cms_topk": (q_cms_topk, _o_cms_topk()),
+    "trajectory_stays": (q_trajectory_stays, O_TRAJECTORY_STAYS),
+    "sample_weighted": (q_sample_weighted, O_SAMPLE_WEIGHTED),
     "ann_pq_codes": (q_ann_pq_codes, _o_ann_pq_codes()),
     "ann_pq_topk": (q_ann_pq_topk, _o_ann_pq_topk()),
     "ann_pq_recall": (q_ann_pq_recall, _o_ann_pq_recall()),
