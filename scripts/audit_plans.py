@@ -66,6 +66,12 @@ AUDITED = [
     "demo_pipeline",    # Define->CutFlow->Binned through the CLI internals
     "ann_ivf_recall_clustered",  # IVF probe equi join on clustered vectors
     "embed_clustered",  # map-side mixture synthesis, zero exchanges
+    "ann_pq_topk",      # ADC LUT equi join on (m, code) — codes, not vectors
+    "cms_topk",         # bounded-cardinality sketch groupBy + broadcast probe
+    "dedup_editdist",   # blocked levenshtein equi self-join, no theta join
+    "profile_cube",     # GROUPING SETS: one scan, one expanded shuffle
+    "trajectory_stays",  # gaps-and-islands: one doc_id window pass
+    "sample_weighted",  # map-side priority + WindowGroupLimit top-K
     # dedup_cluster / tile_regions / dbscan are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
     # join is the same edge-keyed hash-join shape audited via
