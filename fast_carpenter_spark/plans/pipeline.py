@@ -68,6 +68,9 @@ class HilbertLayoutStage:
     res: int = 16
     partitions: int = 32
     cell_col: str = "cell"
+    # keep the Hilbert key as a named column (e.g. for snapshot manifest
+    # bounds, enabling hkey-range file pruning); None = layout only
+    keep_col: str | None = None
 
     def apply(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import types as T
@@ -85,7 +88,10 @@ class HilbertLayoutStage:
             return pd.Series(g.hilbert_key(x, y, res))
 
         out = df.withColumn("_hkey", hkey(F.col(self.cell_col)))
-        return out.repartitionByRange(self.partitions, "_hkey").drop("_hkey")
+        out = out.repartitionByRange(self.partitions, "_hkey")
+        if self.keep_col:
+            return out.withColumnRenamed("_hkey", self.keep_col)
+        return out.drop("_hkey")
 
 
 @dataclass

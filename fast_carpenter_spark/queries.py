@@ -3000,6 +3000,82 @@ def _source_fingerprint_tag(sf_dir: str) -> str:
     return f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
 
 
+def _hilbert_snapshot(spark, sf_dir):
+    """Span points written as a Hilbert-range-partitioned snapshot with
+    per-file hkey bounds — the north-star physical layout (range
+    partitioning on Hilbert-ordered cell keys) materialized through the
+    snapshot store.  Cached per source fingerprint like the other
+    snapshot-backed queries."""
+    import os
+    import tempfile
+
+    from .plans.pipeline import HilbertLayoutStage
+    from .sources.snapshot import SnapshotReader, list_snapshots, write_snapshot
+
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"fcs_hlb_snap_{_source_fingerprint_tag(sf_dir)}"
+    )
+    if not (os.path.isdir(tdir) and list_snapshots(tdir)):
+        pts = flat_spans(spark, sf_dir).select(
+            "doc_id", "span_idx", "lon", "lat", "w",
+            F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark")).alias("cell"),
+        )
+        laid = HilbertLayoutStage(
+            name="hl", res=REGION_RES, partitions=8, keep_col="hkey"
+        ).apply(pts)
+        write_snapshot(laid, tdir, snapshot_id="snap-hlb", bounds_cols=["hkey"])
+    return SnapshotReader(tdir)
+
+
+def _sw_quadrant_hkey_range() -> tuple[int, int]:
+    """Exact hkey range of the x<n/2, y<n/2 quadrant at REGION_RES —
+    Hilbert curves fill each top-level quadrant contiguously, so
+    [min, max] over the quadrant's cells prunes to exactly its files."""
+    import numpy as np
+
+    n = 1 << REGION_RES
+    xs, ys = np.meshgrid(np.arange(n // 2), np.arange(n // 2))
+    hk = grid.hilbert_key(xs.ravel().astype("int64"), ys.ravel().astype("int64"), REGION_RES)
+    return int(hk.min()), int(hk.max())
+
+
+def q_snapshot_pruned_scan(spark, sf_dir):
+    """Hilbert layout + manifest pruning end-to-end: span points live in a
+    Hilbert-range-partitioned snapshot (per-file hkey bounds); a spatial
+    quadrant query prunes at the MANIFEST level to the files whose hkey
+    range intersects the quadrant's contiguous Hilbert interval, then
+    applies the exact spatial residual filter.  Per-cell counts of the
+    south-west quadrant; semantics = the residual filter (pruning is
+    conservative), so the oracle reads the raw documents — the pruning
+    itself (files actually skipped) is pinned by tests/test_snapshot.py."""
+    reader = _hilbert_snapshot(spark, sf_dir)
+    qlo, qhi = _sw_quadrant_hkey_range()
+    n_half = (1 << REGION_RES) // 2
+    pts = reader.load(spark, col="hkey", lo=qlo, hi=qhi)
+    ux = grid.unpack_x_sql("cell", "spark")
+    uy = grid.unpack_y_sql("cell", "spark")
+    return (
+        pts.filter(F.expr(f"({ux}) < {n_half} AND ({uy}) < {n_half}"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("sumw"))
+    )
+
+
+def _o_snapshot_pruned_scan() -> str:
+    n_half = (1 << REGION_RES) // 2
+    cell = grid.cell_sql("lon", "lat", REGION_RES, "duck")
+    ux = grid.unpack_x_sql("cell", "duck")
+    uy = grid.unpack_y_sql("cell", "duck")
+    return f"""
+WITH fs AS ({{spans}}),
+cells AS (SELECT {cell} AS cell, w FROM fs)
+SELECT cell, count(*) AS n, sum(w) AS sumw
+FROM cells
+WHERE ({ux}) < {n_half} AND ({uy}) < {n_half}
+GROUP BY cell
+""".replace("{spans}", synth.flat_spans_sql("duck"))
+
+
 def q_snapshot_incremental(spark, sf_dir):
     """Iceberg-style incremental scan: snapshot A holds 3/4 of the corpus,
     snapshot B is an APPEND commit of the remaining quarter (manifest =
@@ -4259,6 +4335,7 @@ QUERIES = {
     "ann_ivfpq_codes": (q_ann_ivfpq_codes, _o_ann_ivfpq_codes()),
     "ann_ivfpq_recall": (q_ann_ivfpq_recall, _o_ann_ivfpq_recall()),
     "dedup_editdist": (q_dedup_editdist, _o_dedup_editdist()),
+    "snapshot_pruned_scan": (q_snapshot_pruned_scan, _o_snapshot_pruned_scan()),
     "profile_cube": (q_profile_cube, O_PROFILE_CUBE),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),

@@ -308,3 +308,40 @@ def test_schema_evolution_pre_schema_manifest(tmp_path, docs, spark):
     r = SnapshotReader(table)
     assert r.schema is None
     assert r.load(spark).count() == 2
+
+
+def test_hilbert_layout_prunes_quadrant_files(spark):
+    """The north-star layout claim, end-to-end: Hilbert-range-partitioned
+    snapshot + per-file hkey bounds => a spatial quadrant query opens a
+    strict subset of files (Hilbert fills each top-level quadrant
+    contiguously), and the pruned+filtered result equals the unpruned
+    filter exactly."""
+    from fast_carpenter_spark.queries import (
+        _hilbert_snapshot,
+        _sw_quadrant_hkey_range,
+        q_snapshot_pruned_scan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    reader = _hilbert_snapshot(spark, sf)
+    qlo, qhi = _sw_quadrant_hkey_range()
+    pruned = reader.prune("hkey", qlo, qhi)
+    total = len(reader.snapshot.files)
+    assert 0 < len(pruned) < total, (len(pruned), total)
+    # identity: pruning must be a pure performance layer
+    from pyspark.sql import functions as F
+
+    got = q_snapshot_pruned_scan(spark, sf)
+    full = reader.load(spark)
+    from fast_carpenter_spark import grid
+    from fast_carpenter_spark.queries import REGION_RES
+
+    n_half = (1 << REGION_RES) // 2
+    ux = grid.unpack_x_sql("cell", "spark")
+    uy = grid.unpack_y_sql("cell", "spark")
+    want = (
+        full.filter(F.expr(f"({ux}) < {n_half} AND ({uy}) < {n_half}"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("sumw"))
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
