@@ -128,3 +128,130 @@ SELECT token, est, exact FROM (
   FROM est
 ) WHERE rk <= {k}
 """
+
+
+# --- HyperLogLog-style distinct sketch ---------------------------------------
+
+HLL_M = 64          # registers per group
+HLL_W_BITS = 24     # h < 2^30, idx eats 6 bits -> w < 2^24
+# single-literal numerator alpha_64 * m^2 * 2^40 (precomputed so the only
+# float op per estimate is ONE division — deterministic IEEE both engines)
+HLL_ALPHA_NUM = 0.709 * HLL_M * HLL_M * float(1 << 40)
+
+
+def _rho_sql(w: str) -> str:
+    """Leading-zero rank of ``w`` within HLL_W_BITS bits (+1), via
+    length(bin(w)) = floor(log2 w) + 1 — exact integer in both engines."""
+    return (
+        f"(CASE WHEN {w} = 0 THEN {HLL_W_BITS + 1} "
+        f"ELSE {HLL_W_BITS} - length(bin({w})) + 1 END)"
+    )
+
+
+def hll_distinct(docs: DataFrame) -> DataFrame:
+    """Per-language HLL distinct-BIGRAM estimate NEXT TO the exact count.
+
+    Registers are exact integers (max leading-zero rank per 64-way hash
+    slot), the estimate's register sum is an exact BIGINT (2^(40-M) via
+    shiftleft), and the only float operation is one division by a
+    precomputed literal — so the classically-approximate sketch is itself
+    bit-exact across engines and aggregation orders.  Raw HLL estimator
+    (no small-range correction; the zero-register count is emitted so a
+    consumer can apply linear counting).  State: 64 BIGINTs per group —
+    the bounded-state substitute for count(DISTINCT token) whose hash
+    shuffle grows with the vocabulary.  Output:
+    (lang, n_hit, sum_int, est, exact).
+
+    The sketched unit is the adjacent-token BIGRAM, not the token: the
+    synthetic corpus has a ~31-word per-language vocabulary, far below
+    the raw estimator's validity floor (~2.5m = 160), where raw HLL is
+    known-biased; the ~960-bigram vocabulary sits in the estimator's
+    standard regime (relative error ~1.04/sqrt(m))."""
+    toks = docs.filter(
+        f"size({tokens_sql('text', 'spark')}) >= 2"
+    ).select(
+        "lang", F.explode(F.expr(_bigrams_sql("spark"))).alias("token")
+    ).withColumn(
+        # avalanche remix: the polynomial hash of SHORT tokens is a small
+        # integer (h("a") = 97), which would give them enormous rho and
+        # wreck the estimate; an odd-multiplier remix mod the same prime
+        # spreads them uniformly
+        "h",
+        F.expr(
+            f"(({token_hash_sql('token', 'spark')}) * 2654435761 + 40503) % {HASH_MOD}"
+        ),
+    )
+    regs = (
+        toks.select(
+            "lang",
+            F.expr(f"h % {HLL_M}").alias("idx"),
+            F.expr(_rho_sql(f"(h DIV {HLL_M})")).alias("rho"),
+        )
+        .groupBy("lang", "idx")
+        .agg(F.max("rho").alias("M"))
+    )
+    langs = docs.select("lang").distinct()
+    full = (
+        langs.crossJoin(
+            docs.sparkSession.range(HLL_M).select(F.col("id").cast("int").alias("idx"))
+        )
+        .join(regs, ["lang", "idx"], "left")
+        .select("lang", F.coalesce("M", F.lit(0)).alias("M"))
+    )
+    summed = full.groupBy("lang").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 40 - M)")).alias("sum_int"),
+        F.sum(F.expr("CASE WHEN M > 0 THEN 1 ELSE 0 END")).cast("long").alias("n_hit"),
+    )
+    exact = toks.groupBy("lang").agg(F.countDistinct("token").alias("exact"))
+    return summed.join(exact, "lang").select(
+        "lang", "n_hit", "sum_int",
+        F.expr(f"CAST({HLL_ALPHA_NUM!r} AS DOUBLE) / CAST(sum_int AS DOUBLE)").alias("est"),
+        "exact",
+    )
+
+
+def _bigrams_sql(dialect: str) -> str:
+    """Adjacent-token bigram strings (same text as bigram_topk)."""
+    toks = tokens_sql("text", dialect)
+    if dialect == "spark":
+        return (
+            f"transform(sequence(1, size({toks}) - 1), i -> "
+            f"concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+        )
+    return (
+        f"list_transform(range(1, len({toks})), i -> "
+        f"list_extract({toks}, i) || ' ' || list_extract({toks}, i + 1))"
+    )
+
+
+def hll_distinct_oracle_sql() -> str:
+    h = f"(({token_hash_sql('token', 'duck')}) * 2654435761 + 40503) % {HASH_MOD}"
+    rho = _rho_sql(f"(_h // {HLL_M})")
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest({_bigrams_sql('duck')}) AS token
+  FROM documents WHERE len({tokens_sql('text', 'duck')}) >= 2
+),
+hashed AS (SELECT lang, token, {h} AS _h FROM toks),
+regs AS (
+  SELECT lang, _h % {HLL_M} AS idx, max({rho}) AS M
+  FROM hashed GROUP BY 1, 2
+),
+allregs AS (
+  SELECT l.lang, g.idx, coalesce(r.M, 0) AS M
+  FROM (SELECT DISTINCT lang FROM documents) l
+  CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS idx) g
+  LEFT JOIN regs r ON r.lang = l.lang AND r.idx = g.idx
+),
+summed AS (
+  SELECT lang,
+         CAST(sum(CAST(1 AS BIGINT) << (40 - M)) AS BIGINT) AS sum_int,
+         CAST(sum(CASE WHEN M > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM allregs GROUP BY 1
+),
+exact AS (SELECT lang, count(DISTINCT token) AS exact FROM hashed GROUP BY 1)
+SELECT s.lang, s.n_hit, s.sum_int,
+       CAST({HLL_ALPHA_NUM!r} AS DOUBLE) / CAST(s.sum_int AS DOUBLE) AS est,
+       e.exact
+FROM summed s JOIN exact e ON e.lang = s.lang
+"""

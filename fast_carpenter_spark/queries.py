@@ -3471,6 +3471,23 @@ def _o_cms_topk() -> str:
     return _sketch.cms_topk_oracle_sql()
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Per-language HLL distinct-token estimate next to the exact count:
+    64 exact-integer registers per group (the bounded-state substitute for
+    count(DISTINCT token)); the register sum is an exact BIGINT and the
+    estimate is one division by a precomputed literal, so even the
+    'approximate' sketch is bit-exact across engines."""
+    from .functions import sketch as _sketch
+
+    return _sketch.hll_distinct(load_documents(spark, sf_dir))
+
+
+def _o_hll_distinct() -> str:
+    from .functions import sketch as _sketch
+
+    return _sketch.hll_distinct_oracle_sql()
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Connected components over the MinHash-LSH near-dup graph: every doc
     labelled with its component's min doc_id (Pregel-style neighbor-min
@@ -4328,6 +4345,7 @@ QUERIES = {
     "cms_topk": (q_cms_topk, _o_cms_topk()),
     "trajectory_stays": (q_trajectory_stays, O_TRAJECTORY_STAYS),
     "sample_weighted": (q_sample_weighted, O_SAMPLE_WEIGHTED),
+    "hll_distinct": (q_hll_distinct, _o_hll_distinct()),
     "ann_pq_codes": (q_ann_pq_codes, _o_ann_pq_codes()),
     "ann_pq_topk": (q_ann_pq_topk, _o_ann_pq_topk()),
     "ann_pq_recall": (q_ann_pq_recall, _o_ann_pq_recall()),

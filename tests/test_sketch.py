@@ -31,3 +31,13 @@ def test_estimate_is_one_sided(spark):
     # at this vocabulary size vs 4x256 cells, the top tokens should be
     # estimated exactly (collisions would add, never subtract)
     assert out[0]["est"] == out[0]["exact"]
+
+
+def test_hll_distinct_estimate_quality(spark):
+    out = sketch.hll_distinct(_docs(spark)).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["exact"] > 200  # bigram vocab: estimator's valid regime
+        rel = abs(r["est"] - r["exact"]) / r["exact"]
+        assert rel < 0.35, f"{r['lang']}: rel err {rel}"  # ~3 sigma at m=64
+        assert 0 < r["n_hit"] <= sketch.HLL_M
