@@ -2711,6 +2711,53 @@ def _o_ann_ivfpq_recall() -> str:
     )
 
 
+def q_ann_index_delta(spark, sf_dir):
+    """ANN index MAINTENANCE at O(delta): the embedding corpus lives in a
+    snapshot (A = 3/4 of vectors, B = append commit of the rest); when B
+    lands, only B's data files are opened (manifest diff) and only those
+    vectors are IVF-PQ encoded — the appended index rows to union with
+    A's already-built codes.  Index upkeep cost scales with the append,
+    not the table (the property that keeps a 10^12-vector index
+    maintainable).  Output: the delta's (vec_id, list_id, m, code)."""
+    import os
+    import tempfile
+
+    from .functions import pq as _pq
+    from .sources.snapshot import SnapshotReader, list_snapshots, write_snapshot
+
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"fcs_annidx_snap_{_source_fingerprint_tag(sf_dir)}"
+    )
+    if not (os.path.isdir(tdir) and len(list_snapshots(tdir)) >= 2):
+        ce = _load_clustered(spark, sf_dir)
+        base = write_snapshot(
+            ce.filter("vec_id % 4 < 3").repartition(2, "vec_id"),
+            tdir,
+            snapshot_id="snap-a",
+        )
+        write_snapshot(
+            ce.filter("vec_id % 4 = 3").repartition(2, "vec_id"),
+            tdir,
+            snapshot_id="snap-b",
+            base=base,
+        )
+    delta = SnapshotReader(tdir, "snap-b").load_incremental(spark, "snap-a")
+    return _pq.ivfpq_codes(delta)
+
+
+def _o_ann_index_delta() -> str:
+    from .functions import pq as _pq
+
+    cte = _ann.clustered_table_cte(name="embeddings_c0")
+    return _pq.ivfpq_codes_oracle_sql(
+        table="embeddings_c",
+        extra_cte=(
+            cte
+            + ", embeddings_c AS (SELECT * FROM embeddings_c0 WHERE vec_id % 4 = 3), "
+        ),
+    )
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SEMANTIC dedup on the clustered mixture table: same LSH-bucketed
     pair join + canonical-min as dedup_embedding_cosine, but at tau=0.95 on
@@ -4352,6 +4399,7 @@ QUERIES = {
     "ann_pq_rerank_recall": (q_ann_pq_rerank_recall, _o_ann_pq_rerank_recall()),
     "ann_ivfpq_codes": (q_ann_ivfpq_codes, _o_ann_ivfpq_codes()),
     "ann_ivfpq_recall": (q_ann_ivfpq_recall, _o_ann_ivfpq_recall()),
+    "ann_index_delta": (q_ann_index_delta, _o_ann_index_delta()),
     "dedup_editdist": (q_dedup_editdist, _o_dedup_editdist()),
     "snapshot_pruned_scan": (q_snapshot_pruned_scan, _o_snapshot_pruned_scan()),
     "profile_cube": (q_profile_cube, O_PROFILE_CUBE),
