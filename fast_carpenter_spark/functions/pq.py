@@ -102,10 +102,21 @@ def codes_sql(vec: str, dialect: str) -> str:
     return f"list_value({cs})"
 
 
+def _dim_guard(emb: DataFrame) -> DataFrame:
+    """Fail loudly on wrong-width vectors: slice/zip_with on a short array
+    pads NULLs and would SILENTLY emit garbage codes (same guard pattern
+    as spatial/compact.uncompact_cells)."""
+    return emb.filter(F.expr(
+        f"CASE WHEN size(embedding) = {DIM} THEN true "
+        f"ELSE CAST(raise_error(concat('pq: expected {DIM}-dim embedding, got ', "
+        f"CAST(size(embedding) AS STRING))) AS BOOLEAN) END"
+    ))
+
+
 def pq_codes(emb: DataFrame) -> DataFrame:
     """(vec_id, m, code) — the code table in exploded form (the join-ready
     layout; 8 small rows per vector instead of 64 floats)."""
-    return emb.select(
+    return _dim_guard(emb).select(
         "vec_id", F.posexplode(F.expr(codes_sql("embedding", "spark"))).alias("m", "code")
     )
 
@@ -439,7 +450,7 @@ def residual_sql(vec: str, list_expr: str, dialect: str) -> str:
 def ivfpq_codes(emb: DataFrame) -> DataFrame:
     """(vec_id, list_id, m, code): coarse assignment + PQ codes of the
     residual, exploded join-ready — the full compressed index entry."""
-    assigned = emb.select(
+    assigned = _dim_guard(emb).select(
         "vec_id", "embedding",
         F.expr(ivf_assign_sql("embedding", "spark")).alias("list_id"),
     ).withColumn("residual", F.expr(residual_sql("embedding", "list_id", "spark")))

@@ -188,8 +188,44 @@ class DbscanStage:
         )
 
 
+@dataclass
+class DedupStage:
+    """Corpus deduplication as a pipeline stage: documents failing the
+    keep rule are DROPPED (destructive, like CutFlow).  ``method``:
+
+    * ``exact``   — rolling-hash fingerprint groups; keep min doc_id;
+    * ``minhash`` — MinHash-LSH near-dup clusters (functions/dedup.py);
+      keep the cluster canonical (longest text, min doc_id on ties).
+
+    The curation counterpart of the selection stages: the YAML pipeline
+    can now express Define -> Dedup -> CutFlow -> BinnedDataframe."""
+
+    name: str
+    method: str = "exact"
+    text_col: str = "text"
+    threshold: float = 0.5
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ..functions import dedup as d
+
+        if self.method == "exact":
+            keep = (
+                d.exact_dedup(df, self.text_col)
+                .select(F.col("canonical_doc_id").alias("doc_id"))
+            )
+        elif self.method == "minhash":
+            keep = (
+                d.dedup_canonical(df, self.text_col, self.threshold)
+                .select(F.col("kept_doc").alias("doc_id"))
+            )
+        else:
+            raise ValueError(f"unknown dedup method {self.method!r}")
+        return df.join(keep, "doc_id", "left_semi")
+
+
 STAGE_TYPES = {
     "define": lambda name, cfg: DefineStage.from_config(name, cfg["variables"]),
+    "dedup": lambda name, cfg: DedupStage(name=name, **cfg),
     "tile_pyramid": lambda name, cfg: TilePyramidStage(name=name, **cfg),
     "cell_encode": lambda name, cfg: CellEncodeStage(name=name, **cfg),
     "hilbert_layout": lambda name, cfg: HilbertLayoutStage(name=name, **cfg),

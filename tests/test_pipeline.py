@@ -187,3 +187,34 @@ def test_pipeline_geofence_and_dbscan_stages(spark, spans):
     assert out.columns == ["doc_id", "role", "cluster_id"]
     want = q_dbscan(spark, SF_DIR)
     assert out.exceptAll(want).count() == 0 and want.exceptAll(out).count() == 0
+
+
+def test_dedup_stage_exact_and_minhash(spark):
+    """DedupStage drops non-canonical documents; exact keeps one doc per
+    fingerprint, minhash one per near-dup cluster (a superset drop)."""
+    from fast_carpenter_spark.plans.pipeline import Pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+
+    p_exact = Pipeline.from_config(
+        {"stages": [{"dedup": {"method": "exact"}}]}
+    )
+    kept_exact = p_exact.apply(docs)
+    n_exact = kept_exact.count()
+    assert 0 < n_exact <= n
+    # one survivor per fingerprint
+    from fast_carpenter_spark.functions.dedup import exact_dedup
+
+    assert n_exact == exact_dedup(docs).count()
+
+    p_mh = Pipeline.from_config(
+        {"stages": [{"dedup": {"method": "minhash"}}]}
+    )
+    n_mh = p_mh.apply(docs).count()
+    assert 0 < n_mh <= n_exact  # near-dup clusters merge exact groups
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown dedup method"):
+        Pipeline.from_config({"stages": [{"dedup": {"method": "nope"}}]}).apply(docs)
