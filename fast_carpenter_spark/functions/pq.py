@@ -87,11 +87,22 @@ def dists_sql(vec: str, m: int, dialect: str) -> str:
 
 
 def code_sql(vec: str, m: int, dialect: str) -> str:
-    """argmin over the N_CODES sub-centroids (first min wins ties)."""
+    """argmin over the N_CODES sub-centroids (first min wins ties).
+
+    Single evaluation of the distance array: (dist, code) structs compare
+    lexicographically (dist first, lowest code on ties — identical to the
+    old position-of-first-min), so struct-min replaces the
+    position(arr, min(arr)) idiom that inlined — and computed — the 16
+    folds twice per subspace on the encode hot path."""
     ds = dists_sql(vec, m, dialect)
     if dialect == "spark":
-        return f"CAST(array_position({ds}, array_min({ds})) - 1 AS INT)"
-    return f"CAST(list_position({ds}, list_min({ds})) - 1 AS INT)"
+        return (
+            f"CAST(array_min(zip_with({ds}, sequence(0, {N_CODES - 1}), "
+            f"(_d, _c) -> struct(_d AS d, _c AS c))).c AS INT)"
+        )
+    return (
+        f"CAST(struct_extract(list_min(list_zip({ds}, range(0, {N_CODES}))), 2) AS INT)"
+    )
 
 
 def codes_sql(vec: str, dialect: str) -> str:
