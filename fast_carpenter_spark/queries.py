@@ -3176,6 +3176,110 @@ GROUP BY 1
 O_SNAPSHOT_INCREMENTAL = _o_snapshot_incremental()
 
 
+def _compact_table(spark, sf_dir):
+    """Fragmented snapshot table for the compaction queries: snap-a holds
+    3/4 of the corpus in ONE large file, snap-b appends the remaining
+    quarter as EIGHT tiny files (a streaming-commit pattern), snap-c is
+    the ``compact_snapshot`` REPLACE commit — the big file carried by
+    reference, the eight small ones rewritten into one.  Built once per
+    source fingerprint and reused across queries/runs."""
+    import os
+    import tempfile
+
+    from .sources.snapshot import (
+        SnapshotReader,
+        compact_snapshot,
+        list_snapshots,
+        write_snapshot,
+    )
+
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"fcs_cmpct_snap_{_source_fingerprint_tag(sf_dir)}"
+    )
+    if not (os.path.isdir(tdir) and len(list_snapshots(tdir)) >= 3):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        big = docs.filter("doc_id % 4 < 3")
+        small = docs.filter("doc_id % 4 = 3")
+        n_big = big.count()
+        base = write_snapshot(
+            big.repartition(1), tdir, snapshot_id="snap-a", bounds_cols=["doc_id"]
+        )
+        appended = write_snapshot(
+            small.repartition(8), tdir, snapshot_id="snap-b", base=base,
+            bounds_cols=["doc_id"],
+        )
+        compact_snapshot(
+            spark,
+            tdir,
+            # every snap-b file (~n_big/24 rows) is "small"; the snap-a
+            # file is not — selective compaction, not a full rewrite
+            min_rows=n_big,
+            target_rows=n_big,
+            snapshot_id="snap-c",
+            base_snapshot_id=appended.snapshot_id,
+        )
+    return tdir
+
+
+def q_snapshot_compact(spark, sf_dir):
+    """Small-file compaction end-to-end (Iceberg rewrite_data_files): read
+    the table THROUGH the compacted snapshot and tile it.  Semantics =
+    identity on rows (compaction is pure layout), so the oracle reads the
+    raw documents; the layout claim itself — 9 files before, 2 after, the
+    large file untouched by path — is pinned in tests/test_snapshot.py."""
+    from .sources.snapshot import SnapshotReader
+
+    tdir = _compact_table(spark, sf_dir)
+    docs = SnapshotReader(tdir, "snap-c").load(spark)
+    docs.createOrReplaceTempView("docs_cmpct")
+    flat = spark.sql(synth.flat_spans_sql("spark", "docs_cmpct"))
+    return (
+        flat.withColumn("cell", F.expr(grid.cell_sql("lon", "lat", TILE_RES, "spark")))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("w_sumw"))
+    )
+
+
+def _o_snapshot_compact() -> str:
+    inner = synth.flat_spans_sql("duck")
+    return f"""
+SELECT {grid.cell_sql('lon', 'lat', TILE_RES, 'duck')} AS cell,
+       count(*) AS n, sum(w) AS w_sumw
+FROM ({inner})
+GROUP BY 1
+"""
+
+
+def q_snapshot_time_travel(spark, sf_dir):
+    """Time travel: read the table AS OF the pre-append snapshot (snap-a,
+    3/4 of the corpus) even though snap-b and the snap-c compaction have
+    since been committed — data files are immutable and manifests pin the
+    member set, so an old snapshot id reproduces the exact old table."""
+    from .sources.snapshot import SnapshotReader
+
+    tdir = _compact_table(spark, sf_dir)
+    docs = SnapshotReader(tdir, "snap-a").load(spark)
+    docs.createOrReplaceTempView("docs_tt")
+    flat = spark.sql(synth.flat_spans_sql("spark", "docs_tt"))
+    return (
+        flat.withColumn("cell", F.expr(grid.cell_sql("lon", "lat", TILE_RES, "spark")))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("w_sumw"))
+    )
+
+
+def _o_snapshot_time_travel() -> str:
+    inner = synth.flat_spans_sql(
+        "duck", "(SELECT * FROM documents WHERE doc_id % 4 < 3) docs_tt"
+    )
+    return f"""
+SELECT {grid.cell_sql('lon', 'lat', TILE_RES, 'duck')} AS cell,
+       count(*) AS n, sum(w) AS w_sumw
+FROM ({inner})
+GROUP BY 1
+"""
+
+
 def q_bucketed_join(spark, sf_dir):
     """Co-located join on the persistent bucketed layout: span points and
     per-cell tile stats are both written bucketed by the SAME cell key
@@ -4402,6 +4506,8 @@ QUERIES = {
     "ann_index_delta": (q_ann_index_delta, _o_ann_index_delta()),
     "dedup_editdist": (q_dedup_editdist, _o_dedup_editdist()),
     "snapshot_pruned_scan": (q_snapshot_pruned_scan, _o_snapshot_pruned_scan()),
+    "snapshot_compact": (q_snapshot_compact, _o_snapshot_compact()),
+    "snapshot_time_travel": (q_snapshot_time_travel, _o_snapshot_time_travel()),
     "profile_cube": (q_profile_cube, O_PROFILE_CUBE),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),

@@ -282,6 +282,57 @@ def expire_snapshots(table_path: str, *, keep: int) -> dict:
     return {"removed_snapshots": dropped, "removed_files": removed_files}
 
 
+def compact_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    min_rows: int,
+    target_rows: int,
+    snapshot_id: str | None = None,
+    base_snapshot_id: str | None = None,
+) -> Snapshot:
+    """Small-file compaction — the Iceberg ``rewrite_data_files``
+    maintenance op.  Data files with fewer than ``min_rows`` rows are read
+    back, bin-packed into ~``target_rows``-row files, and committed as a
+    REPLACE snapshot whose manifest lists the untouched large files plus
+    the new compacted ones.  Rows are bit-identical: compaction is pure
+    layout.  The replaced small files stay on disk (immutable, still
+    referenced by the parent manifest) so time travel within the retention
+    window is intact; :func:`expire_snapshots` reclaims them once the old
+    manifests age out.
+
+    Scale rationale: streaming/append commits at 10^12 docs produce
+    O(commit-cadence) tiny files whose per-file open + footer-read
+    overhead dominates the scan long before data volume does.  This op
+    reads ONLY the small files — cost is O(small-file bytes), independent
+    of table size — and the untouched files enter the new manifest by
+    reference (no copy)."""
+    import math
+
+    reader = SnapshotReader(table_path, base_snapshot_id)
+    base = reader.snapshot
+    small = [f for f in base.files if f["rows"] < min_rows]
+    if not small:
+        return base
+    keep = [f for f in base.files if f["rows"] >= min_rows]
+    total = sum(f["rows"] for f in small)
+    nfiles = max(1, math.ceil(total / target_rows))
+    df = reader._read(
+        spark, [os.path.join(table_path, f["path"]) for f in small]
+    ).repartition(nfiles)
+    # carry the table's pruning metadata forward: any column bounded in any
+    # existing file stays bounded in the compacted files
+    bcols = sorted({c for f in base.files for c in f.get("bounds", {})})
+    pseudo_base = Snapshot(base.snapshot_id, table_path, keep)
+    return write_snapshot(
+        df,
+        table_path,
+        snapshot_id=snapshot_id,
+        bounds_cols=bcols or None,
+        base=pseudo_base,
+    )
+
+
 # --- data-import plugin registry (ref: data_import/__init__.py:6-41) -------
 
 _PLUGINS: dict[str, object] = {}

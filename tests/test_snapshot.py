@@ -345,3 +345,55 @@ def test_hilbert_layout_prunes_quadrant_files(spark):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("sumw"))
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_compact_snapshot_rewrites_only_small_files(spark, docs, tmp_path):
+    """rewrite_data_files semantics: rows identical, small files bin-packed,
+    large files carried into the new manifest BY REFERENCE (same path),
+    replaced files still on disk for time travel until expiry."""
+    import os
+
+    from fast_carpenter_spark.sources.snapshot import compact_snapshot
+
+    table = str(tmp_path / "tbl_cmpct")
+    big = docs.filter("doc_id % 4 < 3")
+    small = docs.filter("doc_id % 4 = 3")
+    n_big = big.count()
+    base = write_snapshot(
+        big.repartition(1), table, snapshot_id="snap-a", bounds_cols=["doc_id"]
+    )
+    appended = write_snapshot(
+        small.repartition(8), table, snapshot_id="snap-b", base=base,
+        bounds_cols=["doc_id"],
+    )
+    assert len(appended.files) == 9
+    snap = compact_snapshot(
+        spark, table, min_rows=n_big, target_rows=n_big, snapshot_id="snap-c"
+    )
+    # selective: 1 untouched big file (same relative path) + 1 compacted
+    assert len(snap.files) == 2
+    big_path = base.files[0]["path"]
+    assert big_path in {f["path"] for f in snap.files}
+    new = [f for f in snap.files if f["path"] != big_path]
+    assert new[0]["rows"] == small.count()
+    assert "doc_id" in new[0]["bounds"]  # pruning metadata carried forward
+    # rows bit-identical through the compacted snapshot
+    got = SnapshotReader(table, "snap-c").load(spark)
+    assert got.count() == docs.count()
+    assert got.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0
+    # commit lineage: snap-c is the new head, parented on snap-b
+    assert list_snapshots(table)[-1] == "snap-c"
+    # replaced small files remain for snap-b time travel
+    assert SnapshotReader(table, "snap-b").load(spark).count() == docs.count()
+    for f in appended.files:
+        assert os.path.exists(os.path.join(table, f["path"]))
+
+
+def test_compact_snapshot_noop_when_nothing_small(spark, docs, tmp_path):
+    from fast_carpenter_spark.sources.snapshot import compact_snapshot
+
+    table = str(tmp_path / "tbl_cmpct_noop")
+    snap = write_snapshot(docs.repartition(2), table, snapshot_id="snap-a")
+    out = compact_snapshot(spark, table, min_rows=1, target_rows=10)
+    assert out.snapshot_id == snap.snapshot_id  # no new commit
+    assert list_snapshots(table) == ["snap-a"]
