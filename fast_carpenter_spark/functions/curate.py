@@ -371,3 +371,106 @@ SELECT base.doc_id, COALESCE(bh.nm, 0) = {k} AS bloom_hit,
        base.h IN (SELECT h FROM ev) AS exact_hit
 FROM base LEFT JOIN bh USING (doc_id)
 """
+
+
+# --- Deequ-style single-pass constraint audit ------------------------------
+
+# (name, predicate-free metric spec) — every metric derives from exact
+# integer counts so the audit is bit-identical across engines; thresholds
+# live HERE, not in the caller, so the audit is a versioned contract.
+CONSTRAINT_LANGS = ("en", "es", "de", "fr", "zh")
+N_CHARS_LO, N_CHARS_HI = 1, 100_000
+
+
+def constraints_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Data-quality constraint audit in ONE aggregation pass (the Deequ /
+    dbt-test pattern): completeness, key uniqueness, value ranges, domain
+    containment, and cross-column consistency, emitted as a
+    (constraint, metric, passed) report table.
+
+    Scale: a 10^12-row audit is one map-side-combinable aggregate — six
+    counters per task, a single 1-row exchange, then a constant 5-row
+    unpivot.  No shuffle of data rows, no per-constraint rescan (the naive
+    one-query-per-check audit reads the corpus K times).
+    """
+    langs = ", ".join(f"'{l}'" for l in CONSTRAINT_LANGS)
+    agg = docs.selectExpr(
+        "CAST(count(*) AS DOUBLE) AS n",
+        f"CAST(count_if({text_col} IS NULL OR {text_col} = '') AS DOUBLE) AS n_empty",
+        "CAST(count(*) - count(DISTINCT doc_id) AS DOUBLE) AS n_dup",
+        f"CAST(count_if(n_chars < {N_CHARS_LO} OR n_chars > {N_CHARS_HI}) AS DOUBLE)"
+        " AS n_oob",
+        f"CAST(count_if(lang NOT IN ({langs})) AS DOUBLE) AS n_badlang",
+        f"CAST(count_if(n_chars <> length({text_col})) AS DOUBLE) AS n_incons",
+    )
+    return agg.selectExpr(
+        """stack(5,
+           'completeness_text',   1.0 - n_empty / n,  n_empty = 0,
+           'uniqueness_doc_id',   1.0 - n_dup / n,    n_dup = 0,
+           'range_n_chars',       n_oob,              n_oob = 0,
+           'domain_lang',         n_badlang,          n_badlang = 0,
+           'consistency_n_chars', n_incons,           n_incons = 0
+        ) AS (constraint, metric, passed)"""
+    )
+
+
+def constraints_audit_oracle_sql(text_col: str = "text") -> str:
+    langs = ", ".join(f"'{l}'" for l in CONSTRAINT_LANGS)
+    return f"""
+WITH a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(count(*) FILTER ({text_col} IS NULL OR {text_col} = '') AS DOUBLE)
+           AS n_empty,
+         CAST(count(*) - count(DISTINCT doc_id) AS DOUBLE) AS n_dup,
+         CAST(count(*) FILTER (n_chars < {N_CHARS_LO} OR n_chars > {N_CHARS_HI})
+           AS DOUBLE) AS n_oob,
+         CAST(count(*) FILTER (lang NOT IN ({langs})) AS DOUBLE) AS n_badlang,
+         CAST(count(*) FILTER (n_chars <> length({text_col})) AS DOUBLE)
+           AS n_incons
+  FROM documents)
+SELECT 'completeness_text' AS constraint, 1.0 - n_empty / n AS metric,
+       n_empty = 0 AS passed FROM a
+UNION ALL SELECT 'uniqueness_doc_id', 1.0 - n_dup / n, n_dup = 0 FROM a
+UNION ALL SELECT 'range_n_chars', n_oob, n_oob = 0 FROM a
+UNION ALL SELECT 'domain_lang', n_badlang, n_badlang = 0 FROM a
+UNION ALL SELECT 'consistency_n_chars', n_incons, n_incons = 0 FROM a
+"""
+
+
+# --- deny-list scrubbing (dictionary redaction) -----------------------------
+
+REDACT_TOKENS = ("customer", "vector")
+REDACT_MARK = "[REDACTED]"
+
+
+def redact_pattern() -> str:
+    """Word-bounded alternation over the deny list — identical semantics in
+    Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround."""
+    return r"\b(" + "|".join(REDACT_TOKENS) + r")\b"
+
+
+def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deny-list scrubbing: replace every occurrence of a deny-listed token
+    with a marker and report the per-document hit count.  Pure map-side
+    codegen (regexp_replace / regexp_count) — the scrub of a 10^12-doc
+    corpus is a zero-shuffle rewrite pipeline stage.  Only affected
+    documents are emitted (the common rewrite-sink pattern: untouched rows
+    are carried by reference from the previous snapshot)."""
+    pat = redact_pattern()
+    out = docs.select(
+        "doc_id",
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias("n_redacted"),
+        F.regexp_replace(F.col(text_col), pat, REDACT_MARK).alias("redacted"),
+    )
+    return out.filter(F.col("n_redacted") > 0)
+
+
+def redact_oracle_sql(text_col: str = "text") -> str:
+    pat = redact_pattern()
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all({text_col}, '{pat}')) AS INT) AS n_redacted,
+       regexp_replace({text_col}, '{pat}', '{REDACT_MARK}', 'g') AS redacted
+FROM documents
+WHERE len(regexp_extract_all({text_col}, '{pat}')) > 0
+"""

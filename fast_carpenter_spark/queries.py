@@ -3904,6 +3904,39 @@ def _o_quality_filter() -> str:
 O_QUALITY_FILTER = _o_quality_filter()
 
 
+def q_quality_constraints(spark, sf_dir):
+    """Deequ-style data-quality audit: completeness / uniqueness / range /
+    domain / cross-column consistency as one map-side-combinable
+    aggregation pass + a constant 5-row unpivot (no per-check rescans)."""
+    from .functions import curate as _curate
+
+    return _curate.constraints_audit(load_documents(spark, sf_dir))
+
+
+def q_text_redact(spark, sf_dir):
+    """Deny-list scrubbing: word-bounded dictionary redaction with per-doc
+    hit counts — a zero-shuffle map-side rewrite of the corpus."""
+    from .functions import curate as _curate
+
+    return _curate.redact(load_documents(spark, sf_dir))
+
+
+def _o_quality_constraints() -> str:
+    from .functions import curate as _curate
+
+    return _curate.constraints_audit_oracle_sql()
+
+
+def _o_text_redact() -> str:
+    from .functions import curate as _curate
+
+    return _curate.redact_oracle_sql()
+
+
+O_QUALITY_CONSTRAINTS = _o_quality_constraints()
+O_TEXT_REDACT = _o_text_redact()
+
+
 def q_decontaminate(spark, sf_dir):
     """Eval-set decontamination: per-eval-doc n-gram overlap with the
     candidate corpus (one shingle-keyed join; eval side broadcast-small
@@ -4508,6 +4541,8 @@ QUERIES = {
     "snapshot_pruned_scan": (q_snapshot_pruned_scan, _o_snapshot_pruned_scan()),
     "snapshot_compact": (q_snapshot_compact, _o_snapshot_compact()),
     "snapshot_time_travel": (q_snapshot_time_travel, _o_snapshot_time_travel()),
+    "quality_constraints": (q_quality_constraints, O_QUALITY_CONSTRAINTS),
+    "text_redact": (q_text_redact, O_TEXT_REDACT),
     "profile_cube": (q_profile_cube, O_PROFILE_CUBE),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),

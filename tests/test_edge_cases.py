@@ -65,3 +65,46 @@ def test_graph_empty_edges(spark):
     assert cc == {0: 0, 1: 1, 2: 2}  # all isolated singletons
     pr = {r["node"]: r["pr"] for r in pagerank(nodes, empty_e).collect()}
     assert set(pr.values()) == {150_000_000}  # everyone at the 0.15 base
+
+
+def test_constraints_audit_flags_violations(spark):
+    from fast_carpenter_spark.functions import curate
+
+    clean = spark.createDataFrame(
+        [(1, "abc", "en", "s", 3), (2, "de", "fr", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rep = {r["constraint"]: r for r in curate.constraints_audit(clean).collect()}
+    assert len(rep) == 5 and all(r["passed"] for r in rep.values())
+    dirty = spark.createDataFrame(
+        [
+            (1, "", "en", "s", 0),        # empty text + n_chars out of range
+            (1, "xy", "xx", "s", 2),      # dup key + bad lang
+            (3, "abc", "en", "s", 99),    # n_chars inconsistent with text
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rep = {r["constraint"]: r for r in curate.constraints_audit(dirty).collect()}
+    assert not any(r["passed"] for r in rep.values())
+    assert rep["completeness_text"]["metric"] == pytest.approx(2 / 3)
+    assert rep["uniqueness_doc_id"]["metric"] == pytest.approx(2 / 3)
+    assert rep["range_n_chars"]["metric"] == 1.0
+    assert rep["domain_lang"]["metric"] == 1.0
+    assert rep["consistency_n_chars"]["metric"] == 1.0  # only 'abc' vs 99
+
+
+def test_redact_counts_and_rewrites(spark):
+    from fast_carpenter_spark.functions import curate
+
+    docs = spark.createDataFrame(
+        [(1, "the customer saw a vector of customers"),  # 'customers' NOT bounded-matched
+         (2, "nothing to scrub here"),
+         (3, "vector vector")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curate.redact(docs).collect()}
+    assert set(out) == {1, 3}  # doc 2 untouched -> not emitted
+    assert out[1]["n_redacted"] == 2
+    assert out[1]["redacted"] == "the [REDACTED] saw a [REDACTED] of customers"
+    assert out[3]["n_redacted"] == 2
+    assert out[3]["redacted"] == "[REDACTED] [REDACTED]"
