@@ -388,10 +388,13 @@ def constraints_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
     containment, and cross-column consistency, emitted as a
     (constraint, metric, passed) report table.
 
-    Scale: a 10^12-row audit is one map-side-combinable aggregate — six
-    counters per task, a single 1-row exchange, then a constant 5-row
-    unpivot.  No shuffle of data rows, no per-constraint rescan (the naive
-    one-query-per-check audit reads the corpus K times).
+    Scale: one corpus scan for ALL checks (the naive one-query-per-check
+    audit reads it K times).  Every counter except uniqueness is map-side
+    combinable into a single 1-row exchange; the exact
+    ``count(DISTINCT doc_id)`` is the one data-sized shuffle (its keys),
+    which exactness requires — swap it for the HLL sketch
+    (functions/sketch.py, the ``hll_distinct`` query) when an approximate
+    uniqueness metric is acceptable and the audit becomes shuffle-free.
     """
     langs = ", ".join(f"'{l}'" for l in CONSTRAINT_LANGS)
     agg = docs.selectExpr(

@@ -3906,8 +3906,9 @@ O_QUALITY_FILTER = _o_quality_filter()
 
 def q_quality_constraints(spark, sf_dir):
     """Deequ-style data-quality audit: completeness / uniqueness / range /
-    domain / cross-column consistency as one map-side-combinable
-    aggregation pass + a constant 5-row unpivot (no per-check rescans)."""
+    domain / cross-column consistency in ONE corpus scan + a constant
+    5-row unpivot (no per-check rescans); the exact-uniqueness distinct
+    shuffle is the only non-map-side piece."""
     from .functions import curate as _curate
 
     return _curate.constraints_audit(load_documents(spark, sf_dir))

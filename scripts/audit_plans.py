@@ -72,6 +72,9 @@ AUDITED = [
     "profile_cube",     # GROUPING SETS: one scan, one expanded shuffle
     "trajectory_stays",  # gaps-and-islands: one doc_id window pass
     "sample_weighted",  # map-side priority + WindowGroupLimit top-K
+    "snapshot_compact",  # scan THROUGH the compacted manifest, then tile agg
+    "quality_constraints",  # one scan for all checks; exact-uniqueness shuffle
+    "text_redact",      # zero-shuffle map-side regex rewrite
     # dedup_cluster / tile_regions / dbscan are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
     # join is the same edge-keyed hash-join shape audited via
