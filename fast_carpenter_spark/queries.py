@@ -2135,6 +2135,33 @@ FROM idxs i LEFT JOIN obs o ON i.nchars_bin = o.nchars_bin
 """
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    """K1 sink fidelity at driver grain: the binned histogram is exported
+    through the CLI's ``%.17g`` CSV writer (ref: fast-carpenter's
+    to_csv float_format, summary/binned_dataframe.py:14-51) and read BACK
+    under the original schema.  17 significant digits round-trips IEEE754
+    doubles exactly — including the ±inf open-ended bin edges — so the
+    oracle is the same as binned_1d's: any loss in the sink breaks the
+    value hash."""
+    import os
+    import tempfile
+
+    res = q_binned_1d(spark, sf_dir)
+    schema = res.schema
+    pdf = res.toPandas()  # sink parity check: result is O(n_bins) rows
+    path = os.path.join(
+        tempfile.gettempdir(), f"fcs_csv_rt_{_source_fingerprint_tag(sf_dir)}.csv"
+    )
+    pdf.to_csv(path, index=False, float_format="%.17g")
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("positiveInf", "inf")
+        .option("negativeInf", "-inf")
+        .csv(path)
+    )
+
+
 def q_systematics(spark, sf_dir):
     df = load_documents(spark, sf_dir).withColumn("w", F.expr(synth.doc_weight_sql()))
     stage = SystematicWeightsStage(
@@ -4544,6 +4571,7 @@ QUERIES = {
     "snapshot_time_travel": (q_snapshot_time_travel, _o_snapshot_time_travel()),
     "quality_constraints": (q_quality_constraints, O_QUALITY_CONSTRAINTS),
     "text_redact": (q_text_redact, O_TEXT_REDACT),
+    "csv_roundtrip": (q_csv_roundtrip, O_BINNED_1D),
     "profile_cube": (q_profile_cube, O_PROFILE_CUBE),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),
