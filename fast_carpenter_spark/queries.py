@@ -682,6 +682,66 @@ def _o_trajectory_cells() -> str:
 O_TRAJECTORY_CELLS = _o_trajectory_cells()
 
 
+def q_trajectory_interp(spark, sf_dir):
+    """Fixed-rate trajectory resampling: lerp each user's path at regular
+    6-hour instants — ticks are EMITTED per segment (map-side sequence
+    explode), never range-joined against a grid table; one user_id window
+    shuffle total."""
+    from .spatial.trajectory import trajectory_interp_sql
+
+    _load_events(spark, sf_dir)
+    return spark.sql(trajectory_interp_sql("spark", REGION_RES))
+
+
+def _o_trajectory_interp() -> str:
+    from .spatial.trajectory import trajectory_interp_sql
+
+    return trajectory_interp_sql("duck", REGION_RES)
+
+
+O_TRAJECTORY_INTERP = _o_trajectory_interp()
+
+
+def q_trajectory_simplify(spark, sf_dir):
+    """Single-pass polyline simplification (perpendicular-offset filter,
+    the streaming cousin of Douglas–Peucker): keep endpoints + points
+    whose offset from the prev→next chord is >= eps; the keep test is
+    cross² >= eps²·|chord|² — multiplication-only, bit-exact across
+    engines."""
+    from .spatial.trajectory import trajectory_simplify_sql
+
+    _load_events(spark, sf_dir)
+    return spark.sql(trajectory_simplify_sql("spark"))
+
+
+def _o_trajectory_simplify() -> str:
+    from .spatial.trajectory import trajectory_simplify_sql
+
+    return trajectory_simplify_sql("duck")
+
+
+O_TRAJECTORY_SIMPLIFY = _o_trajectory_simplify()
+
+
+def q_trajectory_bearing(spark, sf_dir):
+    """Per-tile movement-direction rose: consecutive-segment compass
+    octants via pure sign/magnitude comparisons (no atan2 — trig is not
+    correctly rounded across engines), aggregated per origin cell."""
+    from .spatial.trajectory import trajectory_bearing_sql
+
+    _load_events(spark, sf_dir)
+    return spark.sql(trajectory_bearing_sql("spark"))
+
+
+def _o_trajectory_bearing() -> str:
+    from .spatial.trajectory import trajectory_bearing_sql
+
+    return trajectory_bearing_sql("duck")
+
+
+O_TRAJECTORY_BEARING = _o_trajectory_bearing()
+
+
 def q_trajectory_od(spark, sf_dir):
     """Origin–destination matrix over user trajectories: first-event cell →
     last-event cell per user, user and event-volume counts per OD pair.
@@ -4573,6 +4633,9 @@ QUERIES = {
     "text_redact": (q_text_redact, O_TEXT_REDACT),
     "csv_roundtrip": (q_csv_roundtrip, O_BINNED_1D),
     "profile_cube": (q_profile_cube, O_PROFILE_CUBE),
+    "trajectory_interp": (q_trajectory_interp, O_TRAJECTORY_INTERP),
+    "trajectory_simplify": (q_trajectory_simplify, O_TRAJECTORY_SIMPLIFY),
+    "trajectory_bearing": (q_trajectory_bearing, O_TRAJECTORY_BEARING),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),
     "tile_agg": (q_tile_agg, O_TILE_AGG),

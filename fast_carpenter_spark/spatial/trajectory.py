@@ -138,6 +138,171 @@ FROM tr
 """
 
 
+# 6 hours in microseconds — the regular resample grid for trajectory_interp
+INTERP_STEP_US = 6 * 3600 * 1_000_000
+
+# perpendicular-offset threshold (degrees) for trajectory_simplify
+SIMPLIFY_EPS = 20.0
+
+BEARING_RES = 6
+
+
+def trajectory_interp_sql(dialect: str, res: int, step_us: int = INTERP_STEP_US) -> str:
+    """Time-grid resampling: linearly interpolate each user's trajectory at
+    the regular instants t = i * step that fall strictly inside each
+    consecutive-event segment (us, next_us] — the fixed-rate resample that
+    map-matching / sensor-fusion pipelines run before any spatial join.
+
+    No range join: each segment EMITS its own ticks (i from
+    us DIV step + 1 to next_us DIV step — a per-row integer sequence, empty
+    for segments shorter than one step), so the plan is ONE user_id window
+    shuffle plus a map-side explode proportional to output size.  A naive
+    formulation (grid table x events, ev.us <= t < ev.next_us) would be a
+    BNLJ theta join — the shape that dies at 10^12 docs.
+
+    Determinism: tick instants are exact BIGINT micros; the lerp weight and
+    coordinates are the same double expression text on both engines
+    (+,-,*,/ are correctly-rounded IEEE, so raw doubles are hash-safe).
+    Tick-at-boundary convention (t == next_us → w = 1) cannot duplicate:
+    the NEXT segment starts its ticks at next_us DIV step + 1.
+    """
+    from .. import grid
+
+    lon, lat = _coords_sql()
+    idiv = lambda a, b: grid._idiv(a, b, dialect)  # noqa: E731
+    if dialect == "spark":
+        us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    else:
+        us = "epoch_us(ts)"
+    lo = idiv("us", str(step_us)) + " + 1"
+    hi = idiv("nus", str(step_us))
+    if dialect == "spark":
+        ticks_from = (
+            f"FROM seg LATERAL VIEW explode(sequence({lo}, {hi})) _tk AS i "
+            f"WHERE nus IS NOT NULL AND ({lo}) <= ({hi})"
+        )
+    else:
+        # DuckDB: unnest(range(..)) in the projection expands rows and emits
+        # nothing for an empty range — no pre-filter needed, but keep it for
+        # shared semantics
+        ticks_from = f"FROM seg WHERE nus IS NOT NULL AND ({lo}) <= ({hi})"
+    i_expr = "i" if dialect == "spark" else f"unnest(range({lo}, ({hi}) + 1))"
+    w = "(CAST(t - us AS DOUBLE) / CAST(nus - us AS DOUBLE))"
+    ilon = f"(lon + (nlon - lon) * {w})"
+    ilat = f"(lat + (nlat - lat) * {w})"
+    cell = grid.cell_sql("ilon", "ilat", res, dialect)
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, {us} AS us, {lon} AS lon, {lat} AS lat FROM events
+),
+seg AS (
+  SELECT user_id, us, lon, lat,
+         lead(us)  OVER (PARTITION BY user_id ORDER BY us, event_id) AS nus,
+         lead(lon) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nlon,
+         lead(lat) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nlat
+  FROM ev
+),
+ticks AS (
+  SELECT user_id, us, nus, lon, lat, nlon, nlat, ({i_expr}) * {step_us} AS t
+  {ticks_from}
+),
+interp AS (
+  SELECT user_id, t AS tick_us, {ilon} AS ilon, {ilat} AS ilat
+  FROM (SELECT user_id, t, lon, lat, nlon, nlat, us, nus FROM ticks)
+)
+SELECT user_id, tick_us, ilon AS lon, ilat AS lat,
+       {grid.cell_sql('ilon', 'ilat', res, dialect)} AS cell
+FROM interp
+"""
+
+
+def trajectory_simplify_sql(dialect: str, eps: float = SIMPLIFY_EPS) -> str:
+    """Single-pass polyline simplification (perpendicular-offset filter):
+    keep both endpoints plus every interior point whose perpendicular
+    distance to the chord (prev → next) is >= eps — the streaming-friendly
+    cousin of Douglas–Peucker (which is recursive and needs the whole line
+    in hand; this is one window pass per point, the shape that scales).
+
+    Exactness: the keep test compares cross² >= eps² * |chord|² — products
+    and sums of doubles only (no division, no sqrt), same expression text
+    on both engines → bit-identical keep decisions and raw coordinates.
+    A degenerate chord (prev == next, a spike turnaround) keeps the point
+    iff cross == 0 is outweighed: 0 >= 0 holds, so spikes are kept — the
+    conservative choice (dropping a turnaround would corrupt the path).
+
+    Scale shape: ONE user_id window shuffle, everything else map-side.
+    """
+    lon, lat = _coords_sql()
+    if dialect == "spark":
+        us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    else:
+        us = "epoch_us(ts)"
+    cross = "((nlon - plon) * (lat - plat) - (nlat - plat) * (lon - plon))"
+    chord2 = "((nlon - plon) * (nlon - plon) + (nlat - plat) * (nlat - plat))"
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, {us} AS us, {lon} AS lon, {lat} AS lat FROM events
+),
+pts AS (
+  SELECT user_id, lon, lat,
+         row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+         count(*)     OVER (PARTITION BY user_id) AS n,
+         lag(lon)  OVER (PARTITION BY user_id ORDER BY us, event_id) AS plon,
+         lag(lat)  OVER (PARTITION BY user_id ORDER BY us, event_id) AS plat,
+         lead(lon) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nlon,
+         lead(lat) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nlat
+  FROM ev
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rn, lon, lat
+FROM pts
+WHERE rn = 1 OR rn = n
+   OR {cross} * {cross} >= {eps!r} * {eps!r} * {chord2}
+"""
+
+
+def trajectory_bearing_sql(dialect: str, res: int = BEARING_RES) -> str:
+    """Per-tile movement-direction rose: each consecutive-event segment is
+    classified into one of 8 compass octants by PURE SIGN/MAGNITUDE
+    comparisons (no atan2 — trig is not correctly rounded across engines,
+    comparisons of exact double subtractions are), then aggregated per
+    origin cell — the flow-direction histogram under trajectory heatmaps.
+
+    Octant boundaries are the axes and the 45° diagonals; ties land on the
+    lower sector deterministically because both engines evaluate the same
+    comparison text.  Zero-length segments are dropped.
+
+    Scale shape: ONE user_id window shuffle, then a partial-agg'd groupBy
+    on (cell, sector) — cardinality <= 8 * 4^res, bounded.
+    """
+    from .. import grid
+
+    lon, lat = _coords_sql()
+    sector = """CASE
+      WHEN dx >= 0 AND dy >= 0 THEN (CASE WHEN dy >= dx THEN 0 ELSE 1 END)
+      WHEN dx >= 0 AND dy < 0  THEN (CASE WHEN dx >= -dy THEN 2 ELSE 3 END)
+      WHEN dx < 0  AND dy < 0  THEN (CASE WHEN -dy >= -dx THEN 4 ELSE 5 END)
+      ELSE                          (CASE WHEN -dx >= dy THEN 6 ELSE 7 END)
+    END"""
+    cell = grid.cell_sql("lon", "lat", res, dialect)
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, {lon} AS lon, {lat} AS lat FROM events
+),
+seg AS (
+  SELECT lon, lat,
+         lead(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) - lon AS dx,
+         lead(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) - lat AS dy
+  FROM ev
+),
+cls AS (
+  SELECT {cell} AS cell, {sector} AS sector
+  FROM seg WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0)
+)
+SELECT cell, CAST(sector AS INT) AS sector, count(*) AS n_segments
+FROM cls GROUP BY cell, sector
+"""
+
+
 def trajectory_cells_sql(dialect: str, res: int) -> str:
     """Full query in either dialect (the bodies differ only in the
     sequence-explode idiom; every arithmetic expression is shared text)."""
