@@ -742,6 +742,45 @@ def _o_trajectory_bearing() -> str:
 O_TRAJECTORY_BEARING = _o_trajectory_bearing()
 
 
+def q_tile_clip(spark, sf_dir):
+    """Vector-tile geometry cut: Liang–Barsky clip of every trajectory
+    segment into per-tile pieces.  Column-DDA explode — work proportional
+    to tiles TOUCHED (O(w+h) per segment), never the bbox area (O(w*h));
+    one user_id window shuffle, everything after is map-side."""
+    from .spatial.vectortile import tile_clip_sql
+
+    _load_events(spark, sf_dir)
+    return spark.sql(tile_clip_sql("spark"))
+
+
+def _o_tile_clip() -> str:
+    from .spatial.vectortile import tile_clip_sql
+
+    return tile_clip_sql("duck")
+
+
+O_TILE_CLIP = _o_tile_clip()
+
+
+def q_tile_contour(spark, sf_dir):
+    """Raster→vector iso-contour extraction: marching-squares case index
+    per 2x2 tile block of the above-global-mean density region (mean =
+    one exact integer sum / one division — scale-free and bit-exact)."""
+    from .spatial.vectortile import tile_contour_sql
+
+    load_documents(spark, sf_dir)
+    return spark.sql(tile_contour_sql(synth.flat_spans_sql("spark"), "spark"))
+
+
+def _o_tile_contour() -> str:
+    from .spatial.vectortile import tile_contour_sql
+
+    return tile_contour_sql(synth.flat_spans_sql("duck"), "duck")
+
+
+O_TILE_CONTOUR = _o_tile_contour()
+
+
 def q_trajectory_od(spark, sf_dir):
     """Origin–destination matrix over user trajectories: first-event cell →
     last-event cell per user, user and event-volume counts per OD pair.
@@ -4636,6 +4675,8 @@ QUERIES = {
     "trajectory_interp": (q_trajectory_interp, O_TRAJECTORY_INTERP),
     "trajectory_simplify": (q_trajectory_simplify, O_TRAJECTORY_SIMPLIFY),
     "trajectory_bearing": (q_trajectory_bearing, O_TRAJECTORY_BEARING),
+    "tile_clip": (q_tile_clip, O_TILE_CLIP),
+    "tile_contour": (q_tile_contour, O_TILE_CONTOUR),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),
     "tile_agg": (q_tile_agg, O_TILE_AGG),

@@ -75,6 +75,11 @@ AUDITED = [
     "snapshot_compact",  # scan THROUGH the compacted manifest, then tile agg
     "quality_constraints",  # one scan for all checks; exact-uniqueness shuffle
     "text_redact",      # zero-shuffle map-side regex rewrite
+    "trajectory_interp",  # per-segment tick explode, ONE user_id window shuffle
+    "trajectory_simplify",  # one window pass, multiplication-only keep test
+    "trajectory_bearing",   # one window pass + bounded (cell, sector) agg
+    "tile_clip",        # column-DDA double explode, map-side after one window
+    "tile_contour",     # bounded tile agg + 1-row mean attach + corner explode
     # dedup_cluster / tile_regions / dbscan are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
     # join is the same edge-keyed hash-join shape audited via
@@ -133,6 +138,7 @@ ALLOW_BNLJ_GRIDSYNTH = {"zonal_stats"}
 ALLOW_BNLJ_GLOBAL_ATTACH = {
     "tile_hotspot": 1, "tile_moran": 1, "tile_lisa": 1,
     "ann_ivf_recall_clustered": 2,
+    "tile_contour": 1,  # the global-mean threshold attach (keyless 1-row agg)
 }
 
 
