@@ -197,17 +197,15 @@ def bfs_hops(
     = eccentricity of the seed).  ``edges`` must carry both orientations.
     Returns (``node_col``, hops) for REACHABLE nodes only."""
     INF = 1 << 60
-    edges = edges.repartition("dst").localCheckpoint()
-    dist = (
+    edges = plan_truncate(edges.repartition("dst"))
+    dist = plan_truncate(
         nodes.select(
             F.col(node_col),
             F.when(F.col(node_col) == seed, F.lit(0))
             .otherwise(F.lit(INF))
             .cast("long")
             .alias("hops"),
-        )
-        .repartition(node_col)
-        .localCheckpoint()
+        ).repartition(node_col)
     )
     for _ in range(max_iter):
         msgs = (
@@ -215,7 +213,7 @@ def bfs_hops(
             .groupBy(F.col("src").alias(node_col))
             .agg(F.min(F.expr("hops + 1")).alias("_nbr"))
         )
-        new = (
+        new = plan_truncate(
             dist.join(msgs, node_col, "left")
             .select(
                 node_col,
@@ -224,7 +222,6 @@ def bfs_hops(
                 ),
             )
             .repartition(node_col)
-            .localCheckpoint()
         )
         changed = (
             new.alias("n")
@@ -253,6 +250,92 @@ walk(node, d) AS (
   WHERE w.d < {max_hops}
 ),
 hops AS (SELECT node AS {node_col}, CAST(min(d) AS BIGINT) AS hops FROM walk GROUP BY 1)
+"""
+
+
+def sssp(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    seed,
+    node_col: str = "node",
+    max_iter: int = 256,
+) -> DataFrame:
+    """Weighted single-source shortest paths from ``seed`` — Bellman-Ford
+    min-plus propagation, the weighted sibling of :func:`bfs_hops`.
+
+    ``edges`` must carry (src, dst, w) in BOTH orientations with INTEGER
+    weights w >= 1: min() over integer sums is aggregation-order-
+    independent, so the iterative kernel is bit-exact across engines and
+    partitionings (the same float-free discipline as :func:`pagerank`).
+
+    Scale shape: each superstep is one dst-keyed hash join + a min
+    aggregate onto src — the relaxations of classic Bellman-Ford batched
+    per round; rounds = hop length of the longest shortest path (NOT
+    |V| - 1: the convergence probe stops as soon as no distance improved).
+    Per-round :func:`plan_truncate` keeps lineage flat; on a real cluster
+    set ``spark.graft.checkpointDir`` for reliable checkpoints.
+
+    Returns (``node_col``, dist) for REACHABLE nodes only.
+    """
+    INF = 1 << 60
+    edges = plan_truncate(edges.repartition("dst"))
+    dist = plan_truncate(
+        nodes.select(
+            F.col(node_col),
+            F.when(F.col(node_col) == seed, F.lit(0))
+            .otherwise(F.lit(INF))
+            .cast("long")
+            .alias("dist"),
+        ).repartition(node_col)
+    )
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(dist, edges["dst"] == dist[node_col])
+            .filter(F.col("dist") < INF)  # only settled frontiers relax
+            .groupBy(F.col("src").alias(node_col))
+            .agg(F.min(F.expr("dist + w")).alias("_nbr"))
+        )
+        new = plan_truncate(
+            dist.join(msgs, node_col, "left")
+            .select(
+                node_col,
+                F.least(F.col("dist"), F.coalesce("_nbr", F.col("dist"))).alias(
+                    "dist"
+                ),
+            )
+            .repartition(node_col)
+        )
+        changed = (
+            new.alias("n")
+            .join(dist.alias("o"), node_col)
+            .filter("n.dist <> o.dist")
+            .limit(1)
+            .count()
+        )
+        dist = new
+        if changed == 0:
+            break
+    return dist.filter(F.col("dist") < INF)
+
+
+def sssp_cte_sql(
+    edges_sql: str, seed_sql: str, node_col: str = "node", max_cost: int = 512
+) -> str:
+    """DuckDB oracle twin of :func:`sssp`: bounded recursive weighted walk,
+    min cumulative cost per node.  ``edges_sql`` must yield (src, dst, w)
+    in both orientations with integer w >= 1; ``max_cost`` must exceed the
+    true maximum shortest distance (w >= 1 guarantees termination — the
+    UNION dedups (node, d) pairs, so the working set is <= |V| * max_cost)."""
+    return f"""
+edges AS ({edges_sql}),
+walk(node, d) AS (
+  SELECT ({seed_sql}), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.src, w.d + e.w FROM edges e JOIN walk w ON e.dst = w.node
+  WHERE w.d + e.w <= {max_cost}
+),
+dists AS (SELECT node AS {node_col}, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY 1)
 """
 
 

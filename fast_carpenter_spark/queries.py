@@ -4341,6 +4341,93 @@ SELECT cell, pr FROM prf
 O_TILE_PAGERANK = _o_tile_pagerank()
 
 
+# Congestion-weighted routing over the dense-cell graph: traversing INTO a
+# cell costs 1 + min(n DIV 64, 3) — denser tiles are slower, so the weighted
+# shortest path routes AROUND hotspots where the unweighted BFS cuts through.
+# Integer weights keep the min-plus kernel aggregation-order-exact.
+SSSP_WEIGHT_SPARK = "CAST(1 + LEAST(n DIV 64, 3) AS BIGINT)"
+SSSP_WEIGHT_DUCK = "CAST(1 + LEAST(b.n // 64, 3) AS BIGINT)"
+# res-5 grid: longest simple path <= 2*32 hops, max edge weight 4 -> 256;
+# 512 gives slack while keeping the oracle's (node, d) working set bounded.
+SSSP_MAX_COST = 512
+
+
+def _weighted_dense_edges(spark, sf_dir):
+    dense, edges = _dense_cells_edges(spark, sf_dir)
+    w_edges = edges.join(
+        dense.select(F.col("cell").alias("dst"), "n"), "dst"
+    ).select("src", "dst", F.expr(SSSP_WEIGHT_SPARK).alias("w"))
+    return dense, w_edges
+
+
+def q_tile_sssp(spark, sf_dir):
+    """Congestion-weighted single-source shortest paths from the densest
+    cell over the dense-cell 8-adjacency graph — Bellman-Ford min-plus
+    propagation with exact integer weights (functions/graph.py sssp), the
+    weighted sibling of tile_bfs.  Rounds = hop length of the longest
+    shortest path, each round one dst-keyed join + min aggregate."""
+    from .functions.graph import sssp
+
+    dense, w_edges = _weighted_dense_edges(spark, sf_dir)
+    seed = dense.orderBy(F.desc("n"), "cell").first()["cell"]
+    return sssp(dense.select("cell"), w_edges, seed=seed, node_col="cell")
+
+
+def _sssp_oracle_body() -> str:
+    from .functions.graph import sssp_cte_sql
+
+    cell = grid.cell_sql("lon", "lat", REGION_CC_RES, "duck")
+    ux = lambda e: grid.unpack_x_sql(e, "duck")  # noqa: E731
+    uy = lambda e: grid.unpack_y_sql(e, "duck")  # noqa: E731
+    edges_sql = f"""SELECT a.cell AS src, b.cell AS dst, {SSSP_WEIGHT_DUCK} AS w
+  FROM dense a JOIN dense b
+  ON a.cell <> b.cell
+ AND abs({ux('a.cell')} - {ux('b.cell')}) <= 1
+ AND abs({uy('a.cell')} - {uy('b.cell')}) <= 1"""
+    cte = sssp_cte_sql(
+        edges_sql,
+        "SELECT cell FROM dense ORDER BY n DESC, cell LIMIT 1",
+        "cell",
+        max_cost=SSSP_MAX_COST,
+    )
+    return f"""
+WITH RECURSIVE
+dense AS (SELECT {cell} AS cell, count(*) AS n FROM ({O_SPANS_FLAT})
+          GROUP BY 1 HAVING count(*) >= {REGION_CC_MIN}),
+{cte}"""
+
+
+def _o_tile_sssp() -> str:
+    return _sssp_oracle_body() + "\nSELECT cell, dist FROM dists\n"
+
+
+O_TILE_SSSP = _o_tile_sssp()
+
+
+def q_tile_isochrone(spark, sf_dir):
+    """Isochrone bands over the congestion-weighted distance field: band =
+    dist DIV 8, with cell count and exact distance envelope per band — the
+    reachability contour a routing service draws.  Rides the tile_sssp
+    kernel; the banding is one bounded-cardinality aggregate."""
+    d = q_tile_sssp(spark, sf_dir)
+    return d.groupBy(F.expr("dist DIV 8").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("dist").alias("d_min"),
+        F.max("dist").alias("d_max"),
+    )
+
+
+def _o_tile_isochrone() -> str:
+    return _sssp_oracle_body() + """
+SELECT dist // 8 AS band, CAST(count(*) AS BIGINT) AS n_cells,
+       min(dist) AS d_min, max(dist) AS d_max
+FROM dists GROUP BY 1
+"""
+
+
+O_TILE_ISOCHRONE = _o_tile_isochrone()
+
+
 def q_geofence_transitions(spark, sf_dir):
     """Geofence enter/exit detection along each document's span trajectory:
     label every span point with the polygon it falls in (min poly_id when
@@ -4696,6 +4783,8 @@ QUERIES = {
     "tile_regions": (q_tile_regions, O_TILE_REGIONS),
     "tile_bfs": (q_tile_bfs, O_TILE_BFS),
     "tile_pagerank": (q_tile_pagerank, O_TILE_PAGERANK),
+    "tile_sssp": (q_tile_sssp, O_TILE_SSSP),
+    "tile_isochrone": (q_tile_isochrone, O_TILE_ISOCHRONE),
     "geofence_transitions": (q_geofence_transitions, O_GEOFENCE_TRANSITIONS),
     "geofence_flows": (q_geofence_flows, O_GEOFENCE_FLOWS),
     "events_asof": (q_events_asof, O_EVENTS_ASOF),

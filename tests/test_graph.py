@@ -146,3 +146,72 @@ def test_pagerank_isolated_node_at_base(spark):
     pr = {r["node"]: r["pr"] for r in pagerank(nodes, e).collect()}
     assert pr[2] == (15 * PR_SCALE) // 100
     assert pr[0] == pr[1] > pr[2]
+
+
+def _weighted(spark, triples):
+    rows = [(a, b, w) for a, b, w in triples] + [(b, a, w) for a, b, w in triples]
+    return spark.createDataFrame(rows, "src bigint, dst bigint, w bigint")
+
+
+def test_sssp_routes_around_heavy_edge(spark):
+    from fast_carpenter_spark.functions.graph import sssp
+
+    # direct edge 0-3 costs 10; detour 0-1-2-3 costs 3 -> weighted path
+    # must take the detour where BFS (hop count) would take the direct edge
+    nodes = spark.range(5).select(F.col("id").alias("node"))
+    e = _weighted(spark, [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)])
+    got = {r["node"]: r["dist"] for r in sssp(nodes, e, seed=0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # node 4 unreachable -> absent
+
+
+def test_sssp_oracle_cte_matches_spark(spark):
+    import random
+
+    from fast_carpenter_spark.functions.graph import sssp, sssp_cte_sql
+
+    rng = random.Random(7)
+    triples = sorted(
+        {
+            (a, b)
+            for a, b in (
+                (rng.randrange(12), rng.randrange(12)) for _ in range(24)
+            )
+            if a < b
+        }
+    )
+    triples = [(a, b, rng.randrange(1, 5)) for a, b in triples]
+    nodes = spark.range(12).select(F.col("id").alias("node"))
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp(nodes, _weighted(spark, triples), seed=0).collect()
+    }
+    values = " UNION ALL ".join(
+        f"SELECT {a} AS src, {b} AS dst, {w} AS w UNION ALL "
+        f"SELECT {b}, {a}, {w}"
+        for a, b, w in triples
+    )
+    sql = (
+        "WITH RECURSIVE "
+        + sssp_cte_sql(values, "SELECT 0", max_cost=64)
+        + " SELECT node, dist FROM dists"
+    )
+    oracle = dict(duckdb.sql(sql).fetchall())
+    assert got == oracle
+
+
+def test_sssp_matches_bfs_on_unit_weights(spark):
+    from fast_carpenter_spark.functions.graph import bfs_hops, sssp
+
+    pairs = [(i, i + 1) for i in range(8)] + [(0, 4), (2, 7)]
+    nodes = spark.range(9).select(F.col("id").alias("node"))
+    d = {
+        r["node"]: r["dist"]
+        for r in sssp(
+            nodes, _weighted(spark, [(a, b, 1) for a, b in pairs]), seed=0
+        ).collect()
+    }
+    h = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(nodes, _undirected(spark, pairs), seed=0).collect()
+    }
+    assert d == h
