@@ -781,6 +781,25 @@ def _o_tile_contour() -> str:
 O_TILE_CONTOUR = _o_tile_contour()
 
 
+def q_cotravel(spark, sf_dir):
+    """Co-travel pairs: users sharing >= 3 distinct (cell, 6h-bucket) bins.
+    The quadratic step is keyed on the bounded bin (bucketed self-join,
+    never all-pairs); a deterministic per-bin cap bounds hot-bin fan-out."""
+    from .spatial.trajectory import cotravel_sql
+
+    _load_events(spark, sf_dir)
+    return spark.sql(cotravel_sql("spark"))
+
+
+def _o_cotravel() -> str:
+    from .spatial.trajectory import cotravel_sql
+
+    return cotravel_sql("duck")
+
+
+O_COTRAVEL = _o_cotravel()
+
+
 def q_trajectory_od(spark, sf_dir):
     """Origin–destination matrix over user trajectories: first-event cell →
     last-event cell per user, user and event-volume counts per OD pair.
@@ -2161,6 +2180,87 @@ def _o_raster_focal() -> str:
 
 
 O_RASTER_FOCAL = _o_raster_focal()
+
+
+def q_idw_interp(spark, sf_dir):
+    """Inverse-distance-weighted interpolation of the span density field
+    onto empty cells (gap filling): integer weights 40/d2 make both sums
+    exact BIGINT; the estimate is one double division.  Constant 24-way
+    map-side spread + grid-bounded aggregate + emptiness anti-join."""
+    from .spatial.raster import idw_sql
+
+    load_documents(spark, sf_dir)
+    return spark.sql(idw_sql(synth.flat_spans_sql("spark"), "spark"))
+
+
+def _o_idw_interp() -> str:
+    from .spatial.raster import idw_sql
+
+    return idw_sql(synth.flat_spans_sql("duck"), "duck")
+
+
+O_IDW_INTERP = _o_idw_interp()
+
+
+def _skyline_sql() -> str:
+    """Pareto frontier (skyline) of documents maximizing (n_spans,
+    n_chars): docs not dominated by any other on both axes.
+
+    Shared-text algorithm for BOTH engines: group to per-x max-y (x =
+    n_spans has BOUNDED cardinality — 8 values by construction — so the
+    global-ordered window rides a tiny aggregate, the bin-edge-densify
+    pattern, never a corpus-sized single-partition sort), running max
+    over strictly-greater x, then one equi join back.  A doc survives iff
+    it attains its x-group's max y AND beats every greater-x group's max
+    (strict: an equal y at greater x dominates).  The DuckDB oracle is
+    the INDEPENDENT quadratic NOT EXISTS dominance definition, so the
+    window algebra is proven against first-principles semantics."""
+    return f"""
+WITH feat AS (
+  SELECT doc_id, CAST({synth.n_spans_sql()} AS BIGINT) AS n_spans, n_chars
+  FROM documents
+),
+gx AS (
+  SELECT n_spans, max(n_chars) AS my FROM feat GROUP BY 1
+),
+run AS (
+  SELECT n_spans, my,
+         max(my) OVER (ORDER BY n_spans DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mgt
+  FROM gx
+)
+SELECT f.doc_id, f.n_spans, f.n_chars
+FROM feat f JOIN run r ON f.n_spans = r.n_spans
+WHERE f.n_chars = r.my AND (r.mgt IS NULL OR f.n_chars > r.mgt)
+"""
+
+
+def q_skyline(spark, sf_dir):
+    """Skyline / Pareto-frontier query via the bounded-group window
+    algorithm (see _skyline_sql) — the multi-criteria 'best documents'
+    primitive (longest AND most-interleaved), O(n) + a tiny window where
+    the textbook definition is an O(n^2) self-anti-join."""
+    load_documents(spark, sf_dir)
+    return spark.sql(_skyline_sql())
+
+
+def _o_skyline() -> str:
+    # independent first-principles oracle: quadratic NOT EXISTS dominance
+    return f"""
+WITH feat AS (
+  SELECT doc_id, CAST({synth.n_spans_sql()} AS BIGINT) AS n_spans, n_chars
+  FROM documents
+)
+SELECT b.doc_id, b.n_spans, b.n_chars FROM feat b
+WHERE NOT EXISTS (
+  SELECT 1 FROM feat a
+  WHERE a.n_spans >= b.n_spans AND a.n_chars >= b.n_chars
+    AND (a.n_spans > b.n_spans OR a.n_chars > b.n_chars)
+)
+"""
+
+
+O_SKYLINE = _o_skyline()
 
 
 def q_raster_join(spark, sf_dir):
@@ -4702,6 +4802,8 @@ QUERIES = {
     "knn_kdist": (q_knn_kdist, O_KNN_KDIST),
     "knn_mutual": (q_knn_mutual, O_KNN_MUTUAL),
     "raster_focal": (q_raster_focal, O_RASTER_FOCAL),
+    "idw_interp": (q_idw_interp, O_IDW_INTERP),
+    "skyline": (q_skyline, O_SKYLINE),
     "dedup_simhash_pairs": (q_simhash_pairs, O_SIMHASH_PAIRS),
     "dedup_cluster": (q_dedup_cluster, O_DEDUP_CLUSTER),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
@@ -4764,6 +4866,7 @@ QUERIES = {
     "trajectory_bearing": (q_trajectory_bearing, O_TRAJECTORY_BEARING),
     "tile_clip": (q_tile_clip, O_TILE_CLIP),
     "tile_contour": (q_tile_contour, O_TILE_CONTOUR),
+    "cotravel": (q_cotravel, O_COTRAVEL),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),
     "tile_agg": (q_tile_agg, O_TILE_AGG),

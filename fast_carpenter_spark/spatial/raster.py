@@ -114,3 +114,69 @@ def zonal_stats(spark, polygons: list[dict], *, res: int = 6) -> DataFrame:
         F.sum("tile_value").alias("sum_value"),
         F.sum(F.col("tile_value") * F.col("tile_value")).alias("sum_value2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-distance-weighted interpolation
+# ---------------------------------------------------------------------------
+
+IDW_RES = 6
+IDW_MIN_N = 4
+
+
+def idw_sql(points_sql: str, dialect: str, *, res: int = IDW_RES,
+            min_n: int = IDW_MIN_N) -> str:
+    """IDW (inverse-distance-weighted) interpolation of the tile density
+    field onto EMPTY cells: every station cell (count >= ``min_n``)
+    spreads its value to the cells within Chebyshev distance 2; an empty
+    cell's estimate is sum(w*n)/sum(w) with w = 1/d^2.
+
+    Exactness trick: the 24 neighbour offsets have squared distances
+    d2 in {1,2,4,5,8}, all divisors of 40 — so the integer weights
+    40/d2 in {40,20,10,8,5} make BOTH sums exact BIGINT (aggregation-
+    order-independent) and the estimate ONE correctly-rounded double
+    division.  A float 1/d^2 weight would make sum order observable.
+
+    Scale shape: station explode is a constant 24-way map-side fan-out;
+    the contribution aggregate and the emptiness anti-join are bounded by
+    grid cardinality (4^res), not corpus size.  No BNLJ anywhere.
+    """
+    cell = grid.cell_sql("lon", "lat", res, dialect)
+    n = 1 << res
+    ux = grid.unpack_x_sql("cell", dialect)
+    uy = grid.unpack_y_sql("cell", dialect)
+    if dialect == "spark":
+        dxy_from = ("LATERAL VIEW explode(sequence(-2, 2)) _dx AS dx "
+                    "LATERAL VIEW explode(sequence(-2, 2)) _dy AS dy")
+        dx_expr, dy_expr = "dx", "dy"
+        w = "(40 DIV (dx * dx + dy * dy))"
+    else:
+        dxy_from = ", (SELECT unnest(range(-2, 3)) AS dx), (SELECT unnest(range(-2, 3)) AS dy)"
+        dx_expr, dy_expr = "dx", "dy"
+        w = "(40 // (dx * dx + dy * dy))"
+    return f"""
+WITH counts AS (
+  SELECT {cell} AS cell, count(*) AS c_n FROM ({points_sql}) GROUP BY 1
+),
+stations AS (
+  SELECT {ux} AS x, {uy} AS y, c_n FROM counts WHERE c_n >= {min_n}
+),
+spread AS (
+  SELECT x + {dx_expr} AS tx, y + {dy_expr} AS ty,
+         {w} * c_n AS wn, {w} AS w
+  FROM stations {dxy_from}
+  WHERE NOT ({dx_expr} = 0 AND {dy_expr} = 0)
+    AND x + {dx_expr} >= 0 AND x + {dx_expr} <= {n - 1}
+    AND y + {dy_expr} >= 0 AND y + {dy_expr} <= {n - 1}
+),
+contrib AS (
+  SELECT {grid.pack_sql(res, 'tx', 'ty')} AS cell,
+         CAST(sum(wn) AS BIGINT) AS swn, CAST(sum(w) AS BIGINT) AS sw
+  FROM spread GROUP BY 1
+)
+SELECT c.cell,
+       CAST(c.swn AS DOUBLE) / CAST(c.sw AS DOUBLE) AS est,
+       c.sw AS w_total
+FROM contrib c LEFT JOIN counts k ON c.cell = k.cell
+WHERE k.cell IS NULL
+"""

@@ -336,3 +336,73 @@ samples AS (
 SELECT user_id, cell, count(*) AS n_samples
 FROM samples GROUP BY user_id, cell
 """
+
+
+# ---------------------------------------------------------------------------
+# Co-travel detection
+# ---------------------------------------------------------------------------
+
+COTRAVEL_RES = 3
+COTRAVEL_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour buckets
+COTRAVEL_MIN_BINS = 3
+COTRAVEL_CAP = 64
+
+
+def cotravel_sql(
+    dialect: str,
+    *,
+    res: int = COTRAVEL_RES,
+    bucket_us: int = COTRAVEL_BUCKET_US,
+    min_bins: int = COTRAVEL_MIN_BINS,
+    cap: int = COTRAVEL_CAP,
+) -> str:
+    """Co-travel pair detection: user pairs sharing >= ``min_bins``
+    distinct (tile cell, time bucket) bins — the trajectory-correlation
+    primitive behind companion detection / contact tracing / convoy
+    mining.
+
+    Scale shape: the quadratic step is a self-join keyed on the BOUNDED
+    (cell, tb) bin — the same bucketed shape as the MinHash band join,
+    never an all-pairs user cross.  Corpus volume only grows the number
+    of bins (linear); pair work is sum over bins of m^2.  The one skew
+    pivot is a hot bin (stadium cell at rush hour): a DETERMINISTIC
+    per-bin cap keeps only the ``cap`` smallest user_ids per bin
+    (row_number <= cap, identical rule text in both engines, so the
+    capped semantics stay bit-identical).  At the test scales the largest
+    bin holds < 30 users, so the cap never binds; at 100 TB it bounds any
+    bin's join fan-out at cap^2 and is the knob to widen with cluster
+    memory.
+
+    All arithmetic is integer (cell ids, epoch-microsecond DIV bucket,
+    pair bin counts) — aggregation-order-exact across engines.
+    """
+    lon, lat = _coords_sql()
+    if dialect == "spark":
+        us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        tb = f"(({us}) DIV {bucket_us})"
+    else:
+        tb = f"(epoch_us(ts) // {bucket_us})"
+    cell = grid.cell_sql("lon", "lat", res, dialect)
+    return f"""
+WITH ev AS (
+  SELECT user_id, {lon} AS lon, {lat} AS lat, {tb} AS tb FROM events
+),
+keys AS (
+  SELECT DISTINCT user_id, {cell} AS cell, tb FROM ev
+),
+capped AS (
+  SELECT user_id, cell, tb FROM (
+    SELECT user_id, cell, tb,
+           row_number() OVER (PARTITION BY cell, tb ORDER BY user_id) AS rn
+    FROM keys
+  ) t WHERE rn <= {cap}
+),
+pairs AS (
+  SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS nb
+  FROM capped a JOIN capped b
+    ON a.cell = b.cell AND a.tb = b.tb AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT u1, u2, CAST(nb AS BIGINT) AS n_bins
+FROM pairs WHERE nb >= {min_bins}
+"""

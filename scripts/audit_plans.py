@@ -80,6 +80,9 @@ AUDITED = [
     "trajectory_bearing",   # one window pass + bounded (cell, sector) agg
     "tile_clip",        # column-DDA double explode, map-side after one window
     "tile_contour",     # bounded tile agg + 1-row mean attach + corner explode
+    "cotravel",         # bin-keyed self-join (bounded keys), deterministic hot-bin cap
+    "idw_interp",       # constant 24-way spread + grid-bounded agg + anti-join
+    "skyline",          # bounded-group window + equi join back, no quadratic anti-join
     # dedup_cluster / tile_regions / dbscan are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
     # join is the same edge-keyed hash-join shape audited via

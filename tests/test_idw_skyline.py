@@ -1,0 +1,66 @@
+"""Independent semantic checks for idw_interp and skyline (the oracle
+tests prove Spark == DuckDB; these prove the semantics are RIGHT)."""
+
+import numpy as np
+import pandas as pd
+
+from fast_carpenter_spark import grid, synth
+from fast_carpenter_spark.spatial.raster import IDW_MIN_N, IDW_RES, idw_sql
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_idw_matches_numpy(spark, docs):
+    out = spark.sql(idw_sql(synth.flat_spans_sql("spark"), "spark")).toPandas()
+    counts = spark.sql(
+        f"SELECT {grid.cell_sql('lon', 'lat', IDW_RES, 'spark')} AS cell,"
+        f" count(*) AS c_n FROM ({synth.flat_spans_sql('spark')}) GROUP BY 1"
+    ).toPandas()
+    n = 1 << IDW_RES
+    dense = np.zeros((n, n), dtype=np.int64)
+    _, x, y = grid.unpack_cells(counts["cell"].to_numpy())
+    dense[x, y] = counts["c_n"].to_numpy()
+    stations = dense * (dense >= IDW_MIN_N)
+    expected = {}
+    for tx in range(n):
+        for ty in range(n):
+            if dense[tx, ty] > 0:
+                continue  # only EMPTY cells are interpolated
+            swn = sw = 0
+            for dx in range(-2, 3):
+                for dy in range(-2, 3):
+                    sx, sy = tx - dx, ty - dy
+                    if (dx, dy) == (0, 0) or not (0 <= sx < n and 0 <= sy < n):
+                        continue
+                    if stations[sx, sy] >= IDW_MIN_N:
+                        w = 40 // (dx * dx + dy * dy)
+                        swn += w * int(stations[sx, sy])
+                        sw += w
+            if sw > 0:
+                expected[(tx, ty)] = (swn / sw, sw)
+    _, ox, oy = grid.unpack_cells(out["cell"].to_numpy())
+    got = {
+        (int(a), int(b)): (float(e), int(w))
+        for a, b, e, w in zip(ox, oy, out["est"], out["w_total"])
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_skyline_matches_pandas(spark, docs):
+    from fast_carpenter_spark.queries import q_skyline
+
+    out = q_skyline(spark, SF_DIR).toPandas()
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    ns = np.where(d.doc_id % 100 == 0, 48, d.doc_id % 7 + 1)
+    feat = pd.DataFrame({"doc_id": d.doc_id, "x": ns, "y": d.n_chars})
+    keep = []
+    for _, r in feat.iterrows():
+        dom = (
+            (feat.x >= r.x) & (feat.y >= r.y) & ((feat.x > r.x) | (feat.y > r.y))
+        ).any()
+        if not dom:
+            keep.append((r.doc_id, r.x, r.y))
+    got = sorted(zip(out.doc_id, out.n_spans, out.n_chars))
+    assert got == sorted(keep)
+    assert 0 < len(got) < len(feat)
