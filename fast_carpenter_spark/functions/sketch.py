@@ -255,3 +255,102 @@ SELECT s.lang, s.n_hit, s.sum_int,
        e.exact
 FROM summed s JOIN exact e ON e.lang = s.lang
 """
+
+
+def hll_union(docs: DataFrame) -> DataFrame:
+    """HLL MERGEABILITY demonstrated end-to-end: per-(lang, source)
+    partial sketches (the shape a 1000-executor job produces, one sketch
+    per partition/shard) merged into per-lang sketches by register-wise
+    MAX — the lossless union that lets distinct sketches be built in one
+    pass over arbitrarily-partitioned data and combined on the driver.
+
+    Because merge(max) of per-source registers equals the registers of a
+    single whole-corpus pass (max of maxes), the estimate emitted here is
+    IDENTICAL to :func:`hll_distinct`'s — asserted by a unit test; the
+    exact per-lang distinct count rides alongside as in hll_distinct.
+
+    Output: (lang, n_sources, n_hit, sum_int, est, exact).
+    """
+    toks = docs.filter(
+        f"size({tokens_sql('text', 'spark')}) >= 2"
+    ).select(
+        "lang", "source", F.explode(F.expr(_bigrams_sql("spark"))).alias("token")
+    ).withColumn(
+        "h",
+        F.expr(
+            f"(({token_hash_sql('token', 'spark')}) * 2654435761 + 40503) % {HASH_MOD}"
+        ),
+    )
+    # stage 1: per-(lang, source) PARTIAL sketches
+    partials = (
+        toks.select(
+            "lang", "source",
+            F.expr(f"h % {HLL_M}").alias("idx"),
+            F.expr(_rho_sql(f"(h DIV {HLL_M})")).alias("rho"),
+        )
+        .groupBy("lang", "source", "idx")
+        .agg(F.max("rho").alias("M"))
+    )
+    # stage 2: register-wise MAX merge across sources
+    merged = partials.groupBy("lang", "idx").agg(F.max("M").alias("M"))
+    langs = docs.select("lang").distinct()
+    full = (
+        langs.crossJoin(
+            docs.sparkSession.range(HLL_M).select(F.col("id").cast("int").alias("idx"))
+        )
+        .join(merged, ["lang", "idx"], "left")
+        .select("lang", F.coalesce("M", F.lit(0)).alias("M"))
+    )
+    summed = full.groupBy("lang").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 40 - M)")).alias("sum_int"),
+        F.sum(F.expr("CASE WHEN M > 0 THEN 1 ELSE 0 END")).cast("long").alias("n_hit"),
+    )
+    n_src = partials.select("lang", "source").distinct().groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    exact = toks.groupBy("lang").agg(F.countDistinct("token").alias("exact"))
+    return summed.join(n_src, "lang").join(exact, "lang").select(
+        "lang", "n_sources", "n_hit", "sum_int",
+        F.expr(f"CAST({HLL_ALPHA_NUM!r} AS DOUBLE) / CAST(sum_int AS DOUBLE)").alias("est"),
+        "exact",
+    )
+
+
+def hll_union_oracle_sql() -> str:
+    h = f"(({token_hash_sql('token', 'duck')}) * 2654435761 + 40503) % {HASH_MOD}"
+    rho = _rho_sql(f"(_h // {HLL_M})")
+    return f"""
+WITH toks AS (
+  SELECT lang, source, unnest({_bigrams_sql('duck')}) AS token
+  FROM documents WHERE len({tokens_sql('text', 'duck')}) >= 2
+),
+hashed AS (SELECT lang, source, token, {h} AS _h FROM toks),
+partials AS (
+  SELECT lang, source, _h % {HLL_M} AS idx, max({rho}) AS M
+  FROM hashed GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT lang, idx, max(M) AS M FROM partials GROUP BY 1, 2
+),
+allregs AS (
+  SELECT l.lang, g.idx, coalesce(r.M, 0) AS M
+  FROM (SELECT DISTINCT lang FROM documents) l
+  CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS idx) g
+  LEFT JOIN merged r ON r.lang = l.lang AND r.idx = g.idx
+),
+summed AS (
+  SELECT lang,
+         CAST(sum(CAST(1 AS BIGINT) << (40 - M)) AS BIGINT) AS sum_int,
+         CAST(sum(CASE WHEN M > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM allregs GROUP BY 1
+),
+nsrc AS (
+  SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM partials GROUP BY 1
+),
+exact AS (SELECT lang, count(DISTINCT token) AS exact FROM hashed GROUP BY 1)
+SELECT s.lang, n.n_sources, s.n_hit, s.sum_int,
+       CAST({HLL_ALPHA_NUM!r} AS DOUBLE) / CAST(s.sum_int AS DOUBLE) AS est,
+       e.exact
+FROM summed s JOIN nsrc n ON n.lang = s.lang JOIN exact e ON e.lang = s.lang
+"""

@@ -781,6 +781,25 @@ def _o_tile_contour() -> str:
 O_TILE_CONTOUR = _o_tile_contour()
 
 
+def q_tile_morph(spark, sf_dir):
+    """Morphological opening (erode→dilate, 3×3) of the dense-cell mask —
+    raster denoising; two constant map-side explodes, all aggregates
+    bounded by grid cardinality."""
+    from .spatial.vectortile import tile_morph_sql
+
+    load_documents(spark, sf_dir)
+    return spark.sql(tile_morph_sql(synth.flat_spans_sql("spark"), "spark"))
+
+
+def _o_tile_morph() -> str:
+    from .spatial.vectortile import tile_morph_sql
+
+    return tile_morph_sql(synth.flat_spans_sql("duck"), "duck")
+
+
+O_TILE_MORPH = _o_tile_morph()
+
+
 def q_cotravel(spark, sf_dir):
     """Co-travel pairs: users sharing >= 3 distinct (cell, 6h-bucket) bins.
     The quadratic step is keyed on the bounded bin (bucketed self-join,
@@ -3865,6 +3884,23 @@ def _o_hll_distinct() -> str:
     return _sketch.hll_distinct_oracle_sql()
 
 
+def q_hll_union(spark, sf_dir):
+    """HLL mergeability end-to-end: per-(lang, source) partial sketches
+    merged by register-wise MAX into per-lang sketches — the lossless
+    union that lets 1000 executors sketch their shards independently;
+    the merged estimate is IDENTICAL to the single-pass hll_distinct's
+    (max of maxes), unit-test-asserted."""
+    from .functions import sketch as _sketch
+
+    return _sketch.hll_union(load_documents(spark, sf_dir))
+
+
+def _o_hll_union() -> str:
+    from .functions import sketch as _sketch
+
+    return _sketch.hll_union_oracle_sql()
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Connected components over the MinHash-LSH near-dup graph: every doc
     labelled with its component's min doc_id (Pregel-style neighbor-min
@@ -4846,6 +4882,7 @@ QUERIES = {
     "trajectory_stays": (q_trajectory_stays, O_TRAJECTORY_STAYS),
     "sample_weighted": (q_sample_weighted, O_SAMPLE_WEIGHTED),
     "hll_distinct": (q_hll_distinct, _o_hll_distinct()),
+    "hll_union": (q_hll_union, _o_hll_union()),
     "ann_pq_codes": (q_ann_pq_codes, _o_ann_pq_codes()),
     "ann_pq_topk": (q_ann_pq_topk, _o_ann_pq_topk()),
     "ann_pq_recall": (q_ann_pq_recall, _o_ann_pq_recall()),
@@ -4867,6 +4904,7 @@ QUERIES = {
     "tile_clip": (q_tile_clip, O_TILE_CLIP),
     "tile_contour": (q_tile_contour, O_TILE_CONTOUR),
     "cotravel": (q_cotravel, O_COTRAVEL),
+    "tile_morph": (q_tile_morph, O_TILE_MORPH),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),
     "tile_agg": (q_tile_agg, O_TILE_AGG),

@@ -213,3 +213,65 @@ cases AS (
 SELECT {grid.pack_sql(res, 'ax', 'ay')} AS cell, case_idx
 FROM cases WHERE case_idx < 15
 """
+
+
+MORPH_RES = 4
+MORPH_MIN_N = 4
+
+
+def tile_morph_sql(points_sql: str, dialect: str, *, res: int = MORPH_RES,
+                   min_n: int = MORPH_MIN_N) -> str:
+    """Morphological OPENING (erode → dilate, 3×3 structuring element) of
+    the dense-cell mask — the raster denoise step that removes isolated
+    specks while preserving the bulk of each hot region (the cheap
+    cell-space stand-in for polygon negative-then-positive buffering).
+
+    Border convention: out-of-grid is NOT in the mask, so erosion at the
+    grid border requires all in-grid neighbours AND fails on the missing
+    ones — the standard zero-padded binary erosion.  Erosion is computed
+    by spreading every mask cell to its 3×3 neighbourhood and keeping
+    the cells that received all 9 contributions; dilation spreads the
+    eroded set the same way and dedups.
+
+    Output: (cell, was_hot) for every cell of the opening — was_hot = 1
+    for cells of the original mask, 0 for cells the dilation grew outside
+    it (possible only at concavities; the flag exposes the full opening
+    rather than silently intersecting it with the input).
+
+    Scale shape: two constant 9-way map-side explodes + two aggregates
+    and one left join, ALL bounded by grid cardinality (4^res); the only
+    corpus-sized operation is the initial cell histogram.
+    """
+    n = 1 << res
+    cell = grid.cell_sql("lon", "lat", res, dialect)
+    if dialect == "spark":
+        d_from = ("LATERAL VIEW explode(sequence(-1, 1)) _dx AS dx "
+                  "LATERAL VIEW explode(sequence(-1, 1)) _dy AS dy")
+    else:
+        d_from = ", (SELECT unnest(range(-1, 2)) AS dx), (SELECT unnest(range(-1, 2)) AS dy)"
+    in_grid = (f"x + dx >= 0 AND x + dx <= {n - 1} "
+               f"AND y + dy >= 0 AND y + dy <= {n - 1}")
+    return f"""
+WITH counts AS (
+  SELECT {cell} AS cell, count(*) AS c_n FROM ({points_sql}) GROUP BY 1
+),
+hot AS (
+  SELECT {grid.unpack_x_sql('cell', dialect)} AS x,
+         {grid.unpack_y_sql('cell', dialect)} AS y
+  FROM counts WHERE c_n >= {min_n}
+),
+eroded AS (
+  SELECT x + dx AS x, y + dy AS y
+  FROM hot {d_from}
+  WHERE {in_grid}
+  GROUP BY 1, 2 HAVING count(*) = 9
+),
+opened AS (
+  SELECT DISTINCT x + dx AS x, y + dy AS y
+  FROM eroded {d_from}
+  WHERE {in_grid}
+)
+SELECT {grid.pack_sql(res, 'o.x', 'o.y')} AS cell,
+       CAST(CASE WHEN h.x IS NULL THEN 0 ELSE 1 END AS INT) AS was_hot
+FROM opened o LEFT JOIN hot h ON h.x = o.x AND h.y = o.y
+"""

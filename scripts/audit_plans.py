@@ -83,6 +83,8 @@ AUDITED = [
     "cotravel",         # bin-keyed self-join (bounded keys), deterministic hot-bin cap
     "idw_interp",       # constant 24-way spread + grid-bounded agg + anti-join
     "skyline",          # bounded-group window + equi join back, no quadratic anti-join
+    "tile_morph",       # two constant 9-way explodes, grid-bounded aggregates
+    "hll_union",        # partial sketches -> register-max merge (mergeable state)
     # dedup_cluster / tile_regions / dbscan are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
     # join is the same edge-keyed hash-join shape audited via
@@ -143,6 +145,11 @@ ALLOW_BNLJ_GLOBAL_ATTACH = {
     "ann_ivf_recall_clustered": 2,
     "tile_contour": 1,  # the global-mean threshold attach (keyless 1-row agg)
 }
+# Register-densify crosses: a DISTINCT aggregate of an enum-cardinality
+# column crossed with a CONSTANT range generator (langs x 64 HLL register
+# slots) — both sides bounded by construction, the same class as bin-edge
+# densify.  Counts pinned so a refactor cannot add an unvetted cross.
+ALLOW_BNLJ_DENSIFY = {"hll_union": 1}
 
 
 def check_scale_killers(name: str, text: str) -> None:
@@ -164,6 +171,12 @@ def check_scale_killers(name: str, text: str) -> None:
             raise SystemExit(
                 f"plan audit FAILED: `{name}` has {n_bnlj} BroadcastNestedLoopJoins, "
                 f"expected {ALLOW_BNLJ_GLOBAL_ATTACH[name]} (1-row global attach only)"
+            )
+    elif name in ALLOW_BNLJ_DENSIFY:
+        if n_bnlj != ALLOW_BNLJ_DENSIFY[name]:
+            raise SystemExit(
+                f"plan audit FAILED: `{name}` has {n_bnlj} BroadcastNestedLoopJoins, "
+                f"expected {ALLOW_BNLJ_DENSIFY[name]} (register-densify cross only)"
             )
     else:
         raise SystemExit(f"plan audit FAILED: BroadcastNestedLoopJoin in `{name}`")

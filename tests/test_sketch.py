@@ -41,3 +41,17 @@ def test_hll_distinct_estimate_quality(spark):
         rel = abs(r["est"] - r["exact"]) / r["exact"]
         assert rel < 0.35, f"{r['lang']}: rel err {rel}"  # ~3 sigma at m=64
         assert 0 < r["n_hit"] <= sketch.HLL_M
+
+
+def test_hll_union_merge_identity(spark, docs):
+    """Register-wise MAX merge of per-source partials must reproduce the
+    single-pass sketch EXACTLY (max of maxes) — the mergeability law."""
+    from fast_carpenter_spark.functions.sketch import hll_distinct, hll_union
+
+    single = {r["lang"]: (r["sum_int"], r["n_hit"], r["est"], r["exact"])
+              for r in hll_distinct(docs).collect()}
+    merged = {r["lang"]: (r["sum_int"], r["n_hit"], r["est"], r["exact"])
+              for r in hll_union(docs).collect()}
+    assert merged == single
+    nsrc = {r["lang"]: r["n_sources"] for r in hll_union(docs).collect()}
+    assert all(v > 1 for v in nsrc.values())  # the merge actually merges

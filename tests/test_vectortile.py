@@ -106,3 +106,46 @@ def test_contour_cases_match_numpy(spark, docs):
         )
     }
     assert got == expected
+
+
+def test_morph_opening_matches_numpy(spark, docs):
+    from fast_carpenter_spark.spatial.vectortile import (
+        MORPH_MIN_N,
+        MORPH_RES,
+        tile_morph_sql,
+    )
+
+    out = spark.sql(
+        tile_morph_sql(synth.flat_spans_sql("spark"), "spark")
+    ).toPandas()
+    counts = spark.sql(
+        f"SELECT {grid.cell_sql('lon', 'lat', MORPH_RES, 'spark')} AS cell,"
+        f" count(*) AS c_n FROM ({synth.flat_spans_sql('spark')}) GROUP BY 1"
+    ).toPandas()
+    n = 1 << MORPH_RES
+    mask = np.zeros((n, n), dtype=bool)
+    _, x, y = grid.unpack_cells(counts["cell"].to_numpy())
+    mask[x[counts["c_n"] >= MORPH_MIN_N], y[counts["c_n"] >= MORPH_MIN_N]] = True
+
+    def erode(m):
+        out = np.zeros_like(m)
+        for i in range(1, n - 1):
+            for j in range(1, n - 1):
+                out[i, j] = m[i - 1 : i + 2, j - 1 : j + 2].all()
+        return out
+
+    def dilate(m):
+        out = np.zeros_like(m)
+        for i in range(n):
+            for j in range(n):
+                if m[i, j]:
+                    out[max(0, i - 1) : i + 2, max(0, j - 1) : j + 2] = True
+        return out
+
+    opened = dilate(erode(mask))
+    expected = {
+        (i, j): int(mask[i, j]) for i in range(n) for j in range(n) if opened[i, j]
+    }
+    _, ox, oy = grid.unpack_cells(out["cell"].to_numpy())
+    got = {(int(a), int(b)): int(w) for a, b, w in zip(ox, oy, out["was_hot"])}
+    assert got == expected
