@@ -148,6 +148,53 @@ def _rho_sql(w: str) -> str:
     )
 
 
+def hll_registers(docs: DataFrame) -> DataFrame:
+    """Sparse per-language registers (lang, idx, M) of the bigram HLL —
+    the MERGEABLE partial: max per (lang, idx) across any partitioning of
+    the corpus reproduces the whole-corpus registers (used by both
+    :func:`hll_union` and the streaming sketch)."""
+    toks = docs.filter(
+        f"size({tokens_sql('text', 'spark')}) >= 2"
+    ).select(
+        "lang", F.explode(F.expr(_bigrams_sql("spark"))).alias("token")
+    ).withColumn(
+        "h",
+        F.expr(
+            f"(({token_hash_sql('token', 'spark')}) * 2654435761 + 40503) % {HASH_MOD}"
+        ),
+    )
+    return (
+        toks.select(
+            "lang",
+            F.expr(f"h % {HLL_M}").alias("idx"),
+            F.expr(_rho_sql(f"(h DIV {HLL_M})")).alias("rho"),
+        )
+        .groupBy("lang", "idx")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_finalize(regs: DataFrame, langs: DataFrame) -> DataFrame:
+    """Densify sparse registers to all HLL_M slots per lang and emit
+    (lang, n_hit, sum_int, est) — no exact count (the finalize step works
+    from sketch state alone, which is the point of the sketch)."""
+    full = (
+        langs.crossJoin(
+            regs.sparkSession.range(HLL_M).select(F.col("id").cast("int").alias("idx"))
+        )
+        .join(regs, ["lang", "idx"], "left")
+        .select("lang", F.coalesce("M", F.lit(0)).alias("M"))
+    )
+    summed = full.groupBy("lang").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 40 - M)")).alias("sum_int"),
+        F.sum(F.expr("CASE WHEN M > 0 THEN 1 ELSE 0 END")).cast("long").alias("n_hit"),
+    )
+    return summed.select(
+        "lang", "n_hit", "sum_int",
+        F.expr(f"CAST({HLL_ALPHA_NUM!r} AS DOUBLE) / CAST(sum_int AS DOUBLE)").alias("est"),
+    )
+
+
 def hll_distinct(docs: DataFrame) -> DataFrame:
     """Per-language HLL distinct-BIGRAM estimate NEXT TO the exact count.
 

@@ -173,6 +173,42 @@ def q_streaming_dedup(spark, sf_dir):
     return stage.result(spark)
 
 
+def q_streaming_hll(spark, sf_dir):
+    """Structured-Streaming HLL sketch drained with availableNow: per
+    micro-batch sparse registers (bounded state: <= n_langs * 64 rows per
+    batch), read-time max-merge + finalize — must equal the batch
+    hll_distinct's (n_hit, sum_int, est) bit-for-bit (registers merge by
+    idempotent max).  Cross-batch merging exercised in tests."""
+    import os
+    import tempfile
+
+    from .streaming.sketch_stream import StreamingHll
+
+    stage = StreamingHll(
+        name="shll",
+        out_dir=tempfile.mkdtemp(prefix="fcs_shll_q_"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="fcs_shll_ckpt_q_"),
+    )
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="fcs_shll_in_")
+        os.symlink(src, os.path.join(d, "part-000.parquet"))
+        src = d
+    q = stage.start(spark, src, available_now=True)
+    q.awaitTermination(300)
+    return stage.result(spark)
+
+
+def _o_streaming_hll() -> str:
+    from .functions import sketch as _sketch
+
+    return (
+        "SELECT lang, n_hit, sum_int, est FROM ("
+        + _sketch.hll_distinct_oracle_sql()
+        + ")"
+    )
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """Structured-Streaming gap sessionization drained with availableNow:
     per-batch session FRAGMENTS + read-time temporal-adjacency merge must
@@ -4957,6 +4993,7 @@ QUERIES = {
     "lineitem_pricing": (q_lineitem_pricing, O_LINEITEM_PRICING),
     "brand_revenue": (q_brand_revenue, O_BRAND_REVENUE),
     "streaming_sessionize": (q_streaming_sessionize, O_EVENTS_SESSIONIZE),
+    "streaming_hll": (q_streaming_hll, _o_streaming_hll()),
     "events_json": (q_events_json, O_EVENTS_JSON),
     "define_expr": (q_define_expr, O_DEFINE_EXPR),
     "jagged_reduce": (q_jagged_reduce, O_JAGGED_REDUCE),

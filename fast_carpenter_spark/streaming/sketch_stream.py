@@ -1,0 +1,75 @@
+"""Structured-Streaming HLL distinct sketch over an unbounded corpus.
+
+The streaming half of the sketch family (functions/sketch.py): documents
+arrive continuously and the per-language distinct-bigram estimate must stay
+current.  HLL state is the PERFECT fit for the engine's delta-partials
+algebra (streaming/tile_stream.py): registers merge by element-wise MAX —
+associative, commutative, idempotent — so
+
+    per micro-batch:  sparse registers (lang, idx, max rho)   -- tiny
+    read-time merge:  max per (lang, idx), then finalize      -- exact
+
+* idempotent max-merge means a REPLAYED batch cannot perturb the sketch
+  (stronger than the sum-based partials, which need the overwrite-by-batch
+  discipline; it is kept anyway for uniformity);
+* state is bounded: <= n_langs * 64 register rows per batch regardless of
+  batch size — the sketch property, preserved end-to-end;
+* the finalize step (functions/sketch.py hll_finalize) works from sketch
+  state alone, so the drained stream's (n_hit, sum_int, est) must equal
+  the batch hll_distinct's BIT-FOR-BIT (same registers, max of maxes) —
+  asserted in tests and by the shared DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.sketch import hll_finalize, hll_registers
+
+
+@dataclass
+class StreamingHll:
+    """Streaming per-language HLL register store over a documents dir."""
+
+    name: str
+    out_dir: str = "/tmp/fcs_hll_stream_out"
+    checkpoint_dir: str = "/tmp/fcs_hll_stream_ckpt"
+
+    @property
+    def deltas_dir(self) -> str:
+        return os.path.join(self.out_dir, "deltas")
+
+    def start(self, spark: SparkSession, input_dir: str, *, available_now: bool = True):
+        schema = spark.read.parquet(input_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(input_dir)
+        )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                hll_registers(batch_df)
+                .withColumn("_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.deltas_dir, f"batch={batch_id}"))
+            )
+
+        writer = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def result(self, spark: SparkSession) -> DataFrame:
+        """Read-time max-merge + finalize: the current sketch estimate."""
+        deltas = spark.read.option("recursiveFileLookup", "true").parquet(
+            self.deltas_dir
+        )
+        merged = deltas.groupBy("lang", "idx").agg(F.max("M").alias("M"))
+        return hll_finalize(merged, merged.select("lang").distinct())

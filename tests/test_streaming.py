@@ -431,3 +431,31 @@ def test_stream_stream_join_state_survives_restart(spark, tmp_path):
     )
     want = {tuple(r) for r in con.execute(interval_join_oracle_sql()).fetchall()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_hll_merges_across_batches(spark, docs, tmp_path):
+    """Registers built from two disjoint half-corpus drains, max-merged at
+    read time, must reproduce the whole-corpus batch sketch bit-for-bit
+    (HLL mergeability), and per-batch state must stay bounded."""
+    from fast_carpenter_spark.functions.sketch import HLL_M, hll_distinct
+    from fast_carpenter_spark.streaming.sketch_stream import StreamingHll
+
+    input_dir = str(tmp_path / "in")
+    docs.filter("doc_id % 2 = 0").write.mode("overwrite").parquet(input_dir)
+    stage = StreamingHll(
+        name="sh", out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q = stage.start(spark, input_dir, available_now=True)
+    q.awaitTermination(120)
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(input_dir)
+    q = stage.start(spark, input_dir, available_now=True)
+    q.awaitTermination(120)
+
+    got = rows_sorted(stage.result(spark))
+    expected = rows_sorted(hll_distinct(docs).drop("exact"))
+    assert got == expected
+    deltas = spark.read.option("recursiveFileLookup", "true").parquet(stage.deltas_dir)
+    n_langs = docs.select("lang").distinct().count()
+    per_batch = deltas.groupBy("_batch").count().collect()
+    assert len(per_batch) >= 2  # genuinely multiple micro-batches
+    assert all(r["count"] <= n_langs * HLL_M for r in per_batch)  # bounded state
