@@ -836,6 +836,26 @@ def _o_tile_morph() -> str:
 O_TILE_MORPH = _o_tile_morph()
 
 
+def q_layout_compare(spark, sf_dir):
+    """Hilbert-vs-Morton layout A/B: per res-3 quadrant window, the number
+    of range-partitioned files each curve order forces open — the measured
+    justification for the snapshot partitioner's Hilbert choice (fewer
+    files touched per window = cheaper manifest-pruned scans at 100 TB)."""
+    from .spatial.layout import layout_compare_sql
+
+    load_documents(spark, sf_dir)
+    return spark.sql(layout_compare_sql(synth.flat_spans_sql("spark"), "spark"))
+
+
+def _o_layout_compare() -> str:
+    from .spatial.layout import layout_compare_sql
+
+    return layout_compare_sql(synth.flat_spans_sql("duck"), "duck")
+
+
+O_LAYOUT_COMPARE = _o_layout_compare()
+
+
 def q_cotravel(spark, sf_dir):
     """Co-travel pairs: users sharing >= 3 distinct (cell, 6h-bucket) bins.
     The quadratic step is keyed on the bounded bin (bucketed self-join,
@@ -4941,6 +4961,7 @@ QUERIES = {
     "tile_contour": (q_tile_contour, O_TILE_CONTOUR),
     "cotravel": (q_cotravel, O_COTRAVEL),
     "tile_morph": (q_tile_morph, O_TILE_MORPH),
+    "layout_compare": (q_layout_compare, O_LAYOUT_COMPARE),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),
     "tile_agg": (q_tile_agg, O_TILE_AGG),

@@ -85,6 +85,7 @@ AUDITED = [
     "skyline",          # bounded-group window + equi join back, no quadratic anti-join
     "tile_morph",       # two constant 9-way explodes, grid-bounded aggregates
     "hll_union",        # partial sketches -> register-max merge (mergeable state)
+    "layout_compare",   # corpus histogram + 1024-row literal lookup, grid-bounded
     # dedup_cluster / tile_regions / dbscan are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
     # join is the same edge-keyed hash-join shape audited via
