@@ -21,7 +21,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MANIFEST_PREFIX = "manifest-"
 
@@ -326,6 +326,86 @@ def compact_snapshot(
     pseudo_base = Snapshot(base.snapshot_id, table_path, keep)
     return write_snapshot(
         df,
+        table_path,
+        snapshot_id=snapshot_id,
+        bounds_cols=bcols or None,
+        base=pseudo_base,
+    )
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key: str,
+    *,
+    snapshot_id: str | None = None,
+    base_snapshot_id: str | None = None,
+) -> Snapshot:
+    """MERGE INTO, copy-on-write — the Iceberg upsert commit.  Rows of
+    ``updates`` whose ``key`` exists in the base snapshot REPLACE those
+    rows (WHEN MATCHED THEN UPDATE SET *); keys absent from the base are
+    INSERTED (WHEN NOT MATCHED THEN INSERT *).  Only data files that
+    actually CONTAIN a matched key are rewritten; every other base file
+    enters the new manifest by reference, untouched.
+
+    File selection is two-level, mirroring a real CoW MERGE plan:
+      1. manifest prune — files whose recorded [min,max] bounds for
+         ``key`` cannot intersect the updates' key range are carried
+         forward without being opened (cost: zero I/O);
+      2. exact membership — the surviving candidates are scanned once
+         with ``input_file_name()`` and LEFT SEMI joined against the
+         distinct update keys; the collect is one row PER MATCHED FILE
+         (bounded by file count, never by row count), the same shape as
+         Iceberg's matched-file side of a MERGE.
+
+    The rewrite reads only matched files, anti-joins the update keys, and
+    unions the updates — O(matched bytes + updates), independent of table
+    size.  Updates must be key-unique (asserted): MERGE with duplicate
+    source keys is non-deterministic in every engine and rejected here
+    too."""
+    if updates.groupBy(key).count().filter("count > 1").limit(1).count():
+        raise ValueError(f"merge_snapshot: duplicate '{key}' values in updates")
+    reader = SnapshotReader(table_path, base_snapshot_id)
+    base = reader.snapshot
+    lo, hi = updates.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+
+    def may_match(f: dict) -> bool:
+        b = f.get("bounds", {}).get(key)
+        if b is None or lo is None:
+            return b is None  # unbounded file: must open; empty updates: no
+        return not (b[1] < lo or b[0] > hi)
+
+    cand = [f for f in base.files if may_match(f)]
+    matched_paths: set[str] = set()
+    if cand and lo is not None:
+        keys_df = updates.select(key).distinct()
+        hits = (
+            reader._read(spark, [os.path.join(table_path, f["path"]) for f in cand])
+            .select(key, F.input_file_name().alias("_f"))
+            .join(keys_df, key, "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        # input_file_name is a file: URI; match manifest entries by the
+        # (snapshot_dir, basename) suffix, which is unique within a table
+        suffixes = {"/".join(r["_f"].rstrip("/").split("/")[-2:]) for r in hits}
+        matched_paths = {f["path"] for f in cand if f["path"] in suffixes}
+    keep = [f for f in base.files if f["path"] not in matched_paths]
+    if matched_paths:
+        survivors = reader._read(
+            spark, [os.path.join(table_path, p) for p in sorted(matched_paths)]
+        ).join(updates.select(key), key, "left_anti")
+        out = survivors.unionByName(updates.select(*survivors.columns))
+    else:
+        out = updates
+    bcols = sorted({c for f in base.files for c in f.get("bounds", {})})
+    pseudo_base = Snapshot(base.snapshot_id, table_path, keep)
+    return write_snapshot(
+        out,
         table_path,
         snapshot_id=snapshot_id,
         bounds_cols=bcols or None,

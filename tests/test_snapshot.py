@@ -397,3 +397,99 @@ def test_compact_snapshot_noop_when_nothing_small(spark, docs, tmp_path):
     out = compact_snapshot(spark, table, min_rows=1, target_rows=10)
     assert out.snapshot_id == snap.snapshot_id  # no new commit
     assert list_snapshots(table) == ["snap-a"]
+
+
+def test_merge_snapshot_cow_rewrites_only_matched_files(spark, docs, tmp_path):
+    """MERGE (copy-on-write): matched rows updated, unmatched inserted,
+    and — the CoW claim — only data files CONTAINING a matched key are
+    rewritten; every other base file enters the merge manifest by path
+    reference.  Range-partitioned base + a narrow update key range means
+    manifest bounds alone exonerate most files."""
+    from fast_carpenter_spark.sources.snapshot import (
+        SnapshotReader,
+        merge_snapshot,
+        write_snapshot,
+    )
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "tbl_merge")
+    base_df = docs.select("doc_id", "lang", "n_chars")
+    base = write_snapshot(
+        base_df.repartitionByRange(8, "doc_id"),
+        table, snapshot_id="snap-base", bounds_cols=["doc_id"],
+    )
+    assert len(base.files) == 8
+
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    # updates: a narrow matched slice (doc_id in [0, 10]) + brand-new keys
+    ups = base_df.filter("doc_id <= 10").withColumn(
+        "lang", F.lit("xx")
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + hi + 1_000).alias("doc_id"), "lang", "n_chars"
+        ).limit(5)
+    )
+    snap = merge_snapshot(
+        spark, table, ups, "doc_id",
+        snapshot_id="snap-merge", base_snapshot_id="snap-base",
+    )
+
+    base_paths = {f["path"] for f in base.files}
+    carried = {f["path"] for f in snap.files} & base_paths
+    rewritten = base_paths - carried
+    # only the files whose doc_id range covers [0, 10] get rewritten —
+    # with 8 range partitions that is exactly one file
+    assert len(rewritten) == 1, (rewritten, carried)
+
+    merged = SnapshotReader(table, "snap-merge").load(spark)
+    n_match = docs.filter("doc_id <= 10").count()
+    assert merged.count() == docs.count() + 5
+    assert merged.filter("lang = 'xx'").count() == n_match
+    # untouched rows are bit-identical to the base
+    untouched = merged.filter(f"doc_id > 10 AND doc_id <= {hi}")
+    assert untouched.exceptAll(base_df.filter("doc_id > 10")).count() == 0
+
+
+def test_merge_snapshot_pure_insert_rewrites_nothing(spark, docs, tmp_path):
+    from fast_carpenter_spark.sources.snapshot import (
+        SnapshotReader,
+        merge_snapshot,
+        write_snapshot,
+    )
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "tbl_merge_ins")
+    base_df = docs.select("doc_id", "lang", "n_chars")
+    base = write_snapshot(
+        base_df.repartitionByRange(4, "doc_id"),
+        table, snapshot_id="snap-base", bounds_cols=["doc_id"],
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    ups = base_df.select(
+        (F.col("doc_id") + hi + 100).alias("doc_id"), "lang", "n_chars"
+    ).limit(7)
+    snap = merge_snapshot(
+        spark, table, ups, "doc_id",
+        snapshot_id="snap-ins", base_snapshot_id="snap-base",
+    )
+    base_paths = {f["path"] for f in base.files}
+    assert base_paths <= {f["path"] for f in snap.files}
+    assert SnapshotReader(table, "snap-ins").load(spark).count() == docs.count() + 7
+
+
+def test_merge_snapshot_rejects_duplicate_update_keys(spark, docs, tmp_path):
+    import pytest
+
+    from fast_carpenter_spark.sources.snapshot import (
+        merge_snapshot,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "tbl_merge_dup")
+    base_df = docs.select("doc_id", "lang", "n_chars")
+    write_snapshot(base_df, table, snapshot_id="snap-base",
+                   bounds_cols=["doc_id"])
+    dup = base_df.limit(3).unionByName(base_df.limit(3))
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_snapshot(spark, table, dup, "doc_id",
+                       snapshot_id="snap-dup", base_snapshot_id="snap-base")
