@@ -3662,6 +3662,107 @@ FROM merged GROUP BY 1
 """
 
 
+def _mor_table(spark, sf_dir):
+    """Snapshot table for the merge-on-read queries: base holds the full
+    corpus range-partitioned on doc_id; snap-del is an equality-delete
+    commit (doc_id % 7 = 3) that touches NO data file; snap-app appends
+    rows AFTER the delete, re-inserting half the deleted keys with lang
+    'yy' — the commit-sequence rule must keep them.  Built once per source
+    fingerprint and reused."""
+    import os
+    import tempfile
+
+    from .sources.snapshot import delete_snapshot, list_snapshots, write_snapshot
+
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"fcs_mor_snap_{_source_fingerprint_tag(sf_dir)}"
+    )
+    if not (os.path.isdir(tdir) and len(list_snapshots(tdir)) >= 3):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base_df = docs.select("doc_id", "lang", "source", "n_chars")
+        write_snapshot(
+            base_df.repartitionByRange(8, "doc_id"),
+            tdir,
+            snapshot_id="snap-base",
+            bounds_cols=["doc_id"],
+        )
+        delete_snapshot(
+            spark, tdir, docs.filter("doc_id % 7 = 3").select("doc_id"),
+            "doc_id", snapshot_id="snap-del", base_snapshot_id="snap-base",
+        )
+        reins = docs.filter("doc_id % 7 = 3 AND doc_id % 2 = 0").select(
+            "doc_id", F.lit("yy").alias("lang"), "source", "n_chars"
+        )
+        write_snapshot(
+            reins, tdir, snapshot_id="snap-app",
+            bounds_cols=["doc_id"], base="snap-del",
+        )
+    return tdir
+
+
+def q_snapshot_mor(spark, sf_dir):
+    """Merge-on-read DELETE end-to-end: read THROUGH an equality-delete
+    commit plus a later append that re-inserts half the deleted keys.
+    Deleted keys (doc_id % 7 = 3) must be gone EXCEPT the re-inserted even
+    ones (lang 'yy') — equality deletes apply only to data files with a
+    smaller commit sequence number, so the post-delete append is immune.
+    The delete commit wrote zero data files (pinned in
+    tests/test_snapshot.py): at 10^12 rows this is the only affordable
+    shape for small deletes; rewrite_deletes folds them in later."""
+    from .sources.snapshot import SnapshotReader
+
+    tdir = _mor_table(spark, sf_dir)
+    docs = SnapshotReader(tdir, "snap-app").load(spark)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
+def q_snapshot_mor_rewrite(spark, sf_dir):
+    """rewrite_deletes (Iceberg major compaction): folding the delete
+    files into the data must reproduce the merge-on-read result exactly —
+    same oracle as snapshot_mor.  Only data files whose manifest bounds
+    intersect the delete-key range are rewritten; the rest are carried by
+    reference (pinned in tests/test_snapshot.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.snapshot import SnapshotReader, list_snapshots, rewrite_deletes
+
+    src = _mor_table(spark, sf_dir)
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"fcs_mor_rw_{_source_fingerprint_tag(sf_dir)}"
+    )
+    if not (os.path.isdir(tdir) and "snap-rw" in list_snapshots(tdir)):
+        if os.path.isdir(tdir):
+            shutil.rmtree(tdir)
+        shutil.copytree(src, tdir)
+        rewrite_deletes(spark, tdir, snapshot_id="snap-rw",
+                        base_snapshot_id="snap-app")
+    docs = SnapshotReader(tdir, "snap-rw").load(spark)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
+O_SNAPSHOT_MOR = """
+WITH kept AS (
+  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 7 <> 3
+),
+reins AS (
+  SELECT doc_id, 'yy' AS lang, source, n_chars FROM documents
+  WHERE doc_id % 7 = 3 AND doc_id % 2 = 0
+)
+SELECT lang, count(*) AS n, sum(doc_id) AS id_sum, sum(n_chars) AS chars_sum
+FROM (SELECT * FROM kept UNION ALL SELECT * FROM reins) GROUP BY 1
+"""
+
+
 def q_bucketed_join(spark, sf_dir):
     """Co-located join on the persistent bucketed layout: span points and
     per-cell tile stats are both written bucketed by the SAME cell key
@@ -5046,6 +5147,8 @@ QUERIES = {
     # --- round-3 late additions (positions > 50: queued for the round-4
     # driver rotation; oracle-checked locally at sf0.001 + sf0.01) -------
     "snapshot_merge": (q_snapshot_merge, O_SNAPSHOT_MERGE),
+    "snapshot_mor": (q_snapshot_mor, O_SNAPSHOT_MOR),
+    "snapshot_mor_rewrite": (q_snapshot_mor_rewrite, O_SNAPSHOT_MOR),
     "spans_flat": (q_spans_flat, O_SPANS_FLAT),
     "cell_encode": (q_cell_encode, O_CELL_ENCODE),
     "tile_agg": (q_tile_agg, O_TILE_AGG),

@@ -30,7 +30,14 @@ MANIFEST_PREFIX = "manifest-"
 class Snapshot:
     snapshot_id: str
     table_path: str
-    files: list[dict]  # {path, rows, bounds: {col: [min, max]}}
+    files: list[dict]  # {path, rows, seq, bounds: {col: [min, max]}}
+    seq: int = 0  # commit sequence number (parent.seq + 1)
+    # merge-on-read equality-delete files: {path, rows, key, seq, bounds}
+    delete_files: list[dict] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.delete_files is None:
+            self.delete_files = []
 
     @property
     def file_paths(self) -> list[str]:
@@ -60,12 +67,16 @@ def write_snapshot(
     # boot and unpadded ids compare wrongly once the digit count grows).
     snapshot_id = snapshot_id or f"snap-{time.time_ns():020d}"
     base_files: list[dict] = []
+    base_deletes: list[dict] = []
     parent_id = None
+    seq = 0
     if base is not None:
         if isinstance(base, str):
             base = SnapshotReader(table_path, base).snapshot
         base_files = list(base.files)
+        base_deletes = list(base.delete_files)
         parent_id = base.snapshot_id
+        seq = base.seq + 1
     data_dir = os.path.join(table_path, snapshot_id)
     df.write.mode("overwrite").parquet(data_dir)
 
@@ -96,22 +107,25 @@ def write_snapshot(
             {
                 "path": os.path.join(snapshot_id, name),
                 "rows": meta.num_rows,
+                "seq": seq,
                 "bounds": bounds,
             }
         )
     all_files = base_files + files
-    snap = Snapshot(snapshot_id, table_path, all_files)
+    snap = Snapshot(snapshot_id, table_path, all_files, seq, base_deletes)
     manifest = os.path.join(table_path, f"{MANIFEST_PREFIX}{snapshot_id}.json")
     with open(manifest, "w") as f:
         json.dump(
             {
                 "snapshot_id": snapshot_id,
                 "parent_id": parent_id,
+                "seq": seq,
                 # the COMMIT's schema (Iceberg-style: the table schema
                 # evolves with the commit; older data files keep their own
                 # file schema and are read under the snapshot schema)
                 "schema": df.schema.jsonValue(),
                 "files": all_files,
+                "delete_files": base_deletes,
             },
             f,
             indent=1,
@@ -164,7 +178,13 @@ class SnapshotReader:
             os.path.join(table_path, f"{MANIFEST_PREFIX}{self.snapshot_id}.json")
         ) as f:
             m = json.load(f)
-        self.snapshot = Snapshot(self.snapshot_id, table_path, m["files"])
+        self.snapshot = Snapshot(
+            self.snapshot_id,
+            table_path,
+            m["files"],
+            m.get("seq", 0),
+            m.get("delete_files", []),
+        )
         # snapshot-pinned schema (add-column evolution): reads happen under
         # THIS snapshot's schema — files from pre-evolution commits fill
         # the added columns with NULL, files from later commits have their
@@ -189,12 +209,59 @@ class SnapshotReader:
         return keep
 
     def load(self, spark: SparkSession, *, col=None, lo=None, hi=None) -> DataFrame:
-        paths = (
-            self.prune(col, lo, hi) if col is not None else self.snapshot.file_paths
+        files = (
+            [
+                f
+                for f in self.snapshot.files
+                if f["bounds"].get(col) is None
+                or not (f["bounds"][col][1] < lo or f["bounds"][col][0] > hi)
+            ]
+            if col is not None
+            else self.snapshot.files
         )
-        if not paths:
+        if not files:
             raise ValueError("pruning removed all files; nothing to read")
-        return self._read(spark, paths)
+        if not self.snapshot.delete_files:
+            return self._read(
+                spark, [os.path.join(self.table_path, f["path"]) for f in files]
+            )
+        return self._read_with_deletes(spark, files)
+
+    def _read_with_deletes(self, spark: SparkSession, files: list[dict]) -> DataFrame:
+        """Merge-on-read: equality-delete files apply at scan time via
+        LEFT ANTI join, but only to data files with a SMALLER commit
+        sequence number than the delete (Iceberg v2 rule — rows appended
+        AFTER a delete commit are immune even if their keys collide).
+        Data files are grouped by their applicable-delete set, each group
+        anti-joined once per delete key, groups unioned — exact and still
+        one distributed scan per group (no per-file jobs)."""
+        from collections import defaultdict
+
+        groups: dict[tuple, list[str]] = defaultdict(list)
+        for f in files:
+            fseq = f.get("seq", 0)
+            applicable = tuple(
+                sorted(
+                    d["path"]
+                    for d in self.snapshot.delete_files
+                    if d.get("seq", 0) > fseq
+                )
+            )
+            groups[applicable].append(os.path.join(self.table_path, f["path"]))
+        dmeta = {d["path"]: d for d in self.snapshot.delete_files}
+        out = None
+        for dpaths, paths in sorted(groups.items()):
+            part = self._read(spark, paths)
+            by_key: dict[str, list[str]] = defaultdict(list)
+            for dp in dpaths:
+                by_key[dmeta[dp]["key"]].append(
+                    os.path.join(self.table_path, dp)
+                )
+            for key, kpaths in sorted(by_key.items()):
+                keys_df = spark.read.parquet(*kpaths).select(key)
+                part = part.join(keys_df, key, "left_anti")
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def _read(self, spark: SparkSession, paths: list[str]) -> DataFrame:
         """Read under the snapshot-pinned schema when one is recorded
@@ -265,13 +332,13 @@ def expire_snapshots(table_path: str, *, keep: int) -> dict:
             anc = parent_of.get(anc)
     keep_files: set[str] = set()
     for sid in kept:
-        keep_files |= {
-            f["path"] for f in SnapshotReader(table_path, sid).snapshot.files
-        }
+        s = SnapshotReader(table_path, sid).snapshot
+        keep_files |= {f["path"] for f in s.files}
+        keep_files |= {d["path"] for d in s.delete_files}
     removed_files = 0
     for sid in dropped:
         snap = SnapshotReader(table_path, sid).snapshot
-        for f in snap.files:
+        for f in snap.files + snap.delete_files:
             if f["path"] in keep_files:
                 continue
             fp = os.path.join(table_path, f["path"])
@@ -280,6 +347,128 @@ def expire_snapshots(table_path: str, *, keep: int) -> dict:
                 removed_files += 1
         os.remove(os.path.join(table_path, f"{MANIFEST_PREFIX}{sid}.json"))
     return {"removed_snapshots": dropped, "removed_files": removed_files}
+
+
+def delete_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    keys: DataFrame,
+    key: str,
+    *,
+    snapshot_id: str | None = None,
+    base_snapshot_id: str | None = None,
+) -> Snapshot:
+    """DELETE, merge-on-read — the Iceberg v2 equality-delete commit.
+    The keys to delete are written as a (tiny) parquet delete file; every
+    base DATA file enters the new manifest by reference, untouched.  The
+    reader applies the delete as a LEFT ANTI join at scan time, and only
+    to data files with a smaller commit sequence number — rows appended
+    after this commit are immune even if their keys collide.
+
+    This is the scale-correct shape for small deletes on a 10^12-row
+    table: commit cost is O(|keys|), zero data-file I/O, versus
+    copy-on-write's O(matched file bytes) rewrite.  Read cost grows with
+    accumulated delete files until :func:`rewrite_deletes` folds them in.
+    """
+    reader = SnapshotReader(table_path, base_snapshot_id)
+    base = reader.snapshot
+    snapshot_id = snapshot_id or f"snap-{time.time_ns():020d}"
+    seq = base.seq + 1
+    data_dir = os.path.join(table_path, snapshot_id)
+    keys.select(key).distinct().coalesce(1).write.mode("overwrite").parquet(data_dir)
+
+    import pyarrow.parquet as pq
+
+    new_deletes = []
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        meta = pq.read_metadata(os.path.join(data_dir, name))
+        stats = meta.row_group(0).column(0).statistics if meta.num_row_groups else None
+        bounds = (
+            {key: [stats.min, stats.max]}
+            if stats is not None and stats.has_min_max
+            else {}
+        )
+        new_deletes.append(
+            {
+                "path": os.path.join(snapshot_id, name),
+                "rows": meta.num_rows,
+                "key": key,
+                "seq": seq,
+                "bounds": bounds,
+            }
+        )
+    manifest = os.path.join(table_path, f"{MANIFEST_PREFIX}{snapshot_id}.json")
+    schema = None
+    with open(
+        os.path.join(table_path, f"{MANIFEST_PREFIX}{base.snapshot_id}.json")
+    ) as f:
+        schema = json.load(f).get("schema")
+    with open(manifest, "w") as f:
+        json.dump(
+            {
+                "snapshot_id": snapshot_id,
+                "parent_id": base.snapshot_id,
+                "seq": seq,
+                "schema": schema,
+                "files": base.files,
+                "delete_files": base.delete_files + new_deletes,
+            },
+            f,
+            indent=1,
+        )
+    return Snapshot(
+        snapshot_id, table_path, base.files, seq, base.delete_files + new_deletes
+    )
+
+
+def rewrite_deletes(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    snapshot_id: str | None = None,
+    base_snapshot_id: str | None = None,
+) -> Snapshot:
+    """Fold accumulated merge-on-read delete files into the data — the
+    Iceberg ``rewrite_position_delete_files`` / major-compaction step.
+    Data files that no delete can apply to (sequence rule, or disjoint
+    manifest bounds on the delete key) are carried by reference; only the
+    possibly-affected files are read, anti-joined, and rewritten.  The new
+    snapshot has zero delete files and reads as a plain scan again."""
+    reader = SnapshotReader(table_path, base_snapshot_id)
+    base = reader.snapshot
+    if not base.delete_files:
+        return base
+
+    def may_apply(d: dict, f: dict) -> bool:
+        if d.get("seq", 0) <= f.get("seq", 0):
+            return False
+        db = d.get("bounds", {}).get(d["key"])
+        fb = f.get("bounds", {}).get(d["key"])
+        if db is None or fb is None:
+            return True
+        return not (fb[1] < db[0] or fb[0] > db[1])
+
+    affected = [
+        f for f in base.files if any(may_apply(d, f) for d in base.delete_files)
+    ]
+    keep = [f for f in base.files if not any(may_apply(d, f) for d in base.delete_files)]
+    if not affected:
+        out = spark.createDataFrame([], reader.schema) if reader.schema else None
+        if out is None:
+            raise ValueError("rewrite_deletes: nothing affected and no schema")
+    else:
+        out = reader._read_with_deletes(spark, affected)
+    bcols = sorted({c for f in base.files for c in f.get("bounds", {})})
+    pseudo_base = Snapshot(base.snapshot_id, table_path, keep, base.seq, [])
+    return write_snapshot(
+        out,
+        table_path,
+        snapshot_id=snapshot_id,
+        bounds_cols=bcols or None,
+        base=pseudo_base,
+    )
 
 
 def compact_snapshot(
@@ -311,6 +500,11 @@ def compact_snapshot(
 
     reader = SnapshotReader(table_path, base_snapshot_id)
     base = reader.snapshot
+    if base.delete_files:
+        raise ValueError(
+            "compact_snapshot on a table with merge-on-read delete files "
+            "would break the delete sequence rule; run rewrite_deletes first"
+        )
     small = [f for f in base.files if f["rows"] < min_rows]
     if not small:
         return base
@@ -323,7 +517,7 @@ def compact_snapshot(
     # carry the table's pruning metadata forward: any column bounded in any
     # existing file stays bounded in the compacted files
     bcols = sorted({c for f in base.files for c in f.get("bounds", {})})
-    pseudo_base = Snapshot(base.snapshot_id, table_path, keep)
+    pseudo_base = Snapshot(base.snapshot_id, table_path, keep, base.seq, [])
     return write_snapshot(
         df,
         table_path,
@@ -368,6 +562,12 @@ def merge_snapshot(
         raise ValueError(f"merge_snapshot: duplicate '{key}' values in updates")
     reader = SnapshotReader(table_path, base_snapshot_id)
     base = reader.snapshot
+    if base.delete_files:
+        raise ValueError(
+            "merge_snapshot on a table with merge-on-read delete files "
+            "would read through the deletes incorrectly; run "
+            "rewrite_deletes first"
+        )
     lo, hi = updates.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).first()
@@ -403,7 +603,7 @@ def merge_snapshot(
     else:
         out = updates
     bcols = sorted({c for f in base.files for c in f.get("bounds", {})})
-    pseudo_base = Snapshot(base.snapshot_id, table_path, keep)
+    pseudo_base = Snapshot(base.snapshot_id, table_path, keep, base.seq, [])
     return write_snapshot(
         out,
         table_path,

@@ -493,3 +493,140 @@ def test_merge_snapshot_rejects_duplicate_update_keys(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="duplicate"):
         merge_snapshot(spark, table, dup, "doc_id",
                        snapshot_id="snap-dup", base_snapshot_id="snap-base")
+
+
+def test_mor_delete_commit_touches_no_data_files(spark, docs, tmp_path):
+    """Merge-on-read DELETE: the commit writes only a tiny delete-key
+    parquet — every base data file enters the new manifest by reference —
+    and the reader applies the delete at scan time."""
+    from fast_carpenter_spark.sources.snapshot import delete_snapshot
+
+    table = str(tmp_path / "tbl_mor")
+    base_df = docs.select("doc_id", "lang", "n_chars")
+    base = write_snapshot(
+        base_df.repartitionByRange(8, "doc_id"),
+        table, snapshot_id="snap-base", bounds_cols=["doc_id"],
+    )
+    keys = docs.filter("doc_id % 7 = 3").select("doc_id")
+    snap = delete_snapshot(spark, table, keys, "doc_id",
+                           snapshot_id="snap-del", base_snapshot_id="snap-base")
+
+    assert [f["path"] for f in snap.files] == [f["path"] for f in base.files]
+    assert len(snap.delete_files) == 1
+    assert snap.delete_files[0]["key"] == "doc_id"
+    assert snap.delete_files[0]["seq"] == 1
+
+    got = SnapshotReader(table, "snap-del").load(spark)
+    assert got.count() == docs.filter("doc_id % 7 <> 3").count()
+    assert got.filter("doc_id % 7 = 3").count() == 0
+    # time travel: the base snapshot still reads everything
+    assert SnapshotReader(table, "snap-base").load(spark).count() == docs.count()
+
+
+def test_mor_sequence_rule_append_after_delete_is_immune(spark, docs, tmp_path):
+    """Rows appended AFTER a delete commit keep their keys even when those
+    keys were deleted — equality deletes apply only to data files with a
+    smaller commit sequence number (Iceberg v2)."""
+    from fast_carpenter_spark.sources.snapshot import delete_snapshot
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "tbl_mor_seq")
+    base_df = docs.select("doc_id", "lang", "n_chars")
+    write_snapshot(base_df.repartitionByRange(4, "doc_id"),
+                   table, snapshot_id="snap-base", bounds_cols=["doc_id"])
+    keys = docs.filter("doc_id % 7 = 3").select("doc_id")
+    delete_snapshot(spark, table, keys, "doc_id",
+                    snapshot_id="snap-del", base_snapshot_id="snap-base")
+    # re-insert a subset of the deleted keys with a marker lang
+    reins = docs.filter("doc_id % 7 = 3 AND doc_id % 2 = 0").select(
+        "doc_id", F.lit("yy").alias("lang"), "n_chars")
+    write_snapshot(reins, table, snapshot_id="snap-app",
+                   bounds_cols=["doc_id"], base="snap-del")
+
+    got = SnapshotReader(table, "snap-app").load(spark)
+    n_reins = docs.filter("doc_id % 7 = 3 AND doc_id % 2 = 0").count()
+    assert got.filter("lang = 'yy'").count() == n_reins
+    assert got.filter("doc_id % 7 = 3").count() == n_reins  # only re-inserts
+    assert got.count() == docs.filter("doc_id % 7 <> 3").count() + n_reins
+
+
+def test_rewrite_deletes_folds_and_carries_unaffected(spark, docs, tmp_path):
+    """rewrite_deletes materializes the anti-join into new data files,
+    rewrites ONLY files whose bounds intersect the delete-key range, and
+    the result is bit-identical to the merge-on-read read."""
+    from fast_carpenter_spark.sources.snapshot import (
+        delete_snapshot,
+        rewrite_deletes,
+    )
+
+    table = str(tmp_path / "tbl_mor_rw")
+    base_df = docs.select("doc_id", "lang", "n_chars")
+    base = write_snapshot(base_df.repartitionByRange(8, "doc_id"),
+                          table, snapshot_id="snap-base", bounds_cols=["doc_id"])
+    keys = docs.filter("doc_id <= 10").select("doc_id")  # narrow range
+    delete_snapshot(spark, table, keys, "doc_id",
+                    snapshot_id="snap-del", base_snapshot_id="snap-base")
+    mor = SnapshotReader(table, "snap-del").load(spark)
+    mor_pd = mor.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    snap = rewrite_deletes(spark, table, snapshot_id="snap-rw",
+                           base_snapshot_id="snap-del")
+    assert snap.delete_files == []
+    base_paths = {f["path"] for f in base.files}
+    carried = {f["path"] for f in snap.files} & base_paths
+    assert len(base_paths - carried) == 1  # only the low-range file rewritten
+
+    got = SnapshotReader(table, "snap-rw").load(spark)
+    got_pd = got.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert got_pd.equals(mor_pd)
+
+
+def test_compact_and_merge_refuse_on_mor_table(spark, docs, tmp_path):
+    import pytest
+
+    from fast_carpenter_spark.sources.snapshot import (
+        compact_snapshot,
+        delete_snapshot,
+        merge_snapshot,
+    )
+
+    table = str(tmp_path / "tbl_mor_guard")
+    base_df = docs.select("doc_id", "lang", "n_chars")
+    write_snapshot(base_df, table, snapshot_id="snap-base",
+                   bounds_cols=["doc_id"])
+    delete_snapshot(spark, table, docs.filter("doc_id < 5").select("doc_id"),
+                    "doc_id", snapshot_id="snap-del",
+                    base_snapshot_id="snap-base")
+    with pytest.raises(ValueError, match="rewrite_deletes"):
+        compact_snapshot(spark, table, min_rows=10**9, target_rows=10**9)
+    with pytest.raises(ValueError, match="rewrite_deletes"):
+        merge_snapshot(spark, table, base_df.limit(1), "doc_id")
+
+
+def test_expire_snapshots_gc_covers_delete_files(spark, docs, tmp_path):
+    import os
+
+    from fast_carpenter_spark.sources.snapshot import (
+        delete_snapshot,
+        expire_snapshots,
+        rewrite_deletes,
+    )
+
+    table = str(tmp_path / "tbl_mor_gc")
+    base_df = docs.select("doc_id", "lang", "n_chars")
+    write_snapshot(base_df, table, snapshot_id="snap-base",
+                   bounds_cols=["doc_id"])
+    snap = delete_snapshot(spark, table,
+                           docs.filter("doc_id < 5").select("doc_id"),
+                           "doc_id", snapshot_id="snap-del",
+                           base_snapshot_id="snap-base")
+    dpath = os.path.join(table, snap.delete_files[0]["path"])
+    # expiring the base keeps the delete file (still referenced by snap-del)
+    expire_snapshots(table, keep=1)
+    assert os.path.exists(dpath)
+    n_mor = SnapshotReader(table).load(spark).count()
+    # after rewrite, expiring to the rewritten snapshot GCs the delete file
+    rewrite_deletes(spark, table, snapshot_id="snap-rw")
+    expire_snapshots(table, keep=1)
+    assert not os.path.exists(dpath)
+    assert SnapshotReader(table).load(spark).count() == n_mor
