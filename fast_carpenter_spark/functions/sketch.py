@@ -401,3 +401,185 @@ SELECT s.lang, n.n_sources, s.n_hit, s.sum_int,
        e.exact
 FROM summed s JOIN nsrc n ON n.lang = s.lang JOIN exact e ON e.lang = s.lang
 """
+
+
+# --- Theta (fixed-threshold KMV-style) distinct sketch -----------------------
+#
+# The third sketch family, and the one HLL cannot replace: a SAMPLE of the
+# distinct-hash space (keep every distinct hash below theta = HASH_MOD/16)
+# supports SET OPERATIONS — intersection and Jaccard estimates between
+# groups — because kept sets of different groups live in the same sampled
+# sub-space and can simply be intersected.  HLL registers only union.
+#
+# Scale shape: the theta filter runs MAP-SIDE before any exchange, so the
+# distinct shuffle carries ~1/16 of the distinct-hash stream; the kept set
+# (the sketch) is mergeable by plain set-union (distinct), so 1000
+# executors sketch shards independently and the union of kept sets IS the
+# corpus sketch — same partial-merge algebra as hll_registers, with
+# `distinct` playing the role of `max`.  All arithmetic is exact BIGINT
+# until the single Jaccard division, so the DuckDB oracle reproduces the
+# sketch bit-for-bit.
+#
+# ref parity note: the reference has no sketching; sibling of hll_distinct.
+
+THETA_DEN = 16  # keep h*16 < HASH_MOD, i.e. ~1/16 of the hash space
+
+
+def _theta_hash_sql(dialect: str) -> str:
+    """Remixed bigram hash (same remix as the HLL family)."""
+    return f"(({token_hash_sql('token', dialect)}) * 2654435761 + 40503) % {HASH_MOD}"
+
+
+def theta_registers(docs: DataFrame) -> DataFrame:
+    """Sparse kept set (lang, h): every DISTINCT remixed bigram hash with
+    h * THETA_DEN < HASH_MOD.  This is the sketch — mergeable by union."""
+    toks = docs.filter(
+        f"size({tokens_sql('text', 'spark')}) >= 2"
+    ).select(
+        "lang", F.explode(F.expr(_bigrams_sql("spark"))).alias("token")
+    ).select("lang", F.expr(_theta_hash_sql("spark")).alias("h"))
+    return (
+        toks.filter(F.expr(f"h * {THETA_DEN} < {HASH_MOD}")).distinct()
+    )
+
+
+def theta_distinct(docs: DataFrame) -> DataFrame:
+    """Per-language distinct-bigram estimate from the theta sketch, with
+    the exact count alongside (est_int = n_kept * THETA_DEN, pure BIGINT)."""
+    kept = theta_registers(docs).groupBy("lang").agg(
+        F.count("*").alias("n_kept")
+    )
+    toks = docs.filter(
+        f"size({tokens_sql('text', 'spark')}) >= 2"
+    ).select("lang", F.explode(F.expr(_bigrams_sql("spark"))).alias("token"))
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("token").alias("exact")
+    )
+    return (
+        exact.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.coalesce("n_kept", F.lit(0)) * THETA_DEN).cast("long").alias("est_int"),
+            "exact",
+        )
+        .orderBy("lang")
+    )
+
+
+def theta_distinct_oracle_sql() -> str:
+    h = _theta_hash_sql("duck")
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest({_bigrams_sql('duck')}) AS token
+  FROM documents WHERE len({tokens_sql('text', 'duck')}) >= 2
+),
+hashed AS (SELECT lang, token, {h} AS h FROM toks),
+kept AS (
+  SELECT k.lang, count(*) AS n_kept FROM (
+    SELECT DISTINCT lang, h FROM hashed WHERE h * {THETA_DEN} < {HASH_MOD}
+  ) k GROUP BY 1
+),
+exact AS (SELECT lang, count(DISTINCT token) AS exact FROM hashed GROUP BY 1)
+SELECT e.lang AS lang,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.n_kept, 0) * {THETA_DEN} AS BIGINT) AS est_int,
+       e.exact
+FROM exact e LEFT JOIN kept k ON k.lang = e.lang
+ORDER BY 1
+"""
+
+
+def theta_jaccard(docs: DataFrame) -> DataFrame:
+    """Pairwise language similarity from theta sketches: for every lang
+    pair (a < b), the intersection ESTIMATE (inter_kept * THETA_DEN) and
+    Jaccard estimate from the kept sets, with the exact values alongside.
+
+    The pairwise work is a posting-list equi-join ON THE HASH (each hash
+    appears in <= n_langs kept sets), never a cross join of corpora —
+    the shape that survives when the kept sets have millions of entries."""
+    regs = theta_registers(docs)
+    a = regs.toDF("lang_a", "h")
+    b = regs.toDF("lang_b", "h")
+    inter = (
+        a.join(b, "h")
+        .filter("lang_a < lang_b")
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("inter_kept"))
+    )
+    sizes = regs.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    # exact pairwise intersection via the same posting-list shape on the
+    # FULL distinct sets (diagnostic twin; the sketch path above is the
+    # one that scales)
+    toks = docs.filter(
+        f"size({tokens_sql('text', 'spark')}) >= 2"
+    ).select(
+        "lang", F.explode(F.expr(_bigrams_sql("spark"))).alias("token")
+    ).distinct()
+    ea = toks.toDF("lang_a", "token")
+    eb = toks.toDF("lang_b", "token")
+    einter = (
+        ea.join(eb, "token")
+        .filter("lang_a < lang_b")
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("inter_exact"))
+    )
+    esizes = toks.groupBy("lang").agg(F.count("*").alias("n_exact"))
+    out = (
+        inter
+        .join(sizes.toDF("lang_a", "kept_a"), "lang_a")
+        .join(sizes.toDF("lang_b", "kept_b"), "lang_b")
+        .join(einter, ["lang_a", "lang_b"])
+        .join(esizes.toDF("lang_a", "exact_a"), "lang_a")
+        .join(esizes.toDF("lang_b", "exact_b"), "lang_b")
+    )
+    return out.select(
+        "lang_a", "lang_b",
+        (F.col("inter_kept") * THETA_DEN).cast("long").alias("inter_est"),
+        F.col("inter_exact").cast("long").alias("inter_exact"),
+        F.expr(
+            "CAST(inter_kept AS DOUBLE) / CAST(kept_a + kept_b - inter_kept AS DOUBLE)"
+        ).alias("jac_est"),
+        F.expr(
+            "CAST(inter_exact AS DOUBLE) / CAST(exact_a + exact_b - inter_exact AS DOUBLE)"
+        ).alias("jac_exact"),
+    ).orderBy("lang_a", "lang_b")
+
+
+def theta_jaccard_oracle_sql() -> str:
+    h = _theta_hash_sql("duck")
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest({_bigrams_sql('duck')}) AS token
+  FROM documents WHERE len({tokens_sql('text', 'duck')}) >= 2
+),
+hashed AS (SELECT DISTINCT lang, token, {h} AS h FROM toks),
+regs AS (SELECT DISTINCT lang, h FROM hashed WHERE h * {THETA_DEN} < {HASH_MOD}),
+sizes AS (SELECT lang, count(*) AS n_kept FROM regs GROUP BY 1),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS inter_kept
+  FROM regs a JOIN regs b ON a.h = b.h AND a.lang < b.lang
+  GROUP BY 1, 2
+),
+full_sets AS (SELECT DISTINCT lang, token FROM hashed),
+esizes AS (SELECT lang, count(*) AS n_exact FROM full_sets GROUP BY 1),
+einter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS inter_exact
+  FROM full_sets a JOIN full_sets b ON a.token = b.token AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT i.lang_a AS lang_a, i.lang_b AS lang_b,
+       CAST(i.inter_kept * {THETA_DEN} AS BIGINT) AS inter_est,
+       CAST(e.inter_exact AS BIGINT) AS inter_exact,
+       CAST(i.inter_kept AS DOUBLE)
+         / CAST(sa.n_kept + sb.n_kept - i.inter_kept AS DOUBLE) AS jac_est,
+       CAST(e.inter_exact AS DOUBLE)
+         / CAST(ea.n_exact + eb.n_exact - e.inter_exact AS DOUBLE) AS jac_exact
+FROM inter i
+JOIN sizes sa ON sa.lang = i.lang_a
+JOIN sizes sb ON sb.lang = i.lang_b
+JOIN einter e ON e.lang_a = i.lang_a AND e.lang_b = i.lang_b
+JOIN esizes ea ON ea.lang = i.lang_a
+JOIN esizes eb ON eb.lang = i.lang_b
+ORDER BY 1, 2
+"""

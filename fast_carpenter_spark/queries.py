@@ -4139,6 +4139,39 @@ def _o_hll_union() -> str:
     return _sketch.hll_union_oracle_sql()
 
 
+def q_theta_distinct(spark, sf_dir):
+    """Theta (fixed-threshold KMV-style) distinct sketch: per-language
+    distinct-bigram estimate from the ~1/16 sampled hash sub-space, exact
+    count alongside.  The theta filter runs MAP-SIDE before the distinct
+    exchange, and the kept set merges by plain set-union across shards —
+    the third sketch family, and the one that supports set operations."""
+    from .functions import sketch as _sketch
+
+    return _sketch.theta_distinct(load_documents(spark, sf_dir))
+
+
+def _o_theta_distinct() -> str:
+    from .functions import sketch as _sketch
+
+    return _sketch.theta_distinct_oracle_sql()
+
+
+def q_theta_jaccard(spark, sf_dir):
+    """Pairwise language Jaccard/intersection ESTIMATES from theta
+    sketches (the set operation HLL registers cannot express), with exact
+    values alongside.  Pairwise work is a posting-list equi-join on the
+    hash — never a corpus cross join."""
+    from .functions import sketch as _sketch
+
+    return _sketch.theta_jaccard(load_documents(spark, sf_dir))
+
+
+def _o_theta_jaccard() -> str:
+    from .functions import sketch as _sketch
+
+    return _sketch.theta_jaccard_oracle_sql()
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Connected components over the MinHash-LSH near-dup graph: every doc
     labelled with its component's min doc_id (Pregel-style neighbor-min
@@ -5121,6 +5154,8 @@ QUERIES = {
     "sample_weighted": (q_sample_weighted, O_SAMPLE_WEIGHTED),
     "hll_distinct": (q_hll_distinct, _o_hll_distinct()),
     "hll_union": (q_hll_union, _o_hll_union()),
+    "theta_distinct": (q_theta_distinct, _o_theta_distinct()),
+    "theta_jaccard": (q_theta_jaccard, _o_theta_jaccard()),
     "ann_pq_codes": (q_ann_pq_codes, _o_ann_pq_codes()),
     "ann_pq_topk": (q_ann_pq_topk, _o_ann_pq_topk()),
     "ann_pq_recall": (q_ann_pq_recall, _o_ann_pq_recall()),

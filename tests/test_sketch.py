@@ -55,3 +55,41 @@ def test_hll_union_merge_identity(spark, docs):
     assert merged == single
     nsrc = {r["lang"]: r["n_sources"] for r in hll_union(docs).collect()}
     assert all(v > 1 for v in nsrc.values())  # the merge actually merges
+
+def test_theta_distinct_estimate_quality(spark):
+    out = sketch.theta_distinct(_docs(spark)).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["est_int"] == r["n_kept"] * sketch.THETA_DEN
+        rel = abs(r["est_int"] - r["exact"]) / r["exact"]
+        # ~1/sqrt(n_kept) std; n_kept ~ 60 here -> 13% sigma, gate at 3x
+        assert rel < 0.40, f"{r['lang']}: rel err {rel}"
+
+
+def test_theta_union_merge_identity(spark, docs):
+    """Set-union merge of per-source kept sets must reproduce the
+    single-pass kept set EXACTLY (union of unions) — the mergeability
+    law that lets shards sketch independently."""
+    from pyspark.sql import functions as F
+
+    whole = sketch.theta_registers(docs)
+    # shard by source, sketch each shard independently, union + distinct
+    shards = [
+        sketch.theta_registers(docs.filter(F.col("source") == s))
+        for s in [r["source"] for r in docs.select("source").distinct().collect()]
+    ]
+    merged = shards[0]
+    for sh in shards[1:]:
+        merged = merged.unionByName(sh)
+    merged = merged.distinct()
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_theta_jaccard_bounds(spark):
+    out = sketch.theta_jaccard(_docs(spark)).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 <= r["jac_est"] <= 1.0
+        assert 0.0 <= r["jac_exact"] <= 1.0
+        # sketch estimate within +-0.15 of exact on this shared-vocab corpus
+        assert abs(r["jac_est"] - r["jac_exact"]) < 0.15
