@@ -3059,6 +3059,93 @@ def _o_ann_index_delta() -> str:
     )
 
 
+def q_tile_agg_delta(spark, sf_dir):
+    """Incremental MATERIALIZED-AGGREGATE maintenance at O(delta): the
+    corpus lives in a snapshot (A = 3/4 of docs, B = append commit of the
+    rest); the per-cell tile aggregate is kept up to date by aggregating
+    ONLY B's data files (manifest diff, `load_incremental`) and merging the
+    delta partial into the already-materialized table with one associative
+    coalesce-sum — never re-scanning A.  At 10^12 docs this is the daily
+    rollup-refresh path: cost scales with the append, and the merge is a
+    cell-keyed join against a table bounded by grid size, not corpus size.
+    Exactness: counts are BIGINT and weights are dyadic rationals (k/64),
+    so partial-sum + merge is bit-identical to the full recompute the
+    oracle performs (same law the checkpoint partial-merge relies on).
+    Spiritual parity: ref fast_carpenter/summary/binned_dataframe.py
+    Collector.collect (pandas add across chunk results), re-expressed as
+    snapshot-delta maintenance."""
+    import os
+    import tempfile
+
+    from .sources.snapshot import SnapshotReader, list_snapshots, write_snapshot
+
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"fcs_tiledelta_snap_{_source_fingerprint_tag(sf_dir)}"
+    )
+    if not (os.path.isdir(tdir) and len(list_snapshots(tdir)) >= 2):
+        docs = load_documents(spark, sf_dir)
+        base = write_snapshot(
+            docs.filter("doc_id % 4 < 3").repartition(2, "doc_id"),
+            tdir,
+            snapshot_id="snap-a",
+        )
+        write_snapshot(
+            docs.filter("doc_id % 4 = 3").repartition(2, "doc_id"),
+            tdir,
+            snapshot_id="snap-b",
+            base=base,
+        )
+    materialized = tile_partial_agg(
+        spark, SnapshotReader(tdir, "snap-a").load(spark), "docs_tiledelta_base"
+    )
+    delta = tile_partial_agg(
+        spark,
+        SnapshotReader(tdir, "snap-b").load_incremental(spark, "snap-a"),
+        "docs_tiledelta_inc",
+    )
+    m = materialized.select(
+        "cell",
+        F.col("n").alias("n_a"),
+        F.col("w_sumw").alias("sw_a"),
+        F.col("w_sumw2").alias("sw2_a"),
+    )
+    d = delta.select(
+        "cell",
+        F.col("n").alias("n_b"),
+        F.col("w_sumw").alias("sw_b"),
+        F.col("w_sumw2").alias("sw2_b"),
+    )
+    return (
+        m.join(d, "cell", "full_outer")
+        .select(
+            "cell",
+            (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias("n"),
+            (F.coalesce("sw_a", F.lit(0.0)) + F.coalesce("sw_b", F.lit(0.0))).alias(
+                "w_sumw"
+            ),
+            (F.coalesce("sw2_a", F.lit(0.0)) + F.coalesce("sw2_b", F.lit(0.0))).alias(
+                "w_sumw2"
+            ),
+        )
+    )
+
+
+def tile_partial_agg(spark, docs_df, view: str):
+    """Per-cell (n, w_sumw, w_sumw2) partial over one snapshot slice —
+    the mergeable unit tile_agg_delta composes."""
+    docs_df.createOrReplaceTempView(view)
+    flat = spark.sql(synth.flat_spans_sql("spark", docs=view))
+    return (
+        flat.withColumn("cell", F.expr(grid.cell_sql("lon", "lat", TILE_RES, "spark")))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("w").alias("w_sumw"),
+            F.sum(F.col("w") * F.col("w")).alias("w_sumw2"),
+        )
+    )
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SEMANTIC dedup on the clustered mixture table: same LSH-bucketed
     pair join + canonical-min as dedup_embedding_cosine, but at tau=0.95 on
@@ -5269,4 +5356,5 @@ QUERIES = {
     "media_frame_sample": (q_media_frames, O_MEDIA_FRAMES),
     "zonal_stats": (q_zonal_stats, O_ZONAL_STATS),
     "checkpoint_resume": (q_checkpoint_resume, O_PIP_TILE_AGG),
+    "tile_agg_delta": (q_tile_agg_delta, O_TILE_AGG),
 }

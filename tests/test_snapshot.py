@@ -630,3 +630,52 @@ def test_expire_snapshots_gc_covers_delete_files(spark, docs, tmp_path):
     expire_snapshots(table, keep=1)
     assert not os.path.exists(dpath)
     assert SnapshotReader(table).load(spark).count() == n_mor
+
+
+def test_tile_agg_delta_merge_identity(spark, docs, tmp_path):
+    """Incremental rollup maintenance: aggregate ONLY the append commit's
+    files and coalesce-sum into the materialized base aggregate; the result
+    must be bit-identical to a full recompute (BIGINT counts + dyadic
+    weights make the partial-merge exact), and the delta scan must touch
+    exactly the appended files."""
+    from fast_carpenter_spark.queries import tile_partial_agg
+
+    table = str(tmp_path / "tbl_delta")
+    base = write_snapshot(
+        docs.filter("doc_id % 4 < 3").repartition(2, "doc_id"),
+        table, snapshot_id="snap-a",
+    )
+    write_snapshot(
+        docs.filter("doc_id % 4 = 3").repartition(2, "doc_id"),
+        table, snapshot_id="snap-b", base=base,
+    )
+    new = SnapshotReader(table)
+    # O(delta): the incremental file list is exactly the appended files
+    inc_paths = set(new.incremental_files("snap-a"))
+    assert inc_paths == set(new.snapshot.file_paths) - set(base.file_paths)
+
+    m = tile_partial_agg(
+        spark, SnapshotReader(table, "snap-a").load(spark), "tad_base"
+    )
+    d = tile_partial_agg(
+        spark, new.load_incremental(spark, "snap-a"), "tad_inc"
+    )
+    from pyspark.sql import functions as F
+
+    merged = (
+        m.select("cell", F.col("n").alias("n_a"), F.col("w_sumw").alias("sw_a"),
+                 F.col("w_sumw2").alias("sw2_a"))
+        .join(d.select("cell", F.col("n").alias("n_b"),
+                       F.col("w_sumw").alias("sw_b"),
+                       F.col("w_sumw2").alias("sw2_b")), "cell", "full_outer")
+        .select(
+            "cell",
+            (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias("n"),
+            (F.coalesce("sw_a", F.lit(0.0)) + F.coalesce("sw_b", F.lit(0.0))).alias("w_sumw"),
+            (F.coalesce("sw2_a", F.lit(0.0)) + F.coalesce("sw2_b", F.lit(0.0))).alias("w_sumw2"),
+        )
+    )
+    full = tile_partial_agg(spark, new.load(spark), "tad_full")
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want  # bit-exact, not approx
