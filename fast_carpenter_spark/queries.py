@@ -209,6 +209,42 @@ def _o_streaming_hll() -> str:
     )
 
 
+def q_streaming_theta(spark, sf_dir):
+    """Structured-Streaming theta sketch drained with availableNow: per
+    micro-batch kept sets (the ~1/16 sampled distinct-hash sub-space),
+    read-time set-union merge — must equal the batch theta_distinct's
+    (n_kept, est_int) exactly, because union of per-batch kept sets IS the
+    corpus kept set (idempotent merge: replays are harmless by algebra)."""
+    import os
+    import tempfile
+
+    from .streaming.sketch_stream import StreamingTheta
+
+    stage = StreamingTheta(
+        name="stheta",
+        out_dir=tempfile.mkdtemp(prefix="fcs_stheta_q_"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="fcs_stheta_ckpt_q_"),
+    )
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="fcs_stheta_in_")
+        os.symlink(src, os.path.join(d, "part-000.parquet"))
+        src = d
+    q = stage.start(spark, src, available_now=True)
+    q.awaitTermination(300)
+    return stage.result(spark)
+
+
+def _o_streaming_theta() -> str:
+    from .functions import sketch as _sketch
+
+    return (
+        "SELECT lang, n_kept, est_int FROM ("
+        + _sketch.theta_distinct_oracle_sql()
+        + ")"
+    )
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """Structured-Streaming gap sessionization drained with availableNow:
     per-batch session FRAGMENTS + read-time temporal-adjacency merge must
@@ -5357,4 +5393,5 @@ QUERIES = {
     "zonal_stats": (q_zonal_stats, O_ZONAL_STATS),
     "checkpoint_resume": (q_checkpoint_resume, O_PIP_TILE_AGG),
     "tile_agg_delta": (q_tile_agg_delta, O_TILE_AGG),
+    "streaming_theta": (q_streaming_theta, _o_streaming_theta()),
 }

@@ -73,3 +73,74 @@ class StreamingHll:
         )
         merged = deltas.groupBy("lang", "idx").agg(F.max("M").alias("M"))
         return hll_finalize(merged, merged.select("lang").distinct())
+
+
+@dataclass
+class StreamingTheta:
+    """Streaming theta (fixed-threshold KMV-style) distinct sketch.
+
+    The set-operation sibling of StreamingHll: per micro-batch the KEPT SET
+    (lang, h) — every distinct remixed bigram hash under theta — is written
+    as that batch's delta; the read-time merge is plain set union
+    (DISTINCT), which is associative, commutative and IDEMPOTENT, so a
+    replayed batch cannot perturb the sketch by algebra alone.  Each
+    batch's state is ~1/theta of its distinct-hash stream (the theta filter
+    runs map-side before the distinct), and the merged kept set IS the
+    corpus sketch — identical to the batch theta_registers, asserted
+    bit-for-bit in tests.  Unlike HLL registers, the merged kept sets of
+    different groups still support intersection/Jaccard at read time.
+    """
+
+    name: str
+    out_dir: str = "/tmp/fcs_theta_stream_out"
+    checkpoint_dir: str = "/tmp/fcs_theta_stream_ckpt"
+
+    @property
+    def deltas_dir(self) -> str:
+        return os.path.join(self.out_dir, "deltas")
+
+    def start(self, spark: SparkSession, input_dir: str, *, available_now: bool = True):
+        from ..functions.sketch import theta_registers
+
+        schema = spark.read.parquet(input_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(input_dir)
+        )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                theta_registers(batch_df)
+                .withColumn("_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.deltas_dir, f"batch={batch_id}"))
+            )
+
+        writer = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def registers(self, spark: SparkSession) -> DataFrame:
+        """Set-union merge of the per-batch kept sets — the corpus sketch."""
+        deltas = spark.read.option("recursiveFileLookup", "true").parquet(
+            self.deltas_dir
+        )
+        return deltas.select("lang", "h").distinct()
+
+    def result(self, spark: SparkSession) -> DataFrame:
+        """Per-language distinct estimate from the merged kept set."""
+        from ..functions.sketch import THETA_DEN
+
+        kept = self.registers(spark).groupBy("lang").agg(
+            F.count("*").alias("n_kept")
+        )
+        return kept.select(
+            "lang",
+            "n_kept",
+            (F.col("n_kept") * THETA_DEN).cast("long").alias("est_int"),
+        ).orderBy("lang")

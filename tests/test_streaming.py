@@ -459,3 +459,41 @@ def test_streaming_hll_merges_across_batches(spark, docs, tmp_path):
     per_batch = deltas.groupBy("_batch").count().collect()
     assert len(per_batch) >= 2  # genuinely multiple micro-batches
     assert all(r["count"] <= n_langs * HLL_M for r in per_batch)  # bounded state
+
+
+def test_streaming_theta_union_across_batches(spark, docs, tmp_path):
+    """Kept sets built from two disjoint half-corpus drains, set-union
+    merged at read time, must reproduce the whole-corpus batch theta sketch
+    EXACTLY (union of kept sets is the corpus kept set); a replayed delta
+    must not perturb the result (idempotent merge); and each batch's kept
+    set must be a small theta-fraction of its distinct-hash stream."""
+    from fast_carpenter_spark.functions.sketch import theta_distinct, theta_registers
+    from fast_carpenter_spark.streaming.sketch_stream import StreamingTheta
+
+    input_dir = str(tmp_path / "in")
+    docs.filter("doc_id % 2 = 0").write.mode("overwrite").parquet(input_dir)
+    stage = StreamingTheta(
+        name="st", out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    stage.start(spark, input_dir, available_now=True).awaitTermination(120)
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(input_dir)
+    stage.start(spark, input_dir, available_now=True).awaitTermination(120)
+
+    got = rows_sorted(stage.result(spark))
+    expected = rows_sorted(theta_distinct(docs).drop("exact"))
+    assert got == expected
+
+    # merged kept set == batch kept set bit-for-bit
+    assert rows_sorted(stage.registers(spark)) == rows_sorted(theta_registers(docs))
+
+    # replay idempotency BY ALGEBRA: duplicating every delta row changes
+    # nothing (union-distinct), unlike sum-based partials
+    deltas = spark.read.option("recursiveFileLookup", "true").parquet(stage.deltas_dir)
+    replayed = deltas.unionByName(deltas).select("lang", "h").distinct()
+    assert rows_sorted(replayed) == rows_sorted(stage.registers(spark))
+
+    # per-batch state is a theta-fraction sample, and there were >= 2 batches
+    per_batch = deltas.groupBy("_batch").count().collect()
+    assert len(per_batch) >= 2
+    whole = theta_registers(docs).count()
+    assert all(r["count"] <= whole for r in per_batch)
