@@ -1015,6 +1015,26 @@ def _o_trajectory_length() -> str:
 O_TRAJECTORY_LENGTH = _o_trajectory_length()
 
 
+def q_trajectory_hull(spark, sf_dir):
+    """Per-user convex hull of the event point cloud: canonical CCW vertex
+    cycle + exact BIGINT shoelace area, computed TWO-LEVEL — map-side local
+    hulls per partition (convexity is associative), so the one user_id
+    shuffle carries only O(hull) candidate vertices per user per partition,
+    never the raw points (hot-user skew dies map-side).  Oracle = an
+    independent gift-wrapping recursive CTE."""
+    from .spatial import hull as _hull
+
+    _load_events(spark, sf_dir)
+    pts = spark.sql(_hull.event_points_sql("spark"))
+    return _hull.convex_hull(pts, group="user_id")
+
+
+def _o_trajectory_hull() -> str:
+    from .spatial import hull as _hull
+
+    return _hull.jarvis_oracle_sql(_hull.event_points_sql("duck"))
+
+
 def q_tile_rollup(spark, sf_dir):
     """Zoom-out re-aggregation: tile level 8 -> 4 via parent cells — the
     hypertable-rollup analogue (grouping-set rollup over the hierarchy)."""
@@ -5394,4 +5414,5 @@ QUERIES = {
     "checkpoint_resume": (q_checkpoint_resume, O_PIP_TILE_AGG),
     "tile_agg_delta": (q_tile_agg_delta, O_TILE_AGG),
     "streaming_theta": (q_streaming_theta, _o_streaming_theta()),
+    "trajectory_hull": (q_trajectory_hull, _o_trajectory_hull()),
 }
