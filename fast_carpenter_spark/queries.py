@@ -1035,6 +1035,59 @@ def _o_trajectory_hull() -> str:
     return _hull.jarvis_oracle_sql(_hull.event_points_sql("duck"))
 
 
+def q_trajectory_diameter(spark, sf_dir):
+    """Per-user point-set diameter (farthest pair, exact integer d2): the
+    diameter of a set equals the diameter of its hull VERTICES, so the pair
+    search runs on the two-level hull's ~h rows per user (h ~ log n), not
+    the raw points — an O(h^2)-per-user self-join on a table already
+    reduced map-side.  Canonical tie-break: lexicographically smallest
+    (ax, ay, bx, by) among maxima.  Oracle = brute-force quadratic max over
+    ALL distinct points, so the hull reduction itself is what's checked."""
+    from .spatial import hull as _hull
+
+    _load_events(spark, sf_dir)
+    pts = spark.sql(_hull.event_points_sql("spark"))
+    verts = _hull.convex_hull(pts, group="user_id").select("user_id", "seq", "x", "y")
+    a = verts.select("user_id", F.col("seq").alias("sa"), F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = verts.select("user_id", F.col("seq").alias("sb"), F.col("x").alias("bx"), F.col("y").alias("by"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter("(ax, ay) < (bx, by)")
+        .select(
+            "user_id", "ax", "ay", "bx", "by",
+            F.expr(
+                "(bx - ax) * (bx - ax) + (by - ay) * (by - ay)"
+            ).alias("d2"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(
+            F.desc("d2"), "ax", "ay", "bx", "by"
+        )
+    )
+    return pairs.withColumn("_rn", rn).filter("_rn = 1").drop("_rn")
+
+
+def _o_trajectory_diameter() -> str:
+    from .spatial import hull as _hull
+
+    return f"""
+WITH pts AS ({_hull.event_points_sql('duck')}),
+pairs AS (
+  SELECT a.user_id, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by,
+         (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2
+  FROM pts a JOIN pts b
+    ON a.user_id = b.user_id AND (a.x, a.y) < (b.x, b.y)
+)
+SELECT user_id, ax, ay, bx, by, d2 FROM pairs
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY d2 DESC, ax, ay, bx, by
+) = 1
+"""
+
+
 def q_tile_rollup(spark, sf_dir):
     """Zoom-out re-aggregation: tile level 8 -> 4 via parent cells — the
     hypertable-rollup analogue (grouping-set rollup over the hierarchy)."""
@@ -5415,4 +5468,5 @@ QUERIES = {
     "tile_agg_delta": (q_tile_agg_delta, O_TILE_AGG),
     "streaming_theta": (q_streaming_theta, _o_streaming_theta()),
     "trajectory_hull": (q_trajectory_hull, _o_trajectory_hull()),
+    "trajectory_diameter": (q_trajectory_diameter, _o_trajectory_diameter()),
 }

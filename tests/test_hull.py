@@ -98,3 +98,34 @@ def test_hull_partition_invariance(spark):
     a = _hull_rows(H.convex_hull(pts.repartition(2)))
     b = _hull_rows(H.convex_hull(pts.repartition(17, F.col("x"))))
     assert a == b and len(a) > 0
+
+
+def test_diameter_via_hull_equals_brute(spark):
+    """Farthest pair restricted to hull vertices must equal the brute-force
+    farthest pair over all points (diameter is attained at hull vertices),
+    including the canonical tie-break."""
+    from fast_carpenter_spark.queries import q_trajectory_diameter
+
+    out = q_trajectory_diameter(spark, "/root/testdata/sf0.001").toPandas()
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    pts = spark.sql(H.event_points_sql("spark")).toPandas()
+    for uid, g in pts.groupby("user_id"):
+        ps = sorted(set(zip(g.x, g.y)))
+        best = max(
+            ((bx - ax) ** 2 + (by - ay) ** 2, ax, ay, bx, by)
+            for i, (ax, ay) in enumerate(ps)
+            for bx, by in ps[i + 1:]
+        )
+        # max() on the tuple picks max d2 then LARGEST coords; redo with
+        # canonical smallest-coords among maxima
+        d2max = best[0]
+        cand = min(
+            (ax, ay, bx, by)
+            for i, (ax, ay) in enumerate(ps)
+            for bx, by in ps[i + 1:]
+            if (bx - ax) ** 2 + (by - ay) ** 2 == d2max
+        )
+        row = out[out.user_id == uid].iloc[0]
+        assert (row.d2, row.ax, row.ay, row.bx, row.by) == (d2max, *cand)
