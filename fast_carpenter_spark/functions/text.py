@@ -315,3 +315,121 @@ def simhash_column(text_col: str, bits: int = 32):
         return pd.Series(simhash_batch(text.tolist(), bits), dtype="int64")
 
     return _udf(F.col(text_col))
+
+
+# --- Winnowing fingerprints (MOSS-style rolling-hash min-sampling) ----------
+#
+# The document-fingerprinting scheme with the POSITIONAL guarantee MinHash
+# lacks: selecting the minimum k-gram hash in every w-window means any two
+# documents sharing a substring of >= w + k - 1 tokens share at least one
+# selected fingerprint — so overlap detection is exact-by-construction for
+# long shared runs, not probabilistic.  Both engines evaluate the same
+# logical algorithm through their list dialects (shared constants, same
+# remix), so fingerprints match bit-for-bit.
+#
+# Evaluation is STAGED (grams -> remixed -> window mins as separate select
+# layers): inlining the gram hashing into every window's slice-min would
+# textually expand the token fold per window — the same plan blow-up the PQ
+# distance polynomials hit (NOTES_r3 #10) — whereas a staged column is
+# computed once per row.
+#
+# Scale shape: selection is pure map-side array algebra (no shuffle); the
+# overlap join is a posting-list equi-join on the fingerprint with a
+# common-fingerprint frequency cap (df > cap dropped — boilerplate shared
+# by every doc is noise for plagiarism-style matching and the skew pivot
+# for the join).
+
+WINNOW_K = 3  # k-gram shingle length (tokens)
+WINNOW_W = 4  # winnowing window (shingles)
+WINNOW_DF_CAP = 50  # drop fingerprints shared by more docs than this
+
+
+def winnow_fps_query_sql(
+    dialect: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    docs: str = "documents",
+) -> str:
+    """(doc_id, fp) rows of distinct winnowed fingerprints per document:
+    avalanche-remixed k-gram hashes, min per w-window; short docs
+    (0 < n_grams < w) keep the global min so no non-empty doc goes
+    unfingerprinted."""
+    grams = ngram_hashes_sql("text", k, dialect)
+    remix = f"(_g * 2654435761 + 40503) % {HASH_MOD}"
+    if dialect == "spark":
+        # ROW-BASED sliding min: posexplode the gram hashes, then one
+        # doc_id-partitioned window (ROWS BETWEEN CURRENT AND w-1
+        # FOLLOWING).  The array formulation (min per slice) is a trap on
+        # Spark: CollapseProject inlines the gram-hash fold into every
+        # window's slice, recomputing the whole array per window — O(L^2)
+        # per doc and a ~100x measured blow-up.  Generate (explode) is a
+        # collapse barrier, and the window shuffle on doc_id is the same
+        # single-shuffle shape as every per-doc stage.
+        rh = remix.replace("_g", "gh")
+        return f"""
+WITH g AS (
+  SELECT doc_id, posexplode(grams) AS (idx, gh) FROM (
+    SELECT doc_id, {grams} AS grams FROM {docs}
+  )
+),
+r AS (
+  SELECT doc_id, idx, {rh} AS rh,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM g
+),
+wins AS (
+  SELECT doc_id, idx, n,
+         min(rh) OVER (
+           PARTITION BY doc_id ORDER BY idx
+           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
+         ) AS m
+  FROM r
+)
+SELECT DISTINCT doc_id, m AS fp FROM wins WHERE n >= {w} AND idx <= n - {w}
+UNION ALL
+SELECT doc_id, min(rh) AS fp FROM r GROUP BY doc_id HAVING count(*) < {w}
+"""
+    rem = f"list_transform(grams, _g -> {remix})"
+    wins = (
+        f"list_transform(range(1, len(rem) - {w} + 2), "
+        f"_i -> list_min(rem[_i:_i + {w} - 1]))"
+    )
+    fps = (
+        f"CASE WHEN len(rem) >= {w} THEN list_distinct({wins}) "
+        f"WHEN len(rem) > 0 THEN [list_min(rem)] "
+        f"ELSE CAST([] AS BIGINT[]) END"
+    )
+    return f"""
+SELECT doc_id, unnest(fps) AS fp FROM (
+  SELECT doc_id, {fps} AS fps FROM (
+    SELECT doc_id, {rem} AS rem FROM (
+      SELECT doc_id, {grams} AS grams FROM {docs}
+    )
+  )
+)
+"""
+
+
+def winnow_overlap_query_sql(
+    dialect: str,
+    min_shared: int = 2,
+    df_cap: int = WINNOW_DF_CAP,
+) -> str:
+    """Document pairs sharing >= min_shared winnowed fingerprints, via a
+    posting-list equi-join on the fingerprint.  Fingerprints with document
+    frequency > df_cap are dropped first (shared boilerplate = noise AND
+    the join's skew pivot; the rule text is shared so capped semantics stay
+    exact across engines)."""
+    fps = winnow_fps_query_sql(dialect)
+    return f"""
+WITH fps AS ({fps}),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {df_cap}
+),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON r.fp = f.fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""

@@ -4368,6 +4368,39 @@ def _o_theta_jaccard() -> str:
     return _sketch.theta_jaccard_oracle_sql()
 
 
+def q_fingerprint_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS-style): distinct min-per-window remixed
+    k-gram hashes per document — the positional-guarantee fingerprint
+    (any shared token run >= w+k-1 long shares a fingerprint).  Map-side
+    array algebra, staged so gram hashing is computed once per row."""
+    from .functions import text as _text
+
+    load_documents(spark, sf_dir)
+    return spark.sql(_text.winnow_fps_query_sql("spark"))
+
+
+def _o_fingerprint_winnow() -> str:
+    from .functions import text as _text
+
+    return _text.winnow_fps_query_sql("duck")
+
+
+def q_fingerprint_overlap(spark, sf_dir):
+    """Document pairs sharing >= 2 winnowed fingerprints: posting-list
+    equi-join on the fingerprint with a document-frequency cap (shared
+    boilerplate fingerprints are noise AND the join's skew pivot)."""
+    from .functions import text as _text
+
+    load_documents(spark, sf_dir)
+    return spark.sql(_text.winnow_overlap_query_sql("spark"))
+
+
+def _o_fingerprint_overlap() -> str:
+    from .functions import text as _text
+
+    return _text.winnow_overlap_query_sql("duck")
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Connected components over the MinHash-LSH near-dup graph: every doc
     labelled with its component's min doc_id (Pregel-style neighbor-min
@@ -5469,4 +5502,6 @@ QUERIES = {
     "streaming_theta": (q_streaming_theta, _o_streaming_theta()),
     "trajectory_hull": (q_trajectory_hull, _o_trajectory_hull()),
     "trajectory_diameter": (q_trajectory_diameter, _o_trajectory_diameter()),
+    "fingerprint_winnow": (q_fingerprint_winnow, _o_fingerprint_winnow()),
+    "fingerprint_overlap": (q_fingerprint_overlap, _o_fingerprint_overlap()),
 }

@@ -90,3 +90,51 @@ def test_simhash_non_ascii_matches_duckdb(duck):
         for s in NON_ASCII
     ]
     assert simhash_batch(NON_ASCII) == exp
+
+
+def test_winnow_positional_guarantee(spark):
+    """Winnowing's defining property: two documents sharing a token run of
+    length >= w + k - 1 share at least one selected fingerprint; disjoint
+    vocabularies share none."""
+    from fast_carpenter_spark.functions.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fps_query_sql,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    rows = [
+        (0, f"xx yy {run} zz"),
+        (1, f"{run} qq rr ss tt"),
+        (2, "uu vv ww aa bb cc dd ee"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "winnow_docs"
+    )
+    assert len(run.split()) == WINNOW_W + WINNOW_K - 1
+    fps = spark.sql(
+        winnow_fps_query_sql("spark", docs="winnow_docs")
+    ).toPandas()
+    s0 = set(fps[fps.doc_id == 0].fp)
+    s1 = set(fps[fps.doc_id == 1].fp)
+    s2 = set(fps[fps.doc_id == 2].fp)
+    assert s0 & s1  # shared run -> shared fingerprint (the guarantee)
+    assert not (s0 & s2) and not (s1 & s2)  # disjoint vocab -> none
+
+
+def test_winnow_short_and_empty_docs(spark):
+    """Docs with 0 grams emit no fingerprint; docs with 0 < grams < w emit
+    exactly one (the global min)."""
+    from fast_carpenter_spark.functions.text import winnow_fps_query_sql
+
+    rows = [(0, ""), (1, "one two"), (2, "one two three"), (3, "a b c d e")]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "winnow_short"
+    )
+    fps = spark.sql(
+        winnow_fps_query_sql("spark", docs="winnow_short")
+    ).toPandas()
+    counts = fps.groupby("doc_id").size().to_dict()
+    assert 0 not in counts and 1 not in counts  # < k tokens -> no grams
+    assert counts[2] == 1  # one gram < w -> global min
+    assert counts[3] == 1  # three grams < w -> global min
