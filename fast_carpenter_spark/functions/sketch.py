@@ -92,6 +92,27 @@ def cms_topk(docs: DataFrame, *, k: int = 15) -> DataFrame:
     )
 
 
+def cms_sketch_oracle_sql() -> str:
+    """The bare d×w grid (row, cell, cnt) — oracle twin of cms_sketch,
+    shared by the batch and streaming sum-merge compares."""
+    h = token_hash_sql("token", "duck")
+    cells = cms_cells_sql("_h", "duck")
+    return f"""
+WITH toks AS (
+  SELECT unnest({tokens_sql('text', 'duck')}) AS token FROM documents
+),
+hashed AS (
+  SELECT token, {h} AS _h FROM toks
+),
+pairs AS (
+  SELECT generate_subscripts(cs, 1) - 1 AS row, unnest(cs) AS cell
+  FROM (SELECT {cells} AS cs FROM hashed)
+)
+SELECT CAST(row AS INT) AS row, cell, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1, 2
+"""
+
+
 def cms_topk_oracle_sql(*, k: int = 15) -> str:
     h = token_hash_sql("token", "duck")
     cells = cms_cells_sql("_h", "duck")

@@ -245,6 +245,39 @@ def _o_streaming_theta() -> str:
     )
 
 
+def q_streaming_cms(spark, sf_dir):
+    """Structured-Streaming count-min sketch drained with availableNow:
+    per micro-batch bounded d×w grid partials, read-time element-wise SUM
+    merge — must equal the single-pass cms_sketch exactly (associative
+    addition).  The additive (non-idempotent) member of the streaming
+    sketch family: replay safety comes from the exactly-once sink
+    discipline, not the algebra — the documented contrast with HLL/theta."""
+    import os
+    import tempfile
+
+    from .streaming.sketch_stream import StreamingCms
+
+    stage = StreamingCms(
+        name="scms",
+        out_dir=tempfile.mkdtemp(prefix="fcs_scms_q_"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="fcs_scms_ckpt_q_"),
+    )
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="fcs_scms_in_")
+        os.symlink(src, os.path.join(d, "part-000.parquet"))
+        src = d
+    q = stage.start(spark, src, available_now=True)
+    q.awaitTermination(300)
+    return stage.result(spark).withColumn("row", F.col("row").cast("int"))
+
+
+def _o_streaming_cms() -> str:
+    from .functions import sketch as _sketch
+
+    return _sketch.cms_sketch_oracle_sql()
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """Structured-Streaming gap sessionization drained with availableNow:
     per-batch session FRAGMENTS + read-time temporal-adjacency merge must
@@ -5504,4 +5537,5 @@ QUERIES = {
     "trajectory_diameter": (q_trajectory_diameter, _o_trajectory_diameter()),
     "fingerprint_winnow": (q_fingerprint_winnow, _o_fingerprint_winnow()),
     "fingerprint_overlap": (q_fingerprint_overlap, _o_fingerprint_overlap()),
+    "streaming_cms": (q_streaming_cms, _o_streaming_cms()),
 }

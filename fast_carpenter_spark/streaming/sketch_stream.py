@@ -144,3 +144,63 @@ class StreamingTheta:
             "n_kept",
             (F.col("n_kept") * THETA_DEN).cast("long").alias("est_int"),
         ).orderBy("lang")
+
+
+@dataclass
+class StreamingCms:
+    """Streaming count-min sketch — the SUM-merge member of the sketch
+    family (HLL merges by idempotent max, theta by idempotent union, CMS
+    by plain addition).  Per micro-batch the bounded d×w grid partial
+    (<= 1024 rows regardless of batch size) is written as that batch's
+    delta; the read-time merge is an element-wise SUM per (row, cell).
+
+    Addition is NOT idempotent, so unlike the other two sketches a
+    replayed batch WOULD double-count — correctness rests on the engine's
+    exactly-once discipline (checkpointed file-source offsets + per-batch
+    overwrite into batch={id} paths), which is precisely what the restart
+    test exercises.  The contrast is deliberate and documented: idempotent
+    algebras survive at-least-once delivery, additive ones need the
+    transactional sink.
+    """
+
+    name: str
+    out_dir: str = "/tmp/fcs_cms_stream_out"
+    checkpoint_dir: str = "/tmp/fcs_cms_stream_ckpt"
+
+    @property
+    def deltas_dir(self) -> str:
+        return os.path.join(self.out_dir, "deltas")
+
+    def start(self, spark: SparkSession, input_dir: str, *, available_now: bool = True):
+        from ..functions.sketch import cms_sketch
+
+        schema = spark.read.parquet(input_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(input_dir)
+        )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                cms_sketch(batch_df)
+                .withColumn("_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.deltas_dir, f"batch={batch_id}"))
+            )
+
+        writer = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def result(self, spark: SparkSession) -> DataFrame:
+        """Element-wise sum-merge of the per-batch grids — the corpus
+        sketch, equal to the single-pass cms_sketch by associativity."""
+        deltas = spark.read.option("recursiveFileLookup", "true").parquet(
+            self.deltas_dir
+        )
+        return deltas.groupBy("row", "cell").agg(F.sum("cnt").alias("cnt"))

@@ -497,3 +497,42 @@ def test_streaming_theta_union_across_batches(spark, docs, tmp_path):
     assert len(per_batch) >= 2
     whole = theta_registers(docs).count()
     assert all(r["count"] <= whole for r in per_batch)
+
+
+def test_streaming_cms_sum_merge_across_batches(spark, docs, tmp_path):
+    """Grid partials from two disjoint half-corpus drains, sum-merged at
+    read time, must equal the single-pass cms_sketch exactly (associative
+    addition); per-batch state stays under the d*w bound; and — the
+    documented contrast with the idempotent sketches — a duplicated delta
+    DOES change the result, which is why CMS rides the exactly-once sink."""
+    from fast_carpenter_spark.functions.sketch import D_ROWS, W_COLS, cms_sketch
+    from fast_carpenter_spark.streaming.sketch_stream import StreamingCms
+
+    input_dir = str(tmp_path / "in")
+    docs.filter("doc_id % 2 = 0").write.mode("overwrite").parquet(input_dir)
+    stage = StreamingCms(
+        name="sc", out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    stage.start(spark, input_dir, available_now=True).awaitTermination(120)
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(input_dir)
+    stage.start(spark, input_dir, available_now=True).awaitTermination(120)
+
+    got = rows_sorted(stage.result(spark))
+    expected = rows_sorted(cms_sketch(docs))
+    assert got == expected and len(got) > 0
+
+    deltas = spark.read.option("recursiveFileLookup", "true").parquet(stage.deltas_dir)
+    per_batch = deltas.groupBy("_batch").count().collect()
+    assert len(per_batch) >= 2
+    assert all(r["count"] <= D_ROWS * W_COLS for r in per_batch)
+
+    # non-idempotence, demonstrated: replaying one delta inflates counts
+    from pyspark.sql import functions as F
+
+    one = deltas.filter("_batch = 0")
+    doubled = (
+        deltas.unionByName(one)
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert rows_sorted(doubled) != got
