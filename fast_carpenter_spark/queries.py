@@ -3653,6 +3653,70 @@ GROUP BY cell
 """.replace("{spans}", synth.flat_spans_sql("duck"))
 
 
+def _ring_region():
+    """A ring (box minus inner box) at REGION_RES — a query region whose
+    Hilbert cover is deliberately NOT one contiguous interval (6 runs),
+    unlike the curve-aligned SW quadrant."""
+    n = 1 << REGION_RES
+    return (n // 4, 3 * n // 4, 3 * n // 8, 5 * n // 8)
+
+
+def _ring_pred_sql(ux: str, uy: str) -> str:
+    o_lo, o_hi, i_lo, i_hi = _ring_region()
+    return (
+        f"(({ux}) >= {o_lo} AND ({ux}) < {o_hi} AND ({uy}) >= {o_lo} AND ({uy}) < {o_hi}) "
+        f"AND NOT (({ux}) >= {i_lo} AND ({ux}) < {i_hi} AND ({uy}) >= {i_lo} AND ({uy}) < {i_hi})"
+    )
+
+
+def q_snapshot_multirange_scan(spark, sf_dir):
+    """Multi-range Hilbert manifest pruning: a RING query region's cell
+    cover decomposes into 6 contiguous Hilbert runs (hilbert_intervals,
+    plan-time arithmetic on region cells — never data); files are pruned
+    against ALL intervals, opening 4 of 8 files where the single [min,max]
+    envelope would open 6 — the range-split planning an Iceberg scan does
+    for non-curve-aligned regions, and the general form of the quadrant
+    scan.  Exact residual filter after the pruned read; pruning wins and
+    result-identity are pinned in tests/test_snapshot.py."""
+    import numpy as np
+
+    from .spatial.layout import hilbert_intervals
+
+    reader = _hilbert_snapshot(spark, sf_dir)
+    n = 1 << REGION_RES
+    o_lo, o_hi, i_lo, i_hi = _ring_region()
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    x, y = xs.ravel(), ys.ravel()
+    m = (
+        (x >= o_lo) & (x < o_hi) & (y >= o_lo) & (y < o_hi)
+        & ~((x >= i_lo) & (x < i_hi) & (y >= i_lo) & (y < i_hi))
+    )
+    hk = grid.hilbert_key(x[m].astype("int64"), y[m].astype("int64"), REGION_RES)
+    intervals = hilbert_intervals(hk, max_intervals=8)
+    pts = reader.load_ranges(spark, "hkey", intervals)
+    ux = grid.unpack_x_sql("cell", "spark")
+    uy = grid.unpack_y_sql("cell", "spark")
+    return (
+        pts.filter(F.expr(_ring_pred_sql(ux, uy)))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("sumw"))
+    )
+
+
+def _o_snapshot_multirange_scan() -> str:
+    cell = grid.cell_sql("lon", "lat", REGION_RES, "duck")
+    ux = grid.unpack_x_sql("cell", "duck")
+    uy = grid.unpack_y_sql("cell", "duck")
+    return f"""
+WITH fs AS ({{spans}}),
+cells AS (SELECT {cell} AS cell, w FROM fs)
+SELECT cell, count(*) AS n, sum(w) AS sumw
+FROM cells
+WHERE {_ring_pred_sql(ux, uy)}
+GROUP BY cell
+""".replace("{spans}", synth.flat_spans_sql("duck"))
+
+
 def q_snapshot_incremental(spark, sf_dir):
     """Iceberg-style incremental scan: snapshot A holds 3/4 of the corpus,
     snapshot B is an APPEND commit of the remaining quarter (manifest =
@@ -5538,4 +5602,8 @@ QUERIES = {
     "fingerprint_winnow": (q_fingerprint_winnow, _o_fingerprint_winnow()),
     "fingerprint_overlap": (q_fingerprint_overlap, _o_fingerprint_overlap()),
     "streaming_cms": (q_streaming_cms, _o_streaming_cms()),
+    "snapshot_multirange_scan": (
+        q_snapshot_multirange_scan,
+        _o_snapshot_multirange_scan(),
+    ),
 }

@@ -208,6 +208,33 @@ class SnapshotReader:
                 keep.append(os.path.join(self.table_path, f["path"]))
         return keep
 
+    def prune_ranges(self, col: str, ranges) -> list[dict]:
+        """Multi-interval manifest pruning: files whose [min,max] for
+        ``col`` may intersect ANY of the (lo, hi) intervals — the
+        range-split planning an Iceberg scan does for a query whose key
+        set is not one contiguous run (e.g. a non-quadrant spatial region
+        under a Hilbert layout).  Interval count is planner-bounded (a few
+        dozen), so the per-file check is k comparisons against manifest
+        metadata — no data touched."""
+        keep = []
+        for f in self.snapshot.files:
+            b = f["bounds"].get(col)
+            if b is None or any(not (b[1] < lo or b[0] > hi) for lo, hi in ranges):
+                keep.append(f)
+        return keep
+
+    def load_ranges(self, spark: SparkSession, col: str, ranges) -> DataFrame:
+        """Read only the files surviving multi-interval pruning (the
+        superset property: callers still apply the exact residual filter)."""
+        files = self.prune_ranges(col, ranges)
+        if not files:
+            raise ValueError("pruning removed all files; nothing to read")
+        if not self.snapshot.delete_files:
+            return self._read(
+                spark, [os.path.join(self.table_path, f["path"]) for f in files]
+            )
+        return self._read_with_deletes(spark, files)
+
     def load(self, spark: SparkSession, *, col=None, lo=None, hi=None) -> DataFrame:
         files = (
             [

@@ -101,3 +101,33 @@ SELECT qx, qy, CAST(count(*) AS BIGINT) AS n_cells,
        CAST(count(DISTINCT file_m) AS BIGINT) AS files_morton
 FROM filed GROUP BY qx, qy
 """
+
+
+def hilbert_intervals(hkeys, max_intervals: int | None = None) -> list[tuple[int, int]]:
+    """Decompose a set of Hilbert keys into its maximal contiguous runs —
+    the multi-range scan plan for a region whose cell cover is NOT one
+    contiguous interval (anything but a curve-aligned quadrant).
+
+    When ``max_intervals`` caps the plan size, adjacent runs are merged
+    smallest-gap-first (ties: leftmost) until the cap holds: every merge
+    admits exactly ``gap`` extra keys, so greedily closing the smallest
+    gaps minimizes the false-positive key volume — the same trade an
+    Iceberg range-split planner makes.  Purely plan-time arithmetic on a
+    sorted key set (region cell counts, not data), deterministic."""
+    ks = sorted(set(int(k) for k in hkeys))
+    if not ks:
+        return []
+    runs: list[list[int]] = [[ks[0], ks[0]]]
+    for k in ks[1:]:
+        if k == runs[-1][1] + 1:
+            runs[-1][1] = k
+        else:
+            runs.append([k, k])
+    while max_intervals is not None and len(runs) > max_intervals:
+        gaps = [
+            (runs[i + 1][0] - runs[i][1], i) for i in range(len(runs) - 1)
+        ]
+        _, i = min(gaps)
+        runs[i][1] = runs[i + 1][1]
+        del runs[i + 1]
+    return [(a, b) for a, b in runs]

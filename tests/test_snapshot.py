@@ -679,3 +679,84 @@ def test_tile_agg_delta_merge_identity(spark, docs, tmp_path):
     got = sorted(map(tuple, merged.collect()))
     want = sorted(map(tuple, full.collect()))
     assert got == want  # bit-exact, not approx
+
+
+def test_hilbert_intervals_decomposition():
+    """Runs are maximal and exact when uncapped; capping merges the
+    smallest gaps first and only ever ADDS keys (superset property)."""
+    from fast_carpenter_spark.spatial.layout import hilbert_intervals
+
+    assert hilbert_intervals([]) == []
+    assert hilbert_intervals([3, 1, 2, 2, 9, 10, 7]) == [(1, 3), (7, 7), (9, 10)]
+    # cap merges the 7..9 side (gap 1) before the 3..7 side (gap 3)
+    assert hilbert_intervals([3, 1, 2, 9, 10, 7], max_intervals=2) == [
+        (1, 3),
+        (7, 10),
+    ]
+    assert hilbert_intervals([1, 5, 100], max_intervals=1) == [(1, 100)]
+    # superset property under any cap
+    ks = [1, 2, 3, 10, 11, 40, 41, 42, 90]
+    full = set(ks)
+    for cap in (1, 2, 3, 4, None):
+        iv = hilbert_intervals(ks, max_intervals=cap)
+        covered = set()
+        for a, b in iv:
+            covered.update(range(a, b + 1))
+        assert full <= covered
+
+
+def test_multirange_prune_beats_envelope(spark, docs, tmp_path):
+    """The ring region's 6-interval plan must open strictly fewer files
+    than the single [min,max] envelope, and the pruned+filtered result
+    must equal the unpruned+filtered one (pruning is pure performance)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fast_carpenter_spark import grid
+    from fast_carpenter_spark.plans.pipeline import HilbertLayoutStage
+    from fast_carpenter_spark.queries import REGION_RES, _ring_pred_sql, _ring_region
+    from fast_carpenter_spark.spatial.layout import hilbert_intervals
+    from fast_carpenter_spark.synth import flat_spans_sql
+
+    pts = spark.sql(flat_spans_sql("spark")).select(
+        "doc_id", "span_idx", "lon", "lat", "w",
+        F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark")).alias("cell"),
+    )
+    laid = HilbertLayoutStage(
+        name="hl", res=REGION_RES, partitions=8, keep_col="hkey"
+    ).apply(pts)
+    table = str(tmp_path / "tbl_mr")
+    write_snapshot(laid, table, snapshot_id="snap-mr", bounds_cols=["hkey"])
+    reader = SnapshotReader(table)
+
+    n = 1 << REGION_RES
+    o_lo, o_hi, i_lo, i_hi = _ring_region()
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    x, y = xs.ravel(), ys.ravel()
+    m = (
+        (x >= o_lo) & (x < o_hi) & (y >= o_lo) & (y < o_hi)
+        & ~((x >= i_lo) & (x < i_hi) & (y >= i_lo) & (y < i_hi))
+    )
+    hk = grid.hilbert_key(x[m].astype("int64"), y[m].astype("int64"), REGION_RES)
+    intervals = hilbert_intervals(hk, max_intervals=8)
+    assert len(intervals) > 1  # genuinely multi-range
+
+    kept = reader.prune_ranges("hkey", intervals)
+    envelope = reader.prune("hkey", int(hk.min()), int(hk.max()))
+    assert len(kept) < len(envelope)  # the multi-range win
+    assert len(kept) < len(reader.snapshot.files)
+
+    pred = _ring_pred_sql(
+        grid.unpack_x_sql("cell", "spark"), grid.unpack_y_sql("cell", "spark")
+    )
+    pruned = sorted(
+        tuple(r)
+        for r in reader.load_ranges(spark, "hkey", intervals)
+        .filter(F.expr(pred)).select("doc_id", "span_idx", "cell").collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in reader.load(spark)
+        .filter(F.expr(pred)).select("doc_id", "span_idx", "cell").collect()
+    )
+    assert pruned == full and len(full) > 0
