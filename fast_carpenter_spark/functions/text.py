@@ -421,6 +421,26 @@ def winnow_overlap_query_sql(
     the join's skew pivot; the rule text is shared so capped semantics stay
     exact across engines)."""
     fps = winnow_fps_query_sql(dialect)
+    if dialect == "spark":
+        # Spark INLINES non-materialized CTEs, so the groupBy-then-join-back
+        # df-cap formulation recomputes the whole fingerprint stream once
+        # per reference (the tile_contour lesson).  A count() window over
+        # one fps pass computes the document frequency on the SAME fp
+        # shuffle the self-join needs — one fingerprint stream, total.
+        return f"""
+WITH kept AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM ({fps})
+  ) WHERE df <= {df_cap}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
+    # DuckDB materializes multiply-referenced CTEs, so the straightforward
+    # groupBy + join-back stays the INDEPENDENT oracle formulation.
     return f"""
 WITH fps AS ({fps}),
 rare AS (
@@ -433,3 +453,63 @@ FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+def winnow_fps_df(docs, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Arrow-kernel hot path for winnowing: token hashing via the batched
+    numpy kernel (~80x the SQL char fold), gram/remix/sliding-min as the
+    same row-based SQL shape as winnow_fps_query_sql('spark').  Values are
+    identical to the SQL twin (asserted in tests); the oracle stays the
+    independent DuckDB list formulation."""
+    from pyspark.sql import Window as W_, functions as F
+
+    remix = f"(gh * 2654435761 + 40503) % {HASH_MOD}"
+    g = docs.select(
+        "doc_id", token_hashes_column("text").alias("ths")
+    ).select(
+        "doc_id",
+        F.posexplode(F.expr(ngram_hashes_from_col_sql("ths", k))).alias("idx", "gh"),
+    )
+    r = g.select(
+        "doc_id", "idx", F.expr(remix).alias("rh")
+    ).withColumn("n", F.count(F.lit(1)).over(W_.partitionBy("doc_id")))
+    wins = r.withColumn(
+        "m",
+        F.min("rh").over(
+            W_.partitionBy("doc_id").orderBy("idx").rowsBetween(0, w - 1)
+        ),
+    )
+    sel = (
+        wins.filter(f"n >= {w} AND idx <= n - {w}")
+        .select("doc_id", F.col("m").alias("fp"))
+        .distinct()
+    )
+    short = (
+        r.groupBy("doc_id")
+        .agg(F.min("rh").alias("fp"), F.count(F.lit(1)).alias("cnt"))
+        .filter(f"cnt < {w}")
+        .select("doc_id", "fp")
+    )
+    return sel.unionByName(short)
+
+
+def winnow_overlap_df(docs, min_shared: int = 2, df_cap: int = WINNOW_DF_CAP):
+    """Arrow-kernel hot path for the overlap join (see
+    winnow_overlap_query_sql for the shape rationale)."""
+    from pyspark.sql import Window as W_, functions as F
+
+    fps = winnow_fps_df(docs)
+    kept = (
+        fps.withColumn("df", F.count(F.lit(1)).over(W_.partitionBy("fp")))
+        .filter(f"df <= {df_cap}")
+        .select("doc_id", "fp")
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter("doc_a < doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(f"n_shared >= {min_shared}")
+    )

@@ -4468,12 +4468,13 @@ def _o_theta_jaccard() -> str:
 def q_fingerprint_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS-style): distinct min-per-window remixed
     k-gram hashes per document — the positional-guarantee fingerprint
-    (any shared token run >= w+k-1 long shares a fingerprint).  Map-side
-    array algebra, staged so gram hashing is computed once per row."""
+    (any shared token run >= w+k-1 long shares a fingerprint).  Arrow-
+    batched token hashing (the ~80x kernel) + row-based sliding-window
+    min; the pure-SQL twin is identity-tested and the DuckDB oracle is an
+    independent list formulation."""
     from .functions import text as _text
 
-    load_documents(spark, sf_dir)
-    return spark.sql(_text.winnow_fps_query_sql("spark"))
+    return _text.winnow_fps_df(load_documents(spark, sf_dir))
 
 
 def _o_fingerprint_winnow() -> str:
@@ -4485,11 +4486,13 @@ def _o_fingerprint_winnow() -> str:
 def q_fingerprint_overlap(spark, sf_dir):
     """Document pairs sharing >= 2 winnowed fingerprints: posting-list
     equi-join on the fingerprint with a document-frequency cap (shared
-    boilerplate fingerprints are noise AND the join's skew pivot)."""
+    boilerplate fingerprints are noise AND the join's skew pivot).  The
+    df-cap rides a count() window on the SAME fp shuffle the self-join
+    needs — one fingerprint stream, not a groupBy-and-join-back that
+    Spark's CTE inlining would recompute."""
     from .functions import text as _text
 
-    load_documents(spark, sf_dir)
-    return spark.sql(_text.winnow_overlap_query_sql("spark"))
+    return _text.winnow_overlap_df(load_documents(spark, sf_dir))
 
 
 def _o_fingerprint_overlap() -> str:

@@ -86,6 +86,14 @@ AUDITED = [
     "tile_morph",       # two constant 9-way explodes, grid-bounded aggregates
     "hll_union",        # partial sketches -> register-max merge (mergeable state)
     "layout_compare",   # corpus histogram + 1024-row literal lookup, grid-bounded
+    "theta_distinct",   # map-side theta filter BEFORE the distinct exchange
+    "theta_jaccard",    # kept-set posting-list equi join on the hash, no cross
+    "tile_agg_delta",   # delta-files-only agg + cell-keyed coalesce-sum merge
+    "trajectory_hull",  # map-side local hulls, shuffle carries O(hull) candidates
+    "trajectory_diameter",  # pair search on hull vertices only, not raw points
+    "fingerprint_winnow",   # posexplode + ONE doc_id window (no per-window array recompute)
+    "fingerprint_overlap",  # df-capped posting-list equi self-join on the fp
+    "snapshot_multirange_scan",  # multi-interval manifest prune, then residual + agg
     # dedup_cluster / tile_regions / dbscan are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
     # join is the same edge-keyed hash-join shape audited via

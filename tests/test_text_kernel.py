@@ -138,3 +138,21 @@ def test_winnow_short_and_empty_docs(spark):
     assert 0 not in counts and 1 not in counts  # < k tokens -> no grams
     assert counts[2] == 1  # one gram < w -> global min
     assert counts[3] == 1  # three grams < w -> global min
+
+
+def test_winnow_arrow_kernel_matches_sql_twin(spark, docs):
+    """The Arrow-kernel winnow path must reproduce the pure-SQL twin
+    bit-for-bit (same fps, same overlap pairs)."""
+    from fast_carpenter_spark.functions.text import (
+        winnow_fps_df,
+        winnow_fps_query_sql,
+        winnow_overlap_df,
+        winnow_overlap_query_sql,
+    )
+
+    sql_fps = sorted(map(tuple, spark.sql(winnow_fps_query_sql("spark")).collect()))
+    df_fps = sorted(map(tuple, winnow_fps_df(docs).collect()))
+    assert sql_fps == df_fps and len(df_fps) > 0
+    sql_ov = sorted(map(tuple, spark.sql(winnow_overlap_query_sql("spark")).collect()))
+    df_ov = sorted(map(tuple, winnow_overlap_df(docs).collect()))
+    assert sql_ov == df_ov
