@@ -3717,6 +3717,49 @@ GROUP BY cell
 """.replace("{spans}", synth.flat_spans_sql("duck"))
 
 
+BLOOM_PROBE_IDS = (17, 130, 384)
+
+
+def q_snapshot_bloom_scan(spark, sf_dir):
+    """Point-lookup data skipping via manifest blooms: the corpus snapshot
+    is HASH-partitioned on doc_id (8 files), so every file's [min,max]
+    spans the whole id domain and range bounds prune nothing — the setting
+    where Iceberg/Parquet bloom indexes earn their keep.  A 3-id probe
+    opens only the files whose doc_id bloom hits (~1 file per id at 0.2%
+    fpp), then the exact residual filter runs; files-opened and
+    absent-key-pruning are pinned in tests/test_snapshot.py."""
+    import os
+    import tempfile
+
+    from .sources.snapshot import SnapshotReader, list_snapshots, write_snapshot
+
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"fcs_bloom_snap_{_source_fingerprint_tag(sf_dir)}"
+    )
+    if not (os.path.isdir(tdir) and list_snapshots(tdir)):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        write_snapshot(
+            docs.repartition(8, "doc_id"),
+            tdir,
+            snapshot_id="snap-bloom",
+            bloom_cols=["doc_id"],
+        )
+    reader = SnapshotReader(tdir)
+    ids = list(BLOOM_PROBE_IDS)
+    return (
+        reader.load_bloom(spark, "doc_id", ids)
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def _o_snapshot_bloom_scan() -> str:
+    ids = ", ".join(str(i) for i in BLOOM_PROBE_IDS)
+    return f"""
+SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id IN ({ids})
+"""
+
+
 def q_snapshot_incremental(spark, sf_dir):
     """Iceberg-style incremental scan: snapshot A holds 3/4 of the corpus,
     snapshot B is an APPEND commit of the remaining quarter (manifest =
@@ -5609,4 +5652,5 @@ QUERIES = {
         q_snapshot_multirange_scan,
         _o_snapshot_multirange_scan(),
     ),
+    "snapshot_bloom_scan": (q_snapshot_bloom_scan, _o_snapshot_bloom_scan()),
 }

@@ -44,16 +44,72 @@ class Snapshot:
         return [os.path.join(self.table_path, f["path"]) for f in self.files]
 
 
+# --- manifest bloom filters (point-lookup data skipping) ---------------------
+#
+# min/max bounds prune RANGE queries but are useless once a table is
+# hash-partitioned or unsorted on the lookup key — every file's [min, max]
+# spans the domain.  A per-file bloom over the key column (Iceberg/Parquet
+# bloom index analogue) restores point-lookup skipping there: k
+# deterministic affine-remix hashes set bits in an ndv-sized bitset stored
+# hex-encoded in the manifest.  Deterministic hashing makes prune decisions
+# reproducible across runs/engines (testable), and sizing at ~16 bits/value
+# with k=4 gives ~0.2% false positives — a false positive only costs an
+# extra file open (the residual filter keeps results exact).
+
+_BLOOM_K = 4
+_BLOOM_A = (2654435761, 40503, 69621, 48271)
+_BLOOM_B = (12345, 30307, 54321, 9973)
+_BLOOM_P = 1_000_000_007
+
+
+def _bloom_positions(values, m_bits: int):
+    """k deterministic bit positions per int64 value (numpy, vectorized)."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.int64) % _BLOOM_P
+    return [
+        ((v * _BLOOM_A[j] + _BLOOM_B[j]) % _BLOOM_P) % m_bits
+        for j in range(_BLOOM_K)
+    ]
+
+
+def _build_bloom(values) -> dict:
+    """Hex-encoded bloom for a file's key column (ndv-adaptive sizing)."""
+    import numpy as np
+
+    vals = np.unique(np.asarray(values, dtype=np.int64))
+    m_bits = 64
+    while m_bits < 16 * max(len(vals), 1):
+        m_bits *= 2
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for pos in _bloom_positions(vals, m_bits):
+        np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+    return {"m": int(m_bits), "bits": bits.tobytes().hex()}
+
+
+def _bloom_may_contain(bloom: dict, value: int) -> bool:
+    bits = bytes.fromhex(bloom["bits"])
+    for pos in _bloom_positions([int(value)], bloom["m"]):
+        p = int(pos[0])
+        if not (bits[p // 8] >> (p % 8)) & 1:
+            return False
+    return True
+
+
 def write_snapshot(
     df: DataFrame,
     table_path: str,
     *,
     snapshot_id: str | None = None,
     bounds_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     base: "Snapshot | str | None" = None,
 ) -> Snapshot:
     """Write df as a new snapshot: parquet files + manifest with per-file
-    min/max bounds for ``bounds_cols`` (partition-pruning metadata).
+    min/max bounds for ``bounds_cols`` (partition-pruning metadata) and
+    per-file bloom filters for ``bloom_cols`` (point-lookup skipping on
+    hash-partitioned/unsorted keys; built here from one column read at
+    commit time — a production writer folds it into the write itself).
 
     With ``base`` (a Snapshot or snapshot id), this is an APPEND commit in
     the Iceberg sense: the new manifest lists the base snapshot's files
@@ -103,14 +159,23 @@ def write_snapshot(
                     maxs.append(stats.max)
                 if mins:
                     bounds[col] = [min(mins), max(maxs)]
-        files.append(
-            {
-                "path": os.path.join(snapshot_id, name),
-                "rows": meta.num_rows,
-                "seq": seq,
-                "bounds": bounds,
-            }
-        )
+        blooms: dict[str, dict] = {}
+        if bloom_cols:
+            schema_names = meta.schema.to_arrow_schema().names
+            for col in bloom_cols:
+                if col not in schema_names:
+                    continue
+                vals = pq.read_table(fpath, columns=[col]).column(col)
+                blooms[col] = _build_bloom(vals.to_numpy(zero_copy_only=False))
+        entry = {
+            "path": os.path.join(snapshot_id, name),
+            "rows": meta.num_rows,
+            "seq": seq,
+            "bounds": bounds,
+        }
+        if blooms:
+            entry["blooms"] = blooms
+        files.append(entry)
     all_files = base_files + files
     snap = Snapshot(snapshot_id, table_path, all_files, seq, base_deletes)
     manifest = os.path.join(table_path, f"{MANIFEST_PREFIX}{snapshot_id}.json")
@@ -229,6 +294,35 @@ class SnapshotReader:
         files = self.prune_ranges(col, ranges)
         if not files:
             raise ValueError("pruning removed all files; nothing to read")
+        if not self.snapshot.delete_files:
+            return self._read(
+                spark, [os.path.join(self.table_path, f["path"]) for f in files]
+            )
+        return self._read_with_deletes(spark, files)
+
+    def prune_bloom(self, col: str, values) -> list[dict]:
+        """Files whose bloom for ``col`` may contain ANY of ``values`` —
+        point-lookup skipping where min/max bounds can't help (hash-
+        partitioned or unsorted keys).  Files without a bloom are kept
+        (conservative).  Manifest-only: k bit probes per (file, value)."""
+        keep = []
+        for f in self.snapshot.files:
+            bloom = f.get("blooms", {}).get(col)
+            if bloom is None or any(_bloom_may_contain(bloom, v) for v in values):
+                keep.append(f)
+        return keep
+
+    def load_bloom(self, spark: SparkSession, col: str, values) -> DataFrame:
+        """Read only the files surviving bloom pruning (superset property:
+        callers still apply the exact residual filter)."""
+        files = self.prune_bloom(col, values)
+        if not files:
+            # a bloom miss on every file IS the answer: zero matching rows
+            # (exactness guaranteed by no-false-negative blooms) — return
+            # an empty frame under the snapshot schema instead of erroring
+            return self._read(
+                spark, [os.path.join(self.table_path, f["path"]) for f in self.snapshot.files[:1]]
+            ).limit(0)
         if not self.snapshot.delete_files:
             return self._read(
                 spark, [os.path.join(self.table_path, f["path"]) for f in files]

@@ -760,3 +760,64 @@ def test_multirange_prune_beats_envelope(spark, docs, tmp_path):
         .filter(F.expr(pred)).select("doc_id", "span_idx", "cell").collect()
     )
     assert pruned == full and len(full) > 0
+
+
+def test_bloom_prune_on_hash_partitioned_keys(spark, docs, tmp_path):
+    """Blooms must skip files where min/max bounds cannot (hash layout):
+    a 3-id probe opens far fewer than all files, an absent key prunes to
+    (near) zero, pruning is exact for present keys (no false negatives),
+    and the pruned+filtered result equals the full-scan result."""
+    from fast_carpenter_spark.sources.snapshot import _bloom_may_contain
+
+    table = str(tmp_path / "tbl_bloom")
+    write_snapshot(
+        docs.repartition(8, "doc_id"), table,
+        snapshot_id="snap-b", bloom_cols=["doc_id"],
+    )
+    reader = SnapshotReader(table)
+    n_files = len(reader.snapshot.files)
+    assert n_files == 8
+    assert all("doc_id" in f.get("blooms", {}) for f in reader.snapshot.files)
+
+    ids = [17, 130, 384]
+    kept = reader.prune_bloom("doc_id", ids)
+    # each id lives in exactly one file; 0.2% fpp leaves a little slack
+    assert len(kept) <= len(ids) + 1
+    assert len(kept) < n_files
+
+    # no false negatives: the file actually holding each id must survive
+    import pyarrow.parquet as pq
+    import os as _os
+
+    for i in ids:
+        holder = [
+            f for f in reader.snapshot.files
+            if i in pq.read_table(
+                _os.path.join(table, f["path"]), columns=["doc_id"]
+            ).column("doc_id").to_pylist()
+        ]
+        assert holder and all(
+            _bloom_may_contain(f["blooms"]["doc_id"], i) for f in holder
+        )
+        assert all(f["path"] in {k["path"] for k in kept} for f in holder)
+
+    # absent key: (deterministically) prunes essentially everything
+    absent = reader.prune_bloom("doc_id", [10_000_019])
+    assert len(absent) <= 1
+
+    got = sorted(
+        tuple(r)
+        for r in reader.load_bloom(spark, "doc_id", ids)
+        .filter("doc_id in (17, 130, 384)").select("doc_id", "n_chars").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in docs.filter("doc_id in (17, 130, 384)")
+        .select("doc_id", "n_chars").collect()
+    )
+    assert got == want and len(want) == 3
+
+    # all-files-miss returns an EMPTY frame (no error): exact by
+    # no-false-negative guarantee
+    if len(absent) == 0:
+        assert reader.load_bloom(spark, "doc_id", [10_000_019]).count() == 0
