@@ -228,3 +228,38 @@ def cell_encode_column(lon_col: str, lat_col: str, res: int):
         )
 
     return _enc(F.col(lon_col), F.col(lat_col))
+
+
+def quadkey_sql(cell_expr: str, res: int, dialect: str) -> str:
+    """Bing-style quadkey string of a packed cell at resolution ``res``:
+    one base-4 digit per level MSB-first, digit = 2*bit(y,i) + bit(x,i).
+    The serving contract this encodes: the quadkey of the parent cell is
+    exactly the child's quadkey minus its last character, so tile-server
+    prefix matching IS hierarchy traversal.  Pure integer arithmetic +
+    chr(), identical text both engines."""
+    x = unpack_x_sql(cell_expr, dialect)
+    y = unpack_y_sql(cell_expr, dialect)
+    idiv = _idiv
+    digits = []
+    for i in range(res - 1, -1, -1):
+        bx = f"({idiv(x, str(1 << i), dialect)} % 2)"
+        by = f"({idiv(y, str(1 << i), dialect)} % 2)"
+        digits.append(f"chr(48 + CAST(2 * {by} + {bx} AS INT))")
+    return "concat(" + ", ".join(digits) + ")"
+
+
+def quadkey_decode_sql(qk_expr: str, res: int, dialect: str) -> str:
+    """Packed cell id from a quadkey string (inverse of quadkey_sql)."""
+    xs, ys = [], []
+    for pos in range(1, res + 1):
+        i = res - pos  # bit index contributed by this character
+        # BIGINT digits: pack_sql multiplies x by 2^29, which overflows
+        # INT32 under ANSI mode if ascii()'s INT type propagates
+        d = f"(CAST(ascii(substring({qk_expr}, {pos}, 1)) AS BIGINT) - 48)"
+        if dialect != "spark":
+            d = f"(CAST(ascii(substr({qk_expr}, {pos}, 1)) AS BIGINT) - 48)"
+        xs.append(f"({d} % 2) * {1 << i}")
+        ys.append(f"({_idiv(d, '2', dialect)}) * {1 << i}")
+    x = "(" + " + ".join(xs) + ")"
+    y = "(" + " + ".join(ys) + ")"
+    return pack_sql(res, x, y)

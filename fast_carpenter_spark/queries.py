@@ -1121,6 +1121,81 @@ QUALIFY row_number() OVER (
 """
 
 
+def _mean_center_sql(dialect: str) -> str:
+    """Per-user mean center + standard distance over the event point
+    cloud — the first-moment descriptive spatial statistics (centrography)
+    alongside the Moran/LISA second-moment family.  All accumulations are
+    exact BIGINT (coordinate sums, squared-coordinate sums: x < 3.6e5 so
+    x^2 < 1.3e11 and 10^7 points stay under 2^63); the only float ops are
+    the final divisions and one sqrt — identical expression text both
+    engines, so correctly-rounded IEEE doubles match exactly."""
+    from .spatial import hull as _hull
+
+    pts = _hull.event_points_sql(dialect)
+    return f"""
+WITH pts AS ({pts}),
+acc AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cx,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cy,
+       sqrt(
+         (CAST(sxx AS DOUBLE) + CAST(syy AS DOUBLE)) / CAST(n AS DOUBLE)
+         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+       ) AS std_dist
+FROM acc
+"""
+
+
+def q_mean_center(spark, sf_dir):
+    """Centrography: per-user mean center + standard distance (the
+    dispersion radius).  One partial-agg'd shuffle on user_id; BIGINT
+    moment sums are order-insensitive, so the result is exact under any
+    partitioning."""
+    _load_events(spark, sf_dir)
+    return spark.sql(_mean_center_sql("spark"))
+
+
+def _cell_quadkey_sql(dialect: str) -> str:
+    """Occupied-cell quadkey table: the tile-server addressing view of the
+    grid (one base-4 digit per zoom level, MSB-first).  The parent's
+    quadkey is the child's minus its last character — prefix matching IS
+    hierarchy traversal, which is why tile CDNs key on it; emitted for
+    both levels so the oracle checks the contract, and the decode
+    roundtrip is pinned in tests/test_grid.py."""
+    cell = grid.cell_sql("lon", "lat", REGION_RES, dialect)
+    parent = grid.parent_sql("cell", REGION_RES, REGION_RES - 2, dialect)
+    qk = grid.quadkey_sql("cell", REGION_RES, dialect)
+    qk_par = grid.quadkey_sql("parent_cell", REGION_RES - 2, dialect)
+    return f"""
+WITH cells AS (
+  SELECT {cell} AS cell FROM ({{spans}})
+),
+agg AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY cell
+),
+lab AS (
+  SELECT cell, n, {parent} AS parent_cell FROM agg
+)
+SELECT cell, n, {qk} AS qk, {qk_par} AS qk_parent
+FROM lab
+""".replace("{spans}", synth.flat_spans_sql(dialect))
+
+
+def q_cell_quadkey(spark, sf_dir):
+    """Quadkey addressing of the occupied grid (Bing-tile serving keys):
+    map-side string codec after one bounded cell aggregate; the
+    parent-prefix contract rides in the output."""
+    load_documents(spark, sf_dir)
+    return spark.sql(_cell_quadkey_sql("spark"))
+
+
 def q_tile_rollup(spark, sf_dir):
     """Zoom-out re-aggregation: tile level 8 -> 4 via parent cells — the
     hypertable-rollup analogue (grouping-set rollup over the hierarchy)."""
@@ -5653,4 +5728,6 @@ QUERIES = {
         _o_snapshot_multirange_scan(),
     ),
     "snapshot_bloom_scan": (q_snapshot_bloom_scan, _o_snapshot_bloom_scan()),
+    "mean_center": (q_mean_center, _mean_center_sql("duck")),
+    "cell_quadkey": (q_cell_quadkey, _cell_quadkey_sql("duck")),
 }

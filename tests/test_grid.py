@@ -248,3 +248,29 @@ def test_uncompact_rejects_finer_cells(spark):
     df = spark.createDataFrame([(int(fine),)], ["cell"])
     with pytest.raises(Exception, match="uncompact_cells|exceeds"):
         uncompact_cells(df, 4).collect()
+
+
+def test_quadkey_roundtrip_and_prefix(spark):
+    """decode(encode(cell)) == cell for every cell of a full small grid,
+    and the parent's quadkey is the child's minus its last character."""
+    from fast_carpenter_spark import grid
+
+    res = 4
+    n = 1 << res
+    cells = spark.range(n * n).selectExpr(
+        f"CAST({res} AS BIGINT) * {1 << grid.RES_SHIFT}"
+        f" + (id DIV {n}) * {1 << grid.XY_BITS} + (id % {n}) AS cell"
+    )
+    qk = grid.quadkey_sql("cell", res, "spark")
+    out = cells.selectExpr(
+        "cell",
+        f"{qk} AS qk",
+        f"{grid.quadkey_decode_sql(f'({qk})', res, 'spark')} AS rt",
+        f"{grid.quadkey_sql(grid.parent_sql('cell', res, res - 1, 'spark'), res - 1, 'spark')} AS qk_p",
+    ).collect()
+    assert len(out) == n * n
+    for r in out:
+        assert r["rt"] == r["cell"]
+        assert len(r["qk"]) == res
+        assert r["qk_p"] == r["qk"][:-1]
+    assert len({r["qk"] for r in out}) == n * n  # bijective
