@@ -4068,7 +4068,7 @@ merged AS (
   UNION ALL
   SELECT * FROM ups
 )
-SELECT lang, count(*) AS n, sum(doc_id) AS id_sum, sum(n_chars) AS chars_sum
+SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum, CAST(sum(n_chars) AS BIGINT) AS chars_sum
 FROM merged GROUP BY 1
 """
 
@@ -4169,7 +4169,7 @@ reins AS (
   SELECT doc_id, 'yy' AS lang, source, n_chars FROM documents
   WHERE doc_id % 7 = 3 AND doc_id % 2 = 0
 )
-SELECT lang, count(*) AS n, sum(doc_id) AS id_sum, sum(n_chars) AS chars_sum
+SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum, CAST(sum(n_chars) AS BIGINT) AS chars_sum
 FROM (SELECT * FROM kept UNION ALL SELECT * FROM reins) GROUP BY 1
 """
 
