@@ -4619,6 +4619,50 @@ def _o_fingerprint_overlap() -> str:
     return _text.winnow_overlap_query_sql("duck")
 
 
+def q_qdigest_quantiles(spark, sf_dir):
+    """Q-digest quantile sketch (the 4th sketch family — mergeable
+    quantiles): one bounded-cardinality histogram groupBy (<= U rows out
+    of the corpus scan), then the deterministic bottom-up compression on
+    sketch-sized data driver-side (the HLL-finalize discipline).  Output:
+    percentile estimates with the exact quantiles, digest size and n
+    alongside, so the rank-error and size guarantees are oracle-checked.
+    The DuckDB oracle rebuilds the digest through an independent
+    chained-CTE formulation and must match node-for-node."""
+    from .functions import qdigest as _qd
+
+    docs = load_documents(spark, sf_dir)
+    hist_rows = (
+        docs.selectExpr(f"least(greatest(n_chars, 0), {_qd.QD_U - 1}) AS v")
+        .groupBy("v")
+        .count()
+        .collect()  # bounded: <= QD_U rows — sketch state, not data
+    )
+    counts = {_qd.QD_U + r["v"]: r["count"] for r in hist_rows}
+    digest, n, _t = _qd.qdigest_compress(counts)
+    hist = sorted((r["v"], r["count"]) for r in hist_rows)
+    rows = []
+    for q in _qd.QD_QS:
+        target = (q * n + 99) // 100
+        cum, exact = 0, _qd.QD_U - 1
+        for v, c in hist:
+            cum += c
+            if cum >= target:
+                exact = v
+                break
+        rows.append(
+            (q, _qd.qdigest_rank_query(digest, n, q), exact, len(digest), n)
+        )
+    return spark.createDataFrame(
+        rows, "q_pct int, est bigint, exact bigint, digest_size int, n bigint"
+    )
+
+
+def _o_qdigest_quantiles() -> str:
+    from .functions import qdigest as _qd
+
+    return _qd.qdigest_oracle_sql()
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Connected components over the MinHash-LSH near-dup graph: every doc
     labelled with its component's min doc_id (Pregel-style neighbor-min
@@ -5730,4 +5774,5 @@ QUERIES = {
     "snapshot_bloom_scan": (q_snapshot_bloom_scan, _o_snapshot_bloom_scan()),
     "mean_center": (q_mean_center, _mean_center_sql("duck")),
     "cell_quadkey": (q_cell_quadkey, _cell_quadkey_sql("duck")),
+    "qdigest_quantiles": (q_qdigest_quantiles, _o_qdigest_quantiles()),
 }

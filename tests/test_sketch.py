@@ -93,3 +93,94 @@ def test_theta_jaccard_bounds(spark):
         assert 0.0 <= r["jac_exact"] <= 1.0
         # sketch estimate within +-0.15 of exact on this shared-vocab corpus
         assert abs(r["jac_est"] - r["jac_exact"]) < 0.15
+
+
+def _qd_hist(duck):
+    from fast_carpenter_spark.functions.qdigest import QD_U
+
+    return dict(
+        duck.execute(
+            f"SELECT least(greatest(n_chars,0),{QD_U-1}) v, count(*) c "
+            "FROM documents GROUP BY 1"
+        ).fetchall()
+    )
+
+
+def test_qdigest_size_and_rank_bounds(duck):
+    """The two q-digest guarantees: size <= 3k nodes, and every percentile
+    answer's TRUE rank within log2(U)/k * n of the target."""
+    from fast_carpenter_spark.functions.qdigest import (
+        QD_K,
+        QD_QS,
+        QD_U,
+        qdigest_compress,
+        qdigest_rank_query,
+    )
+
+    hist = _qd_hist(duck)
+    digest, n, _ = qdigest_compress({QD_U + v: c for v, c in hist.items()})
+    assert len(digest) <= 3 * QD_K
+    eps_n = (QD_U.bit_length() - 1) * n / QD_K
+    svals = sorted(hist.items())
+    for q in QD_QS:
+        est = qdigest_rank_query(digest, n, q)
+        true_rank = sum(c for v, c in svals if v <= est)
+        target = (q * n + 99) // 100
+        assert target - eps_n <= true_rank, (q, est, true_rank, target)
+        # one-sided overshoot also bounded (cum includes containing nodes)
+        assert true_rank <= target + eps_n, (q, est, true_rank, target)
+
+
+def test_qdigest_merge_preserves_guarantees(duck):
+    """Shard digests merged (union counts + recompress) keep BOTH
+    guarantees with the combined n — the mergeability contract — even
+    though the merged digest need not be bit-identical to the single-pass
+    one (lossy compression; the documented contrast with hll/theta/cms)."""
+    from fast_carpenter_spark.functions.qdigest import (
+        QD_K,
+        QD_QS,
+        QD_U,
+        qdigest_compress,
+        qdigest_merge,
+        qdigest_rank_query,
+    )
+
+    rows = duck.execute(
+        f"SELECT doc_id % 2 AS half, least(greatest(n_chars,0),{QD_U-1}) v, "
+        "count(*) c FROM documents GROUP BY 1, 2"
+    ).fetchall()
+    halves = {0: {}, 1: {}}
+    for h, v, c in rows:
+        halves[h][QD_U + v] = c
+    d0, n0, _ = qdigest_compress(halves[0])
+    d1, n1, _ = qdigest_compress(halves[1])
+    merged, n, _ = qdigest_merge(d0, d1)
+    assert n == n0 + n1
+    assert len(merged) <= 3 * QD_K
+    hist = _qd_hist(duck)
+    svals = sorted(hist.items())
+    eps_n = (QD_U.bit_length() - 1) * n / QD_K
+    for q in QD_QS:
+        est = qdigest_rank_query(merged, n, q)
+        true_rank = sum(c for v, c in svals if v <= est)
+        target = (q * n + 99) // 100
+        assert abs(true_rank - target) <= eps_n
+
+
+def test_qdigest_python_matches_duck_cte(duck):
+    """The Python build and the DuckDB chained-CTE build are independent
+    implementations of the same rule — their digests must agree
+    node-for-node."""
+    from fast_carpenter_spark.functions.qdigest import (
+        QD_U,
+        qdigest_compress,
+        qdigest_oracle_sql,
+    )
+
+    hist = _qd_hist(duck)
+    digest, _, _ = qdigest_compress({QD_U + v: c for v, c in hist.items()})
+    sql = (
+        qdigest_oracle_sql().split("iv AS")[0].rstrip().rstrip(",")
+        + "\nSELECT id, cnt FROM digest"
+    )
+    assert dict(duck.execute(sql).fetchall()) == digest
