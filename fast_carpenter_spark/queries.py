@@ -278,6 +278,32 @@ def _o_streaming_cms() -> str:
     return _sketch.cms_sketch_oracle_sql()
 
 
+def q_streaming_qdigest(spark, sf_dir):
+    """Structured-Streaming q-digest drained with availableNow: per
+    micro-batch bounded VALUE-HISTOGRAM deltas (<= U rows/batch), read-time
+    per-value sum-merge, compression once at finalize — bit-identical to
+    the batch qdigest_quantiles because histogram summing commutes and the
+    lossy compression runs exactly once (same oracle)."""
+    import os
+    import tempfile
+
+    from .streaming.sketch_stream import StreamingQdigest
+
+    stage = StreamingQdigest(
+        name="sqd",
+        out_dir=tempfile.mkdtemp(prefix="fcs_sqd_q_"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="fcs_sqd_ckpt_q_"),
+    )
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="fcs_sqd_in_")
+        os.symlink(src, os.path.join(d, "part-000.parquet"))
+        src = d
+    q = stage.start(spark, src, available_now=True)
+    q.awaitTermination(300)
+    return stage.result(spark)
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """Structured-Streaming gap sessionization drained with availableNow:
     per-batch session FRAGMENTS + read-time temporal-adjacency merge must
@@ -5775,4 +5801,5 @@ QUERIES = {
     "mean_center": (q_mean_center, _mean_center_sql("duck")),
     "cell_quadkey": (q_cell_quadkey, _cell_quadkey_sql("duck")),
     "qdigest_quantiles": (q_qdigest_quantiles, _o_qdigest_quantiles()),
+    "streaming_qdigest": (q_streaming_qdigest, _o_qdigest_quantiles()),
 }

@@ -204,3 +204,88 @@ class StreamingCms:
             self.deltas_dir
         )
         return deltas.groupBy("row", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+@dataclass
+class StreamingQdigest:
+    """Streaming q-digest — quantiles over an unbounded corpus, completing
+    the sketch family's streaming matrix (HLL max / theta union / CMS sum /
+    q-digest histogram-sum).
+
+    The delta is the bounded VALUE HISTOGRAM (<= U rows per batch, the
+    q-digest's leaf level), merged by plain per-value SUM at read time;
+    compression runs ONCE at finalize.  This ordering is what buys
+    bit-exactness: summing histograms commutes, so the drained stream's
+    digest is IDENTICAL to the single-pass batch digest — whereas merging
+    per-batch COMPRESSED digests is lossy (guarantees survive, identity
+    does not; that variant lives in functions/qdigest.qdigest_merge and
+    its tests).  Sum-merge is not idempotent, so like CMS this sketch
+    rides the exactly-once sink discipline.
+    """
+
+    name: str
+    value_expr: str = "least(greatest(n_chars, 0), 1023)"
+    out_dir: str = "/tmp/fcs_qd_stream_out"
+    checkpoint_dir: str = "/tmp/fcs_qd_stream_ckpt"
+
+    @property
+    def deltas_dir(self) -> str:
+        return os.path.join(self.out_dir, "deltas")
+
+    def start(self, spark: SparkSession, input_dir: str, *, available_now: bool = True):
+        schema = spark.read.parquet(input_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(input_dir)
+        )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.selectExpr(f"{self.value_expr} AS v")
+                .groupBy("v")
+                .count()
+                .withColumnRenamed("count", "cnt")
+                .withColumn("_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.deltas_dir, f"batch={batch_id}"))
+            )
+
+        writer = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def result(self, spark: SparkSession) -> DataFrame:
+        """Sum-merge the histogram deltas, compress once, answer the
+        standard percentiles — schema-identical to qdigest_quantiles."""
+        from ..functions.qdigest import (
+            QD_QS,
+            QD_U,
+            qdigest_compress,
+            qdigest_rank_query,
+        )
+
+        deltas = spark.read.option("recursiveFileLookup", "true").parquet(
+            self.deltas_dir
+        )
+        hist_rows = deltas.groupBy("v").agg(F.sum("cnt").alias("cnt")).collect()
+        counts = {QD_U + r["v"]: r["cnt"] for r in hist_rows}
+        digest, n, _t = qdigest_compress(counts)
+        hist = sorted((r["v"], r["cnt"]) for r in hist_rows)
+        rows = []
+        for q in QD_QS:
+            target = (q * n + 99) // 100
+            cum, exact = 0, QD_U - 1
+            for v, c in hist:
+                cum += c
+                if cum >= target:
+                    exact = v
+                    break
+            rows.append((q, qdigest_rank_query(digest, n, q), exact, len(digest), n))
+        return spark.createDataFrame(
+            rows, "q_pct int, est bigint, exact bigint, digest_size int, n bigint"
+        )

@@ -536,3 +536,31 @@ def test_streaming_cms_sum_merge_across_batches(spark, docs, tmp_path):
         .agg(F.sum("cnt").alias("cnt"))
     )
     assert rows_sorted(doubled) != got
+
+
+def test_streaming_qdigest_identity_across_batches(spark, docs, tmp_path):
+    """Histogram deltas from two disjoint half-corpus drains, sum-merged
+    and compressed once at read time, must reproduce the single-pass batch
+    digest answers EXACTLY (histogram summing commutes; compression runs
+    once); per-batch state stays under the domain bound."""
+    from fast_carpenter_spark.functions.qdigest import QD_U
+    from fast_carpenter_spark.queries import q_qdigest_quantiles
+    from fast_carpenter_spark.streaming.sketch_stream import StreamingQdigest
+
+    input_dir = str(tmp_path / "in")
+    docs.filter("doc_id % 2 = 0").write.mode("overwrite").parquet(input_dir)
+    stage = StreamingQdigest(
+        name="sq", out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    stage.start(spark, input_dir, available_now=True).awaitTermination(120)
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(input_dir)
+    stage.start(spark, input_dir, available_now=True).awaitTermination(120)
+
+    got = rows_sorted(stage.result(spark))
+    expected = rows_sorted(q_qdigest_quantiles(spark, "/root/testdata/sf0.001"))
+    assert got == expected and len(got) == 4
+
+    deltas = spark.read.option("recursiveFileLookup", "true").parquet(stage.deltas_dir)
+    per_batch = deltas.groupBy("_batch").count().collect()
+    assert len(per_batch) >= 2
+    assert all(r["count"] <= QD_U for r in per_batch)
