@@ -1222,6 +1222,58 @@ def q_cell_quadkey(spark, sf_dir):
     return spark.sql(_cell_quadkey_sql("spark"))
 
 
+def _tile_trend_sql(dialect: str) -> str:
+    """Emerging-hotspot trend: Mann–Kendall S statistic per coarse cell
+    over 5-day event-count bins — S = sum over bin pairs (i < j) of
+    sign(n_j − n_i), pure integer arithmetic so the statistic is exact and
+    order-insensitive across engines.  Bins are DENSIFIED with zeros
+    (absence of events IS a low count; trend on observed-only bins would
+    miss die-offs) via the grid×bins cross — the pinned bounded-densify
+    class, cardinality cells × bins, never data-sized.  The pair join runs
+    per cell on the bounded dense table (T^2 pairs per cell, T ~ 6)."""
+    from .spatial.trajectory import _coords_sql
+
+    lon, lat = _coords_sql()
+    cell = grid.cell_sql("lon", "lat", COARSE_RES, dialect)
+    if dialect == "spark":
+        us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    else:
+        us = "epoch_us(ts)"
+    tb = grid._idiv(us, str(432_000 * 1_000_000), dialect)  # 5-day bins
+    return f"""
+WITH ev AS (
+  SELECT {cell} AS cell, {tb} AS tb
+  FROM (SELECT *, {lon} AS lon, {lat} AS lat FROM events)
+),
+cb0 AS (SELECT cell, tb, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+cells AS (SELECT DISTINCT cell FROM cb0),
+bins AS (SELECT DISTINCT tb FROM cb0),
+dense AS (
+  SELECT c.cell, b.tb, coalesce(cb0.n, CAST(0 AS BIGINT)) AS n
+  FROM cells c CROSS JOIN bins b
+  LEFT JOIN cb0 ON cb0.cell = c.cell AND cb0.tb = b.tb
+),
+pairs AS (
+  SELECT a.cell,
+         CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn
+  FROM dense a JOIN dense b ON a.cell = b.cell AND a.tb < b.tb
+)
+SELECT cell, CAST(sum(sgn) AS BIGINT) AS s_stat,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CASE WHEN sum(sgn) > 0 THEN 'rising'
+            WHEN sum(sgn) < 0 THEN 'falling' ELSE 'flat' END AS trend
+FROM pairs GROUP BY cell
+"""
+
+
+def q_tile_trend(spark, sf_dir):
+    """Emerging-hotspot analysis: per-cell Mann–Kendall trend of event
+    volume over time bins (the temporal sibling of tile_hotspot's static
+    Getis-Ord)."""
+    _load_events(spark, sf_dir)
+    return spark.sql(_tile_trend_sql("spark"))
+
+
 def q_tile_rollup(spark, sf_dir):
     """Zoom-out re-aggregation: tile level 8 -> 4 via parent cells — the
     hypertable-rollup analogue (grouping-set rollup over the hierarchy)."""
@@ -5802,4 +5854,5 @@ QUERIES = {
     "cell_quadkey": (q_cell_quadkey, _cell_quadkey_sql("duck")),
     "qdigest_quantiles": (q_qdigest_quantiles, _o_qdigest_quantiles()),
     "streaming_qdigest": (q_streaming_qdigest, _o_qdigest_quantiles()),
+    "tile_trend": (q_tile_trend, _tile_trend_sql("duck")),
 }

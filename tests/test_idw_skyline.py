@@ -64,3 +64,30 @@ def test_skyline_matches_pandas(spark, docs):
     got = sorted(zip(out.doc_id, out.n_spans, out.n_chars))
     assert got == sorted(keep)
     assert 0 < len(got) < len(feat)
+
+
+def test_tile_trend_semantics(spark):
+    """Mann–Kendall S recomputed in pandas over the densified (cell, bin)
+    counts must match the SQL operator exactly, including zero bins."""
+    import itertools
+
+    from fast_carpenter_spark.queries import _tile_trend_sql, q_tile_trend
+
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    out = {r["cell"]: (r["s_stat"], r["n_pairs"], r["trend"])
+           for r in q_tile_trend(spark, "/root/testdata/sf0.001").collect()}
+    # recompute: counts per (cell, bin) via the same ev projection
+    ev_sql = _tile_trend_sql("spark").split("cb0 AS")[0].replace("WITH ev AS (", "")
+    ev = spark.sql(ev_sql.rsplit("),", 1)[0]).toPandas()
+    bins = sorted(ev.tb.unique())
+    for cell, g in ev.groupby("cell"):
+        counts = g.groupby("tb").size().reindex(bins, fill_value=0)
+        s = sum(
+            (1 if counts[b] > counts[a] else -1 if counts[b] < counts[a] else 0)
+            for a, b in itertools.combinations(bins, 2)
+        )
+        n_pairs = len(bins) * (len(bins) - 1) // 2
+        trend = "rising" if s > 0 else "falling" if s < 0 else "flat"
+        assert out[cell] == (s, n_pairs, trend), cell
