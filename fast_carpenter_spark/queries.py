@@ -3870,6 +3870,66 @@ GROUP BY cell
 """.replace("{spans}", synth.flat_spans_sql("duck"))
 
 
+def q_snapshot_schema_evolution(spark, sf_dir):
+    """Schema evolution across commits: the base commit writes
+    (doc_id, lang, n_chars); the append commit ADDS a `quality` column.
+    Reading the latest snapshot applies the COMMIT's schema to every data
+    file — pre-evolution files surface quality as NULL (Iceberg
+    add-column semantics: no rewrite, no default backfill) — so the
+    per-lang aggregate sees exact non-null counts splitting at the commit
+    boundary.  The schema pin is what makes this work: parquet inference
+    over mixed files would fail or widen types nondeterministically."""
+    import os
+    import tempfile
+
+    from .sources.snapshot import SnapshotReader, list_snapshots, write_snapshot
+
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"fcs_evo_snap_{_source_fingerprint_tag(sf_dir)}"
+    )
+    if not (os.path.isdir(tdir) and len(list_snapshots(tdir)) >= 2):
+        docs = load_documents(spark, sf_dir)
+        base = write_snapshot(
+            docs.filter("doc_id % 3 != 0")
+            .select("doc_id", "lang", "n_chars")
+            .repartition(2, "doc_id"),
+            tdir,
+            snapshot_id="snap-v1",
+        )
+        write_snapshot(
+            docs.filter("doc_id % 3 = 0")
+            .selectExpr(
+                "doc_id", "lang", "n_chars",
+                "CAST(n_chars % 100 AS BIGINT) AS quality",
+            )
+            .repartition(2, "doc_id"),
+            tdir,
+            snapshot_id="snap-v2",
+            base=base,
+        )
+    docs = SnapshotReader(tdir, "snap-v2").load(spark)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("quality").alias("n_with_quality"),
+        F.sum(F.coalesce("quality", F.lit(0))).alias("quality_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
+O_SNAPSHOT_SCHEMA_EVOLUTION = """
+WITH evolved AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 100 AS BIGINT) END AS quality
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(quality) AS BIGINT) AS n_with_quality,
+       CAST(sum(coalesce(quality, 0)) AS BIGINT) AS quality_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM evolved GROUP BY 1
+"""
+
+
 BLOOM_PROBE_IDS = (17, 130, 384)
 
 
@@ -5855,4 +5915,8 @@ QUERIES = {
     "qdigest_quantiles": (q_qdigest_quantiles, _o_qdigest_quantiles()),
     "streaming_qdigest": (q_streaming_qdigest, _o_qdigest_quantiles()),
     "tile_trend": (q_tile_trend, _tile_trend_sql("duck")),
+    "snapshot_schema_evolution": (
+        q_snapshot_schema_evolution,
+        O_SNAPSHOT_SCHEMA_EVOLUTION,
+    ),
 }

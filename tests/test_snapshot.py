@@ -821,3 +821,30 @@ def test_bloom_prune_on_hash_partitioned_keys(spark, docs, tmp_path):
     # no-false-negative guarantee
     if len(absent) == 0:
         assert reader.load_bloom(spark, "doc_id", [10_000_019]).count() == 0
+
+
+def test_schema_evolution_add_column(spark, docs, tmp_path):
+    """An append commit that ADDS a column evolves the table schema: the
+    latest snapshot reads pre-evolution files null-filled under the
+    commit's pinned schema (no rewrite), while time travel to the old
+    snapshot still serves the old schema."""
+    table = str(tmp_path / "tbl_evo")
+    base = write_snapshot(
+        docs.filter("doc_id % 3 != 0").select("doc_id", "lang"),
+        table, snapshot_id="snap-v1",
+    )
+    write_snapshot(
+        docs.filter("doc_id % 3 = 0").selectExpr(
+            "doc_id", "lang", "CAST(n_chars AS BIGINT) AS quality"
+        ),
+        table, snapshot_id="snap-v2", base=base,
+    )
+    old = SnapshotReader(table, "snap-v1").load(spark)
+    assert "quality" not in old.columns  # time travel keeps the v1 schema
+    new = SnapshotReader(table, "snap-v2").load(spark)
+    assert "quality" in new.columns
+    n_old = docs.filter("doc_id % 3 != 0").count()
+    n_new = docs.filter("doc_id % 3 = 0").count()
+    assert new.count() == n_old + n_new
+    assert new.filter("quality IS NULL").count() == n_old  # null-filled
+    assert new.filter("quality IS NOT NULL").count() == n_new
