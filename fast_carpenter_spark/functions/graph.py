@@ -511,3 +511,73 @@ def pagerank_cte_sql(
             f"FROM nd LEFT JOIN m{i} USING ({node_col}))"
         )
     return ",\n".join(parts) + f",\nprf AS (SELECT {node_col}, pr FROM pr{iters})"
+
+
+def kcore(
+    nodes: DataFrame, edges: DataFrame, k: int, node_col: str = "node"
+) -> tuple[DataFrame, int]:
+    """k-core: the maximal subgraph where every node keeps >= k neighbours
+    — iterative peel (drop alive-degree < k, recompute, repeat) to the
+    unique fixpoint.  Returns (core nodes with their in-core degree,
+    rounds taken).
+
+    Peeling is monotone (the alive set only shrinks) and IDEMPOTENT at the
+    fixpoint — re-running a round changes nothing — which is what lets the
+    DuckDB oracle unroll a fixed number of rounds safely (kcore_cte_sql;
+    tests assert the engine converged well inside the unroll depth).
+
+    Scale shape: per round one equi-join of the edge list against the
+    alive set (both orientations already in ``edges``) + a degree
+    aggregate; plan_truncate between rounds keeps lineage flat.  Rounds
+    are bounded by the peel depth (degeneracy ordering length), typically
+    a handful on blob-shaped spatial graphs."""
+    from pyspark.sql import functions as F
+
+    alive = nodes.select(node_col)
+    rounds = 0
+    n_alive = alive.count()
+    while True:
+        deg = (
+            edges.join(alive.withColumnRenamed(node_col, "src"), "src")
+            .join(alive.withColumnRenamed(node_col, "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nxt = plan_truncate(
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("src").alias(node_col), "deg")
+        )
+        rounds += 1
+        n_next = nxt.count()
+        if n_next == n_alive:
+            return nxt, rounds
+        n_alive = n_next
+        alive = nxt.select(node_col)
+
+
+def kcore_cte_sql(
+    edges_sql: str, nodes_sql: str, k: int, node_col: str = "node", rounds: int = 16
+) -> str:
+    """Fixed-depth unrolled peel as chained CTEs (safe past the fixpoint
+    by idempotence).  Expects ``edges_sql``/``nodes_sql`` to reference
+    CTEs already defined by the caller; emits alive0..alive{rounds} and a
+    final ``core`` CTE of ({node_col}, deg)."""
+    parts = [f"alive0 AS (SELECT {node_col} FROM ({nodes_sql}) _n)"]
+    parts.append(f"eg AS MATERIALIZED ({edges_sql})")
+    for i in range(rounds):
+        # MATERIALIZED at every level: alive{i} is referenced twice per
+        # round, so inlining doubles the plan per round (2^rounds blow-up)
+        parts.append(
+            f"deg{i + 1} AS MATERIALIZED (SELECT e.src AS {node_col}, "
+            f"CAST(count(*) AS BIGINT) AS deg "
+            f"FROM eg e JOIN alive{i} x ON x.{node_col} = e.src "
+            f"JOIN alive{i} y ON y.{node_col} = e.dst GROUP BY 1)"
+        )
+        parts.append(
+            f"alive{i + 1} AS MATERIALIZED "
+            f"(SELECT {node_col} FROM deg{i + 1} WHERE deg >= {k})"
+        )
+    parts.append(
+        f"core AS (SELECT {node_col}, deg FROM deg{rounds} WHERE deg >= {k})"
+    )
+    return ",\n".join(parts)

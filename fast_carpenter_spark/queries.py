@@ -5341,6 +5341,46 @@ SELECT cell, hops FROM hops
 O_TILE_BFS = _o_tile_bfs()
 
 
+KCORE_K = 3
+
+
+def q_tile_kcore(spark, sf_dir):
+    """k-core of the dense-cell 8-adjacency graph (k=3): the maximal
+    subgraph where every cell keeps >= 3 dense neighbours — the
+    'structurally hot' interior that survives when fringe cells peel away,
+    a sturdier hotspot definition than any single-cell threshold.
+    Iterative peel to the unique fixpoint (functions/graph.kcore), output
+    (cell, in-core degree); the oracle unrolls the peel to a fixed depth,
+    safe past the fixpoint by idempotence."""
+    from .functions.graph import kcore
+
+    dense, edges = _dense_cells_edges(spark, sf_dir)
+    core, _rounds = kcore(dense.select("cell"), edges, KCORE_K, node_col="cell")
+    return core
+
+
+def _o_tile_kcore() -> str:
+    from .functions.graph import kcore_cte_sql
+
+    cell = grid.cell_sql("lon", "lat", REGION_CC_RES, "duck")
+    ux = lambda e: grid.unpack_x_sql(e, "duck")  # noqa: E731
+    uy = lambda e: grid.unpack_y_sql(e, "duck")  # noqa: E731
+    edges_sql = f"""SELECT a.cell AS src, b.cell AS dst FROM dense a JOIN dense b
+  ON a.cell <> b.cell
+ AND abs({ux('a.cell')} - {ux('b.cell')}) <= 1
+ AND abs({uy('a.cell')} - {uy('b.cell')}) <= 1"""
+    cte = kcore_cte_sql(edges_sql, "SELECT cell FROM dense", KCORE_K, "cell")
+    # AS MATERIALIZED: without it DuckDB inlines `dense`/`eg` into every
+    # unrolled round, re-opening the parquet per reference until the fd
+    # limit trips (duck-only syntax; this SQL never runs on Spark)
+    return f"""
+WITH dense AS MATERIALIZED (SELECT {cell} AS cell, count(*) AS n FROM ({O_SPANS_FLAT})
+          GROUP BY 1 HAVING count(*) >= {REGION_CC_MIN}),
+{cte}
+SELECT cell, deg FROM core
+"""
+
+
 def q_tile_pagerank(spark, sf_dir):
     """Damped PageRank centrality over the dense-cell 8-adjacency graph —
     which hot tiles are CONNECTORS of the hot region structure, not just
@@ -5919,4 +5959,5 @@ QUERIES = {
         q_snapshot_schema_evolution,
         O_SNAPSHOT_SCHEMA_EVOLUTION,
     ),
+    "tile_kcore": (q_tile_kcore, _o_tile_kcore()),
 }

@@ -215,3 +215,29 @@ def test_sssp_matches_bfs_on_unit_weights(spark):
         for r in bfs_hops(nodes, _undirected(spark, pairs), seed=0).collect()
     }
     assert d == h
+
+
+def test_kcore_peel_and_unroll_depth(spark):
+    """k-core on a hand-built graph: a 4-clique (3-core) with pendant
+    chains peels to exactly the clique; rounds stay far inside the
+    oracle's unroll depth; and every core node keeps >= k in-core
+    neighbours (the defining property)."""
+    from fast_carpenter_spark.functions.graph import kcore
+
+    # 4-clique {0,1,2,3}; chain 3-10-11; pendant 2-12
+    und = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+           (3, 10), (10, 11), (2, 12)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 10, 11, 12, 99)], "node long"  # 99 isolated
+    )
+    core, rounds = kcore(nodes, edges, 3)
+    got = {(r["node"], r["deg"]) for r in core.collect()}
+    assert got == {(0, 3), (1, 3), (2, 3), (3, 3)}
+    assert rounds <= 14  # oracle unrolls 16 (idempotent past fixpoint)
+
+    # k larger than any degree -> empty core, loop still terminates
+    core5, rounds5 = kcore(nodes, edges, 5)
+    assert core5.count() == 0 and rounds5 <= 14
