@@ -4269,6 +4269,37 @@ def q_snapshot_mor(spark, sf_dir):
     )
 
 
+def q_snapshot_cdc(spark, sf_dir):
+    """CDC / changelog read between two snapshots: the row-level diff of
+    the MOR table before the delete commit vs after the re-inserting
+    append — full-row multiset semantics (exceptAll both ways), so a key
+    whose row changed surfaces as a delete+insert pair, the standard
+    changelog shape downstream incremental consumers (sync, index
+    maintenance, aggregate rollback) expect.  Scale shape: two hash
+    anti-differences on row identity; at 10^12 rows a real reader would
+    first narrow both sides to files the manifest diff says CHANGED —
+    unchanged files are shared by reference and can never produce a diff
+    row — making the compare O(churn), not O(table)."""
+    from .sources.snapshot import SnapshotReader
+
+    tdir = _mor_table(spark, sf_dir)
+    cols = ["doc_id", "lang", "n_chars"]
+    before = SnapshotReader(tdir, "snap-base").load(spark).select(cols)
+    after = SnapshotReader(tdir, "snap-app").load(spark).select(cols)
+    deletes = before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
+    inserts = after.exceptAll(before).withColumn("_change_type", F.lit("insert"))
+    return deletes.unionByName(inserts).select("_change_type", *cols)
+
+
+O_SNAPSHOT_CDC = """
+SELECT 'delete' AS _change_type, doc_id, lang, n_chars
+FROM documents WHERE doc_id % 7 = 3
+UNION ALL
+SELECT 'insert' AS _change_type, doc_id, 'yy' AS lang, n_chars
+FROM documents WHERE doc_id % 7 = 3 AND doc_id % 2 = 0
+"""
+
+
 def q_snapshot_mor_rewrite(spark, sf_dir):
     """rewrite_deletes (Iceberg major compaction): folding the delete
     files into the data must reproduce the merge-on-read result exactly —
@@ -5960,4 +5991,5 @@ QUERIES = {
         O_SNAPSHOT_SCHEMA_EVOLUTION,
     ),
     "tile_kcore": (q_tile_kcore, _o_tile_kcore()),
+    "snapshot_cdc": (q_snapshot_cdc, O_SNAPSHOT_CDC),
 }
