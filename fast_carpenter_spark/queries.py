@@ -1240,6 +1240,49 @@ def _tile_trend_sql(dialect: str) -> str:
     else:
         us = "epoch_us(ts)"
     tb = grid._idiv(us, str(432_000 * 1_000_000), dialect)  # 5-day bins
+    if dialect == "spark":
+        # Spark formulation: per-cell bin MAP + one 1-row global bins
+        # attach, zero-densify and pair-fold MAP-SIDE over the bounded
+        # array (T ~ 6 bins).  A dense self-join would duplicate the
+        # densify cross under CTE inlining (2 BNLJs + 4 corpus scans);
+        # this shape is ONE corpus aggregate + one allowed 1-row attach.
+        # The DuckDB oracle keeps the independent pair-join formulation.
+        sgn = (
+            "CASE WHEN element_at(ns, j + 1) > element_at(ns, i + 1) THEN 1 "
+            "WHEN element_at(ns, j + 1) < element_at(ns, i + 1) THEN -1 ELSE 0 END"
+        )
+        pair_fold = (
+            f"aggregate(sequence(0, size(ns) - 2), CAST(0 AS BIGINT), (acc, i) -> "
+            f"acc + aggregate(sequence(i + 1, size(ns) - 1), CAST(0 AS BIGINT), "
+            f"(a2, j) -> a2 + {sgn}))"
+        )
+        return f"""
+WITH ev AS (
+  SELECT {cell} AS cell, {tb} AS tb
+  FROM (SELECT *, {lon} AS lon, {lat} AS lat FROM events)
+),
+cb0 AS (SELECT cell, tb, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+bins AS (SELECT array_sort(collect_set(tb)) AS bs FROM cb0),
+cellmaps AS (
+  SELECT cell, map_from_entries(collect_list(struct(tb, n))) AS m FROM cb0
+  GROUP BY cell
+),
+dense AS (
+  SELECT cell,
+         transform(bs, b -> coalesce(element_at(m, b), CAST(0 AS BIGINT))) AS ns
+  FROM cellmaps CROSS JOIN bins
+),
+scored AS (
+  SELECT cell,
+         CASE WHEN size(ns) < 2 THEN CAST(0 AS BIGINT) ELSE {pair_fold} END AS s_stat,
+         CAST(size(ns) * (size(ns) - 1) DIV 2 AS BIGINT) AS n_pairs
+  FROM dense
+)
+SELECT cell, s_stat, n_pairs,
+       CASE WHEN s_stat > 0 THEN 'rising'
+            WHEN s_stat < 0 THEN 'falling' ELSE 'flat' END AS trend
+FROM scored
+"""
     return f"""
 WITH ev AS (
   SELECT {cell} AS cell, {tb} AS tb

@@ -94,7 +94,14 @@ AUDITED = [
     "fingerprint_winnow",   # posexplode + ONE doc_id window (no per-window array recompute)
     "fingerprint_overlap",  # df-capped posting-list equi self-join on the fp
     "snapshot_multirange_scan",  # multi-interval manifest prune, then residual + agg
-    # dedup_cluster / tile_regions / dbscan are excluded: iterative
+    "snapshot_bloom_scan",  # bloom-pruned point lookup (hash layout), residual filter
+    "mean_center",      # one partial-agg'd user_id shuffle, BIGINT moment sums
+    "cell_quadkey",     # bounded cell agg + map-side string codec
+    "qdigest_quantiles",  # one bounded-cardinality histogram groupBy (sketch finalize)
+    "tile_trend",       # bounded (cell,bin) agg + pinned densify cross + pair join
+    "snapshot_schema_evolution",  # pinned-schema scan across commits, one agg
+    "snapshot_cdc",     # two hash anti-differences on row identity
+    # dedup_cluster / tile_regions / dbscan / tile_kcore are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
     # join is the same edge-keyed hash-join shape audited via
     # dedup_minhash_lsh, and dbscan's candidate stage via radius_join.
@@ -158,7 +165,13 @@ ALLOW_BNLJ_GLOBAL_ATTACH = {
 # column crossed with a CONSTANT range generator (langs x 64 HLL register
 # slots) — both sides bounded by construction, the same class as bin-edge
 # densify.  Counts pinned so a refactor cannot add an unvetted cross.
-ALLOW_BNLJ_DENSIFY = {"hll_union": 1}
+ALLOW_BNLJ_DENSIFY = {
+    "hll_union": 1,
+    # tile_trend: DISTINCT cells × DISTINCT 5-day bins (both post-aggregate,
+    # grid- and calendar-bounded) zero-densified before the Mann–Kendall
+    # pair join — absence of events IS a low count for trend purposes
+    "tile_trend": 1,
+}
 
 
 def check_scale_killers(name: str, text: str) -> None:
