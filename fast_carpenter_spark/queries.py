@@ -4795,6 +4795,68 @@ def _o_theta_jaccard() -> str:
     return _sketch.theta_jaccard_oracle_sql()
 
 
+def _quality_repetition_sql(dialect: str) -> str:
+    """Intra-document repetition signals (the Gopher/RefinedWeb-style
+    quality rule): duplicate 3-gram fraction (1 − distinct/total, in
+    exact 1/10000 fixed-point so the ratio is integer), the highest
+    single-gram multiplicity, and the repetition flag at the standard
+    30% threshold.  Pure map-side array algebra over the staged gram
+    column — no shuffle until the final (tiny) projection; at 10^12 docs
+    this runs inside the scan stage."""
+    from .functions.text import ngram_hashes_sql
+
+    grams = ngram_hashes_sql("text", 3, dialect)
+    if dialect == "spark":
+        distinct_n = "size(array_distinct(grams))"
+        total_n = "size(grams)"
+        # highest multiplicity via sort + run-length fold (exact integers)
+        top_rep = (
+            "aggregate(slice(sorted, 2, size(sorted) - 1), "
+            "struct(1 AS run, 1 AS best, sorted[0] AS prev), "
+            "(acc, g) -> CASE WHEN g = acc.prev THEN "
+            "struct(acc.run + 1 AS run, GREATEST(acc.best, acc.run + 1) AS best, g AS prev) "
+            "ELSE struct(1 AS run, acc.best AS best, g AS prev) END, "
+            "acc -> acc.best)"
+        )
+        return f"""
+SELECT doc_id, total_n, distinct_n,
+       CAST((total_n - distinct_n) * 10000 DIV total_n AS BIGINT) AS dup_frac_bp,
+       CAST({top_rep} AS BIGINT) AS top_gram_count,
+       (total_n - distinct_n) * 10 >= total_n * 3 AS is_repetitive
+FROM (
+  SELECT doc_id, CAST({distinct_n} AS BIGINT) AS distinct_n,
+         CAST({total_n} AS BIGINT) AS total_n,
+         array_sort(grams) AS sorted
+  FROM (SELECT doc_id, {grams} AS grams FROM documents)
+)
+WHERE total_n > 0
+"""
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({grams}) AS gh FROM documents
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS total_n,
+         CAST(count(DISTINCT gh) AS BIGINT) AS distinct_n,
+         CAST(max(cnt) AS BIGINT) AS top_gram_count
+  FROM (SELECT doc_id, gh, count(*) OVER (PARTITION BY doc_id, gh) AS cnt FROM g)
+  GROUP BY doc_id
+)
+SELECT doc_id, total_n, distinct_n,
+       CAST((total_n - distinct_n) * 10000 // total_n AS BIGINT) AS dup_frac_bp,
+       top_gram_count,
+       (total_n - distinct_n) * 10 >= total_n * 3 AS is_repetitive
+FROM per
+"""
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Repetition-based quality scoring: duplicate-3-gram fraction and
+    max gram multiplicity per document, exact integers, map-side."""
+    load_documents(spark, sf_dir)
+    return spark.sql(_quality_repetition_sql("spark"))
+
+
 def q_fingerprint_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS-style): distinct min-per-window remixed
     k-gram hashes per document — the positional-guarantee fingerprint
@@ -6035,4 +6097,5 @@ QUERIES = {
     ),
     "tile_kcore": (q_tile_kcore, _o_tile_kcore()),
     "snapshot_cdc": (q_snapshot_cdc, O_SNAPSHOT_CDC),
+    "quality_repetition": (q_quality_repetition, _quality_repetition_sql("duck")),
 }

@@ -156,3 +156,28 @@ def test_winnow_arrow_kernel_matches_sql_twin(spark, docs):
     sql_ov = sorted(map(tuple, spark.sql(winnow_overlap_query_sql("spark")).collect()))
     df_ov = sorted(map(tuple, winnow_overlap_df(docs).collect()))
     assert sql_ov == df_ov
+
+
+def test_quality_repetition_semantics(spark):
+    """Duplicate-gram fraction and max multiplicity recomputed in Python
+    over synthetic docs with known repetition structure."""
+    from fast_carpenter_spark.queries import _quality_repetition_sql
+
+    rows = [
+        (0, "a b c a b c a b c"),        # 7 grams, heavy repetition
+        (1, "one two three four five"),  # 3 distinct grams, no repeats
+        (2, "x y"),                       # < k tokens -> no grams -> absent
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    out = {r["doc_id"]: r for r in spark.sql(_quality_repetition_sql("spark")).collect()}
+    assert 2 not in out
+    r0 = out[0]
+    # grams of doc 0: abc bca cab abc bca cab abc -> total 7, distinct 3
+    assert (r0["total_n"], r0["distinct_n"], r0["top_gram_count"]) == (7, 3, 3)
+    assert r0["dup_frac_bp"] == (7 - 3) * 10000 // 7
+    assert bool(r0["is_repetitive"]) is True
+    r1 = out[1]
+    assert (r1["total_n"], r1["distinct_n"], r1["top_gram_count"]) == (3, 3, 1)
+    assert bool(r1["is_repetitive"]) is False
