@@ -604,3 +604,83 @@ JOIN esizes ea ON ea.lang = i.lang_a
 JOIN esizes eb ON eb.lang = i.lang_b
 ORDER BY 1, 2
 """
+
+
+# --- CMS join-size estimation (sketch inner product) --------------------------
+#
+# The planner-grade application of the count-min grid: the equi-join
+# cardinality |A ⋈_k B| = Σ_k f_A(k)·f_B(k) is estimated from the two
+# tables' grids alone as min over rows of Σ_cells cntA[cell]·cntB[cell].
+# Every hash collision only ADDS non-negative cross terms, so each row's
+# inner product ≥ the true join size and the min keeps the tightest row —
+# a deterministic one-sided guarantee (est ≥ exact), oracle-checked with
+# the exact join size alongside.  At 10^12 rows the estimate costs two
+# bounded grid aggregates + a 1024-row join — no data-sized join at all —
+# which is exactly how an optimizer sizes a join before committing to it.
+
+def _int_key_cells_sql(key: str, dialect: str) -> str:
+    return cms_cells_sql(f"(({key}) % {HASH_MOD})", dialect)
+
+
+def cms_join_size(spark) -> DataFrame:
+    """(est, exact) for |orders ⋈ customer on custkey| from CMS grids."""
+    def grid(table: str, key: str) -> DataFrame:
+        return (
+            spark.table(table)
+            .select(
+                F.posexplode(
+                    F.expr(_int_key_cells_sql(key, "spark"))
+                ).alias("row", "cell")
+            )
+            .groupBy("row", "cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    ga = grid("orders", "o_custkey")
+    gb = grid("customer", "c_custkey")
+    per_row = (
+        ga.join(gb.withColumnRenamed("cnt", "cnt_b"), ["row", "cell"])
+        .groupBy("row")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+    )
+    est = per_row.agg(F.min("ip").alias("est"))
+    exact = (
+        spark.table("orders")
+        .join(
+            spark.table("customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return est.crossJoin(exact).select(
+        F.col("est").cast("long").alias("est"),
+        F.col("exact").cast("long").alias("exact"),
+    )
+
+
+def cms_join_size_oracle_sql() -> str:
+    ca = _int_key_cells_sql("o_custkey", "duck")
+    cb = _int_key_cells_sql("c_custkey", "duck")
+    return f"""
+WITH pa AS (
+  SELECT generate_subscripts(cs, 1) - 1 AS row, unnest(cs) AS cell
+  FROM (SELECT {ca} AS cs FROM orders)
+),
+ga AS (SELECT row, cell, count(*) AS cnt FROM pa GROUP BY 1, 2),
+pb AS (
+  SELECT generate_subscripts(cs, 1) - 1 AS row, unnest(cs) AS cell
+  FROM (SELECT {cb} AS cs FROM customer)
+),
+gb AS (SELECT row, cell, count(*) AS cnt FROM pb GROUP BY 1, 2),
+per_row AS (
+  SELECT ga.row, sum(ga.cnt * gb.cnt) AS ip
+  FROM ga JOIN gb ON ga.row = gb.row AND ga.cell = gb.cell
+  GROUP BY 1
+),
+ex AS (
+  SELECT count(*) AS exact FROM orders o JOIN customer c
+  ON o.o_custkey = c.c_custkey
+)
+SELECT CAST(m.est AS BIGINT) AS est, CAST(ex.exact AS BIGINT) AS exact
+FROM (SELECT min(ip) AS est FROM per_row) m, ex
+"""

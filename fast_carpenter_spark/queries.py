@@ -1620,6 +1620,27 @@ GROUP BY r_name, n_name
 """
 
 
+def q_join_size_cms(spark, sf_dir):
+    """Join-cardinality estimation from count-min grids (the optimizer's
+    question answered WITHOUT running the join): |orders ⋈ customer| is
+    estimated as min over sketch rows of the grid inner product — two
+    bounded aggregates + a 1024-row join instead of a data-sized join.
+    Collisions only add non-negative cross terms, so est >= exact is a
+    deterministic one-sided guarantee, oracle-checked with the exact join
+    size alongside."""
+    from .functions import sketch as _sketch
+
+    for t in ["orders", "customer"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return _sketch.cms_join_size(spark)
+
+
+def _o_join_size_cms() -> str:
+    from .functions import sketch as _sketch
+
+    return _sketch.cms_join_size_oracle_sql()
+
+
 def q_star_revenue(spark, sf_dir):
     """Star-schema revenue rollup over the TPC-H tables (the Q5 join
     shape): fact⋈fact on the order key, every dimension broadcast by
@@ -6098,4 +6119,5 @@ QUERIES = {
     "tile_kcore": (q_tile_kcore, _o_tile_kcore()),
     "snapshot_cdc": (q_snapshot_cdc, O_SNAPSHOT_CDC),
     "quality_repetition": (q_quality_repetition, _quality_repetition_sql("duck")),
+    "join_size_cms": (q_join_size_cms, _o_join_size_cms()),
 }

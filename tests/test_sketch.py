@@ -184,3 +184,19 @@ def test_qdigest_python_matches_duck_cte(duck):
         + "\nSELECT id, cnt FROM digest"
     )
     assert dict(duck.execute(sql).fetchall()) == digest
+
+
+def test_cms_join_size_one_sided(spark):
+    """The CMS inner-product estimate must dominate the exact join size
+    (collisions only add non-negative cross terms) and stay within the
+    d x w grid's theoretical slack on this key distribution."""
+    from fast_carpenter_spark.functions.sketch import cms_join_size
+
+    for t in ("orders", "customer"):
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").createOrReplaceTempView(t)
+    r = cms_join_size(spark).collect()[0]
+    assert r["est"] >= r["exact"] > 0
+    # additive error <= |A| * |B| / W per row (CM inner-product bound)
+    na = spark.table("orders").count()
+    nb = spark.table("customer").count()
+    assert r["est"] - r["exact"] <= na * nb / 256
