@@ -1317,6 +1317,48 @@ def q_tile_trend(spark, sf_dir):
     return spark.sql(_tile_trend_sql("spark"))
 
 
+def _tile_decay_sql(dialect: str) -> str:
+    """Time-decayed tile heat with a 5-day half-life, EXACT: the decay
+    weight is 2^(-age_bins) — a dyadic rational — summed in 1/2^20
+    fixed-point BIGINT (ages clamped at 20 half-lives where the weight
+    underflows the scale to 0), so the decayed score is bit-identical
+    across engines and partitionings; no float enters until never.
+    The freshness operator every 'current hotness' map needs, in the
+    same one-aggregate shape as tile_agg."""
+    from .spatial.trajectory import _coords_sql
+
+    lon, lat = _coords_sql()
+    cell = grid.cell_sql("lon", "lat", COARSE_RES, dialect)
+    if dialect == "spark":
+        us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        shiftr = "shiftright(1048576, CAST(age AS INT))"
+    else:
+        us = "epoch_us(ts)"
+        shiftr = "(1048576 >> CAST(age AS INT))"
+    tb = grid._idiv(us, str(432_000 * 1_000_000), dialect)
+    return f"""
+WITH ev AS (
+  SELECT {cell} AS cell, {tb} AS tb
+  FROM (SELECT *, {lon} AS lon, {lat} AS lat FROM events)
+),
+mx AS (SELECT max(tb) AS now_tb FROM ev),
+aged AS (
+  SELECT cell, LEAST(now_tb - tb, 20) AS age FROM ev, mx
+)
+SELECT cell,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({shiftr}) AS BIGINT) AS heat_fp20
+FROM aged GROUP BY cell
+"""
+
+
+def q_tile_decay(spark, sf_dir):
+    """Half-life-decayed tile heat: dyadic 2^-age weights summed in exact
+    fixed point — deterministic 'current hotness' with zero float ops."""
+    _load_events(spark, sf_dir)
+    return spark.sql(_tile_decay_sql("spark"))
+
+
 def q_tile_rollup(spark, sf_dir):
     """Zoom-out re-aggregation: tile level 8 -> 4 via parent cells — the
     hypertable-rollup analogue (grouping-set rollup over the hierarchy)."""
@@ -4878,6 +4920,57 @@ def q_quality_repetition(spark, sf_dir):
     return spark.sql(_quality_repetition_sql("spark"))
 
 
+def _text_search_sql(dialect: str) -> str:
+    """IR-style retrieval over the corpus: conjunctive AND of three terms
+    (posting-list tf counts, docs must match all) plus an exact PHRASE
+    count ('table scan') via position-posting intersection — both term
+    postings are filtered map-side to their tokens BEFORE the (doc, pos)
+    equi-join, so the phrase join touches posting-list-sized inputs, never
+    the token stream (the classic phrase-query plan).  Adjacency uses
+    pos+1 only, so Spark's 0-based posexplode and DuckDB's 1-based
+    ordinality agree without emitting positions."""
+    from .functions.text import tokens_sql
+
+    toks = tokens_sql("text", dialect)
+    if dialect == "spark":
+        pos_src = f"SELECT doc_id, posexplode({toks}) AS (pos, token) FROM documents"
+    else:
+        # DuckDB has no WITH ORDINALITY; unnest + generate_subscripts over
+        # the same list expand in lockstep (same idiom as the CMS oracle)
+        pos_src = (
+            f"SELECT doc_id, unnest(ts) AS token, generate_subscripts(ts, 1) AS pos "
+            f"FROM (SELECT doc_id, {toks} AS ts FROM documents)"
+        )
+    return f"""
+WITH pos AS ({pos_src}),
+per AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN token = 'scan' THEN 1 ELSE 0 END) AS BIGINT) AS tf_scan,
+         CAST(sum(CASE WHEN token = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_join,
+         CAST(sum(CASE WHEN token = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_window
+  FROM pos GROUP BY doc_id
+),
+pa AS (SELECT doc_id, pos FROM pos WHERE token = 'table'),
+pb AS (SELECT doc_id, pos FROM pos WHERE token = 'scan'),
+phr AS (
+  SELECT pa.doc_id, CAST(count(*) AS BIGINT) AS phrase_cnt
+  FROM pa JOIN pb ON pb.doc_id = pa.doc_id AND pb.pos = pa.pos + 1
+  GROUP BY 1
+)
+SELECT p.doc_id, p.tf_scan, p.tf_join, p.tf_window,
+       CAST(coalesce(ph.phrase_cnt, 0) AS BIGINT) AS phrase_cnt
+FROM per p LEFT JOIN phr ph ON ph.doc_id = p.doc_id
+WHERE p.tf_scan > 0 AND p.tf_join > 0 AND p.tf_window > 0
+"""
+
+
+def q_text_search(spark, sf_dir):
+    """Conjunctive term search + exact phrase counting over the corpus
+    (position-posting intersection — the inverted-index serving plan)."""
+    load_documents(spark, sf_dir)
+    return spark.sql(_text_search_sql("spark"))
+
+
 def q_fingerprint_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS-style): distinct min-per-window remixed
     k-gram hashes per document — the positional-guarantee fingerprint
@@ -6120,4 +6213,6 @@ QUERIES = {
     "snapshot_cdc": (q_snapshot_cdc, O_SNAPSHOT_CDC),
     "quality_repetition": (q_quality_repetition, _quality_repetition_sql("duck")),
     "join_size_cms": (q_join_size_cms, _o_join_size_cms()),
+    "tile_decay": (q_tile_decay, _tile_decay_sql("duck")),
+    "text_search": (q_text_search, _text_search_sql("duck")),
 }
