@@ -1352,6 +1352,69 @@ FROM aged GROUP BY cell
 """
 
 
+def _tile_changepoint_sql(dialect: str) -> str:
+    """Changepoint location per coarse cell over 5-day bins by exact
+    integer CUSUM: with T bins and total N, the statistic at bin t is
+    S_t = T * prefix_t − t * N (the mean-centered prefix sum scaled by T,
+    so it stays BIGINT — no division); the changepoint is the bin
+    maximizing |S_t| with deterministic ties (earliest bin).  Densified
+    zeros ride the same (cell, bin) aggregate as tile_trend; the window
+    prefix runs on one cell-keyed shuffle."""
+    from .spatial.trajectory import _coords_sql
+
+    lon, lat = _coords_sql()
+    cell = grid.cell_sql("lon", "lat", COARSE_RES, dialect)
+    if dialect == "spark":
+        us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    else:
+        us = "epoch_us(ts)"
+    tb = grid._idiv(us, str(432_000 * 1_000_000), dialect)
+    return f"""
+WITH ev AS (
+  SELECT {cell} AS cell, {tb} AS tb
+  FROM (SELECT *, {lon} AS lon, {lat} AS lat FROM events)
+),
+cb0 AS (SELECT cell, tb, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+cells AS (SELECT DISTINCT cell FROM cb0),
+bins AS (SELECT DISTINCT tb FROM cb0),
+dense AS (
+  SELECT c.cell, b.tb, coalesce(cb0.n, CAST(0 AS BIGINT)) AS n
+  FROM cells c CROSS JOIN bins b
+  LEFT JOIN cb0 ON cb0.cell = c.cell AND cb0.tb = b.tb
+),
+pre AS (
+  SELECT cell, tb, n,
+         sum(n) OVER (PARTITION BY cell ORDER BY tb) AS pf,
+         sum(n) OVER (PARTITION BY cell) AS total,
+         count(*) OVER (PARTITION BY cell) AS t_bins,
+         row_number() OVER (PARTITION BY cell ORDER BY tb) AS t
+  FROM dense
+),
+scored AS (
+  SELECT cell, tb,
+         CAST(t_bins * pf - t * total AS BIGINT) AS s_t
+  FROM pre WHERE t < t_bins
+)
+SELECT cell, tb AS change_tb, s_t,
+       CASE WHEN s_t > 0 THEN 'drop_after' WHEN s_t < 0 THEN 'rise_after'
+            ELSE 'none' END AS direction
+FROM (
+  SELECT cell, tb, s_t,
+         row_number() OVER (
+           PARTITION BY cell ORDER BY abs(s_t) DESC, tb ASC
+         ) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
+
+
+def q_tile_changepoint(spark, sf_dir):
+    """Per-cell changepoint (exact integer CUSUM argmax) — where a cell's
+    event rate shifted, the siblings of tile_trend's monotone test."""
+    _load_events(spark, sf_dir)
+    return spark.sql(_tile_changepoint_sql("spark"))
+
+
 def q_tile_decay(spark, sf_dir):
     """Half-life-decayed tile heat: dyadic 2^-age weights summed in exact
     fixed point — deterministic 'current hotness' with zero float ops."""
@@ -6215,4 +6278,5 @@ QUERIES = {
     "join_size_cms": (q_join_size_cms, _o_join_size_cms()),
     "tile_decay": (q_tile_decay, _tile_decay_sql("duck")),
     "text_search": (q_text_search, _text_search_sql("duck")),
+    "tile_changepoint": (q_tile_changepoint, _tile_changepoint_sql("duck")),
 }

@@ -91,3 +91,34 @@ def test_tile_trend_semantics(spark):
         n_pairs = len(bins) * (len(bins) - 1) // 2
         trend = "rising" if s > 0 else "falling" if s < 0 else "flat"
         assert out[cell] == (s, n_pairs, trend), cell
+
+
+def test_tile_changepoint_semantics(spark):
+    """CUSUM argmax recomputed in pandas over the densified bins must
+    match the SQL operator, including the scaled integer statistic and
+    earliest-bin tie-break."""
+    from fast_carpenter_spark.queries import q_tile_changepoint, _tile_trend_sql
+
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    out = {r["cell"]: (r["change_tb"], r["s_t"], r["direction"])
+           for r in q_tile_changepoint(spark, "/root/testdata/sf0.001").collect()}
+    ev_sql = _tile_trend_sql("spark").split("cb0 AS")[0].replace("WITH ev AS (", "")
+    ev = spark.sql(ev_sql.rsplit("),", 1)[0]).toPandas()
+    bins = sorted(ev.tb.unique())
+    T = len(bins)
+    for cell, g in ev.groupby("cell"):
+        counts = g.groupby("tb").size().reindex(bins, fill_value=0).tolist()
+        N = sum(counts)
+        best = None
+        pf = 0
+        for t, (tb, n) in enumerate(zip(bins, counts), start=1):
+            if t == T:
+                break
+            pf += n
+            s = T * pf - t * N
+            if best is None or abs(s) > abs(best[1]):
+                best = (tb, s)
+        direction = "drop_after" if best[1] > 0 else "rise_after" if best[1] < 0 else "none"
+        assert out[cell] == (best[0], best[1], direction), cell
