@@ -101,6 +101,11 @@ AUDITED = [
     "tile_trend",       # bounded (cell,bin) agg + pinned densify cross + pair join
     "snapshot_schema_evolution",  # pinned-schema scan across commits, one agg
     "snapshot_cdc",     # two hash anti-differences on row identity
+    "quality_repetition",  # zero-shuffle map-side gram array algebra
+    "join_size_cms",    # two bounded grid aggs + 1024-row join, never a data join
+    "tile_decay",       # one bounded (cell,bin)-derived agg, dyadic fixed point
+    "text_search",      # map-side-filtered postings before the (doc,pos) equi join
+    "tile_changepoint",  # bounded densify + one cell-keyed window pass
     # dedup_cluster / tile_regions / dbscan / tile_kcore are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
     # join is the same edge-keyed hash-join shape audited via
@@ -160,6 +165,8 @@ ALLOW_BNLJ_GLOBAL_ATTACH = {
     "tile_hotspot": 1, "tile_moran": 1, "tile_lisa": 1,
     "ann_ivf_recall_clustered": 2,
     "tile_contour": 1,  # the global-mean threshold attach (keyless 1-row agg)
+    "join_size_cms": 1,  # est x exact: two keyless 1-row aggregates joined
+    "tile_decay": 1,     # max-bin "now" attach (keyless 1-row agg)
 }
 # Register-densify crosses: a DISTINCT aggregate of an enum-cardinality
 # column crossed with a CONSTANT range generator (langs x 64 HLL register
@@ -167,10 +174,11 @@ ALLOW_BNLJ_GLOBAL_ATTACH = {
 # densify.  Counts pinned so a refactor cannot add an unvetted cross.
 ALLOW_BNLJ_DENSIFY = {
     "hll_union": 1,
-    # tile_trend: DISTINCT cells × DISTINCT 5-day bins (both post-aggregate,
-    # grid- and calendar-bounded) zero-densified before the Mann–Kendall
-    # pair join — absence of events IS a low count for trend purposes
+    # tile_trend / tile_changepoint: DISTINCT cells × DISTINCT 5-day bins
+    # (both post-aggregate, grid- and calendar-bounded) zero-densified
+    # before the statistic — absence of events IS a low count
     "tile_trend": 1,
+    "tile_changepoint": 1,
 }
 
 
