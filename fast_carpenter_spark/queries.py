@@ -4921,7 +4921,7 @@ def _o_theta_jaccard() -> str:
     return _sketch.theta_jaccard_oracle_sql()
 
 
-def _quality_repetition_sql(dialect: str) -> str:
+def _quality_repetition_sql(dialect: str, docs: str = "documents") -> str:
     """Intra-document repetition signals (the Gopher/RefinedWeb-style
     quality rule): duplicate 3-gram fraction (1 − distinct/total, in
     exact 1/10000 fixed-point so the ratio is integer), the highest
@@ -4953,13 +4953,13 @@ FROM (
   SELECT doc_id, CAST({distinct_n} AS BIGINT) AS distinct_n,
          CAST({total_n} AS BIGINT) AS total_n,
          array_sort(grams) AS sorted
-  FROM (SELECT doc_id, {grams} AS grams FROM documents)
+  FROM (SELECT doc_id, {grams} AS grams FROM {docs})
 )
 WHERE total_n > 0
 """
     return f"""
 WITH g AS (
-  SELECT doc_id, unnest({grams}) AS gh FROM documents
+  SELECT doc_id, unnest({grams}) AS gh FROM {docs}
 ),
 per AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS total_n,

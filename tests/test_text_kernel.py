@@ -169,9 +169,14 @@ def test_quality_repetition_semantics(spark):
         (2, "x y"),                       # < k tokens -> no grams -> absent
     ]
     spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
-        "documents"
+        "repetition_docs"  # NOT "documents": the session-scoped view must survive
     )
-    out = {r["doc_id"]: r for r in spark.sql(_quality_repetition_sql("spark")).collect()}
+    out = {
+        r["doc_id"]: r
+        for r in spark.sql(
+            _quality_repetition_sql("spark", docs="repetition_docs")
+        ).collect()
+    }
     assert 2 not in out
     r0 = out[0]
     # grams of doc 0: abc bca cab abc bca cab abc -> total 7, distinct 3
