@@ -5034,6 +5034,80 @@ def q_text_search(spark, sf_dir):
     return spark.sql(_text_search_sql("spark"))
 
 
+def _media_context_sql(dialect: str, spans_from: str | None = None) -> str:
+    """Caption-context extraction for multimodal training: for every MEDIA
+    span (image/audio), the nearest text span on each side within the same
+    document — the (context, asset, context) triple a captioning or
+    interleaved-pretraining pipeline feeds the model.  'Nearest text' is a
+    running last/next non-null over the span order, so consecutive media
+    spans share their flanking text (correct for interleaved docs where a
+    figure run sits inside one passage).  One doc_id window shuffle, two
+    passes over the same partitioning."""
+    fs = spans_from or synth.flat_spans_sql(dialect)
+    txt = "CASE WHEN kind = 'text' THEN span_text END"
+    if dialect == "spark":
+        prev = (
+            f"last({txt}, true) OVER "
+            "(PARTITION BY doc_id ORDER BY span_idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        )
+        nxt = (
+            f"first({txt}, true) OVER "
+            "(PARTITION BY doc_id ORDER BY span_idx "
+            "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+        )
+    else:
+        prev = (
+            f"last_value({txt} IGNORE NULLS) OVER "
+            "(PARTITION BY doc_id ORDER BY span_idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        )
+        nxt = (
+            f"first_value({txt} IGNORE NULLS) OVER "
+            "(PARTITION BY doc_id ORDER BY span_idx "
+            "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+        )
+    return f"""
+SELECT doc_id, span_idx, kind, media_ref, prev_text, next_text
+FROM (
+  SELECT doc_id, span_idx, kind, media_ref,
+         {prev} AS prev_text,
+         {nxt} AS next_text
+  FROM ({fs})
+)
+WHERE kind IN ('image', 'audio')
+"""
+
+
+def q_media_context(spark, sf_dir):
+    """Per media span: flanking text context (interleaved caption
+    extraction) — one doc_id window shuffle."""
+    load_documents(spark, sf_dir)
+    return spark.sql(_media_context_sql("spark"))
+
+
+def _shuffle_order_sql(dialect: str) -> str:
+    """Deterministic global training shuffle: every document gets a
+    pseudo-random but REPRODUCIBLE position from an avalanche-remixed hash
+    of its id (ties impossible: the affine map is injective mod the
+    prime > id domain) — the rank is identical across engines, runs, and
+    partitionings, so a resumed training job sees the same data order.
+    At 10^12 docs this is a sort by a computed key (range-partitioned
+    total order), not a collected permutation."""
+    h = "((doc_id * 2654435761 + 40503) % 1000000007)"
+    return f"""
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS position
+FROM (SELECT doc_id, CAST({h} AS BIGINT) AS shuffle_key FROM documents)
+"""
+
+
+def q_shuffle_order(spark, sf_dir):
+    """Reproducible global shuffle order for training-data emission."""
+    load_documents(spark, sf_dir)
+    return spark.sql(_shuffle_order_sql("spark"))
+
+
 def q_fingerprint_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS-style): distinct min-per-window remixed
     k-gram hashes per document — the positional-guarantee fingerprint
@@ -6279,4 +6353,6 @@ QUERIES = {
     "tile_decay": (q_tile_decay, _tile_decay_sql("duck")),
     "text_search": (q_text_search, _text_search_sql("duck")),
     "tile_changepoint": (q_tile_changepoint, _tile_changepoint_sql("duck")),
+    "media_context": (q_media_context, _media_context_sql("duck")),
+    "shuffle_order": (q_shuffle_order, _shuffle_order_sql("duck")),
 }

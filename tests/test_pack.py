@@ -47,3 +47,34 @@ def test_no_single_partition_exchange(spark):
     out = global_prefix_sum(df, "k", "v", num_partitions=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_media_context_flanking_semantics(spark):
+    """Consecutive media spans share their flanking text; document edges
+    yield NULL context — checked on a handcrafted interleaved doc."""
+    from fast_carpenter_spark.queries import _media_context_sql
+
+    # build a fake flat-spans view by swapping the generated FROM-subquery
+    # for a literal table with the same columns the window pass needs
+    rows = [
+        (1, 0, "image", "m0", ""),
+        (1, 1, "text", "", "hello"),
+        (1, 2, "image", "m1", ""),
+        (1, 3, "image", "m2", ""),
+        (1, 4, "text", "", "world"),
+        (1, 5, "audio", "m3", ""),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, span_idx int, kind string, media_ref string, span_text string"
+    ).createOrReplaceTempView("media_ctx_fixture")
+    sql = _media_context_sql("spark", spans_from="SELECT * FROM media_ctx_fixture")
+    got = {
+        r["media_ref"]: (r["prev_text"], r["next_text"])
+        for r in spark.sql(sql).collect()
+    }
+    assert got == {
+        "m0": (None, "hello"),
+        "m1": ("hello", "world"),
+        "m2": ("hello", "world"),  # consecutive media share flanks
+        "m3": ("world", None),
+    }
