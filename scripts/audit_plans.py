@@ -106,6 +106,8 @@ AUDITED = [
     "tile_decay",       # one bounded (cell,bin)-derived agg, dyadic fixed point
     "text_search",      # map-side-filtered postings before the (doc,pos) equi join
     "tile_changepoint",  # bounded densify + one cell-keyed window pass
+    "media_context",    # two window passes on ONE doc_id shuffle
+    "shuffle_order",    # sort by computed key (range-partitioned total order)
     # dedup_cluster / tile_regions / dbscan / tile_kcore are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
     # join is the same edge-keyed hash-join shape audited via
