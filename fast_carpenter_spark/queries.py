@@ -1911,6 +1911,53 @@ def q_events_funnel(spark, sf_dir):
 O_EVENTS_FUNNEL = _funnel_sql("epoch_us(ts)")
 
 
+def _funnel_latency_sql(dialect: str) -> str:
+    """Conversion-latency distribution: per user the funnel instance is
+    (first view) → (first click after it) → (first purchase after that),
+    latencies in exact integer microseconds; the output is per-stage
+    count + p50/p90 (Spark `percentile` ≡ DuckDB `quantile_cont`, both
+    linear interpolation over exact BIGINTs — deterministic doubles).
+    Scale shape: three bounded per-user min-aggregates riding one user_id
+    key, then a 2-row percentile rollup."""
+    if dialect == "spark":
+        us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        p50, p90 = "percentile(lat, 0.5)", "percentile(lat, 0.9)"
+    else:
+        us = "epoch_us(ts)"
+        p50, p90 = "quantile_cont(lat, 0.5)", "quantile_cont(lat, 0.9)"
+    return f"""
+WITH ev AS (SELECT user_id, event_type, {us} AS us FROM events),
+v AS (SELECT user_id, min(us) AS v_us FROM ev WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.us) AS c_us
+  FROM ev e JOIN v ON v.user_id = e.user_id AND e.us > v.v_us
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.us) AS p_us
+  FROM ev e JOIN c ON c.user_id = e.user_id AND e.us > c.c_us
+  WHERE e.event_type = 'purchase' GROUP BY 1
+),
+lats AS (
+  SELECT 'view_to_click' AS stage, CAST(c.c_us - v.v_us AS BIGINT) AS lat
+  FROM v JOIN c ON c.user_id = v.user_id
+  UNION ALL
+  SELECT 'click_to_purchase' AS stage, CAST(p.p_us - c.c_us AS BIGINT) AS lat
+  FROM c JOIN p ON p.user_id = c.user_id
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+       {p50} AS p50_us, {p90} AS p90_us
+FROM lats GROUP BY stage
+"""
+
+
+def q_funnel_latency(spark, sf_dir):
+    """Time-to-convert percentiles per funnel stage (exact integer
+    latencies, deterministic interpolated percentiles)."""
+    _load_events(spark, sf_dir)
+    return spark.sql(_funnel_latency_sql("spark"))
+
+
 def q_events_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-seen day; for each
     (cohort_day, day_offset) the number of distinct returning users.  ONE
@@ -5908,6 +5955,68 @@ def q_geofence_transitions(spark, sf_dir):
     return transitions_within(span_labels(df, synth.polygons()))
 
 
+def q_geofence_dwell(spark, sf_dir):
+    """Dwell statistics per geofence region: contiguous same-label RUNS
+    along each span trajectory (gaps-and-islands: island key = span_idx −
+    row_number within (doc, label)), rolled up per region — visits, docs,
+    total span-steps inside, and the longest single stay.  Span steps are
+    the trajectory's native time unit (spans are offset-ordered); the run
+    detection is ONE more window pass on the SAME doc_id shuffle the
+    labelling already pays."""
+    from pyspark.sql import Window as W
+
+    from .spatial.geofence import span_labels
+
+    labels = span_labels(flat_spans(spark, sf_dir), synth.polygons())
+    w = W.partitionBy("doc_id", "lbl").orderBy("span_idx")
+    runs = (
+        labels.withColumn(
+            "isl", F.col("span_idx") - F.row_number().over(w)
+        )
+        .groupBy("doc_id", "lbl", "isl")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.filter(F.col("lbl") != "outside")
+        .groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_visits"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("run_len").alias("total_steps"),
+            F.max("run_len").alias("max_stay"),
+        )
+    )
+
+
+def _o_geofence_dwell() -> str:
+    return f"""
+WITH m AS ({O_PIP_JOIN.strip()}),
+lab AS (
+  SELECT p.doc_id, p.span_idx,
+         COALESCE(min(m.poly_id), 'outside') AS lbl
+  FROM ({O_SPANS_FLAT}) p
+  LEFT JOIN m ON m.doc_id = p.doc_id AND m.span_offset = p.span_offset
+  GROUP BY 1, 2
+),
+isl AS (
+  SELECT doc_id, lbl,
+         span_idx - row_number() OVER (
+           PARTITION BY doc_id, lbl ORDER BY span_idx
+         ) AS isl
+  FROM lab
+),
+runs AS (
+  SELECT doc_id, lbl, isl, CAST(count(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT lbl, CAST(count(*) AS BIGINT) AS n_visits,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(run_len) AS BIGINT) AS total_steps,
+       CAST(max(run_len) AS BIGINT) AS max_stay
+FROM runs WHERE lbl <> 'outside' GROUP BY 1
+"""
+
+
 def _o_geofence_transitions() -> str:
     return f"""
 WITH m AS ({O_PIP_JOIN.strip()}),
@@ -6355,4 +6464,6 @@ QUERIES = {
     "tile_changepoint": (q_tile_changepoint, _tile_changepoint_sql("duck")),
     "media_context": (q_media_context, _media_context_sql("duck")),
     "shuffle_order": (q_shuffle_order, _shuffle_order_sql("duck")),
+    "funnel_latency": (q_funnel_latency, _funnel_latency_sql("duck")),
+    "geofence_dwell": (q_geofence_dwell, _o_geofence_dwell()),
 }
