@@ -1422,6 +1422,61 @@ def q_tile_decay(spark, sf_dir):
     return spark.sql(_tile_decay_sql("spark"))
 
 
+def _layer_corr_sql(dialect: str) -> str:
+    """Cross-layer density correlation: Pearson r between the document-
+    span layer and the event layer on the shared coarse grid, zero-filled
+    on either side's empty cells (absence is signal).  Every moment sum is
+    exact BIGINT; the only float is the single final r expression (shared
+    text, deterministic IEEE).  The 'do people go where the content is'
+    statistic — one bounded aggregate per layer + a grid-sized outer
+    join."""
+    from .spatial.trajectory import _coords_sql
+
+    span_cell = grid.cell_sql("lon", "lat", COARSE_RES, dialect)
+    elon, elat = _coords_sql()
+    ev_cell = grid.cell_sql("lon", "lat", COARSE_RES, dialect)
+    fs = synth.flat_spans_sql(dialect)
+    return f"""
+WITH a AS (
+  SELECT {span_cell} AS cell, CAST(count(*) AS BIGINT) AS a FROM ({fs}) GROUP BY 1
+),
+b AS (
+  SELECT {ev_cell} AS cell, CAST(count(*) AS BIGINT) AS b
+  FROM (SELECT *, {elon} AS lon, {elat} AS lat FROM events) GROUP BY 1
+),
+j AS (
+  SELECT coalesce(a.a, 0) AS av, coalesce(b.b, 0) AS bv
+  FROM a FULL OUTER JOIN b ON a.cell = b.cell
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(av) AS BIGINT) AS sa, CAST(sum(bv) AS BIGINT) AS sb,
+         CAST(sum(av * av) AS BIGINT) AS saa,
+         CAST(sum(bv * bv) AS BIGINT) AS sbb,
+         CAST(sum(av * bv) AS BIGINT) AS sab
+  FROM j
+)
+SELECT n, sa, sb, saa, sbb, sab,
+       (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       / sqrt(
+           (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+            - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+         ) AS pearson_r
+FROM s
+"""
+
+
+def q_layer_corr(spark, sf_dir):
+    """Pearson correlation between the content-density and event-activity
+    layers on the shared grid (exact BIGINT moments, one final double)."""
+    load_documents(spark, sf_dir)
+    _load_events(spark, sf_dir)
+    return spark.sql(_layer_corr_sql("spark"))
+
+
 def q_tile_rollup(spark, sf_dir):
     """Zoom-out re-aggregation: tile level 8 -> 4 via parent cells — the
     hypertable-rollup analogue (grouping-set rollup over the hierarchy)."""
@@ -6466,4 +6521,5 @@ QUERIES = {
     "shuffle_order": (q_shuffle_order, _shuffle_order_sql("duck")),
     "funnel_latency": (q_funnel_latency, _funnel_latency_sql("duck")),
     "geofence_dwell": (q_geofence_dwell, _o_geofence_dwell()),
+    "layer_corr": (q_layer_corr, _layer_corr_sql("duck")),
 }
