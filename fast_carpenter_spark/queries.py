@@ -3293,6 +3293,87 @@ WHERE len(list_intersect(a.sh, b.sh)) > 0
 """
 
 
+def _langid_confusion_sql(dialect: str) -> str:
+    """Language-ID evaluation as a confusion matrix: (true, predicted)
+    counts plus the per-cell share of the true language's documents in
+    exact basis points — the classifier-quality report the langid
+    heuristic needs before anyone trusts its routing.  Bounded output
+    (|langs|²); one aggregate."""
+    pred = _text.langid_pred_sql("text", dialect)
+    return f"""
+WITH p AS (SELECT lang AS lang_true, {pred} AS lang_pred FROM documents),
+m AS (
+  SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2
+),
+t AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS tot FROM m GROUP BY 1)
+SELECT m.lang_true, m.lang_pred, m.n,
+       CAST(m.n * 10000 {'DIV' if dialect == 'spark' else '//'} t.tot AS BIGINT)
+         AS share_bp
+FROM m JOIN t ON t.lang_true = m.lang_true
+"""
+
+
+def q_langid_confusion(spark, sf_dir):
+    """Confusion matrix + exact basis-point shares for the langid
+    heuristic against the labeled corpus."""
+    load_documents(spark, sf_dir)
+    return spark.sql(_langid_confusion_sql("spark"))
+
+
+def _token_budget_sql(dialect: str) -> str:
+    """Training-mixture accounting: total tokens per (source, lang) with
+    the corpus share in exact basis points — the table a mixture-weight
+    decision reads before any sampling happens.  One aggregate + a 1-row
+    total attach."""
+    toks = _text.tokens_sql("text", dialect)
+    n_tok = f"size({toks})" if dialect == "spark" else f"len({toks})"
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH per AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({n_tok}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per)
+SELECT p.source, p.lang, p.n_docs, p.n_tokens,
+       CAST(p.n_tokens * 10000 {idiv} t.total_tokens AS BIGINT) AS share_bp
+FROM per p, tot t
+"""
+
+
+def q_token_budget(spark, sf_dir):
+    """Token budget per (source, lang) with exact corpus shares."""
+    load_documents(spark, sf_dir)
+    return spark.sql(_token_budget_sql("spark"))
+
+
+def _length_histogram_sql(dialect: str) -> str:
+    """Document-length distribution in log2 buckets (bucket = number of
+    bits of the token count — exact via length(bin(n))), per language:
+    the shape report packing/curriculum decisions read.  Bounded output;
+    one aggregate."""
+    toks = _text.tokens_sql("text", dialect)
+    n_tok = f"size({toks})" if dialect == "spark" else f"len({toks})"
+    return f"""
+SELECT lang,
+       CAST(length(bin({n_tok})) AS INT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min({n_tok}) AS BIGINT) AS min_tokens,
+       CAST(max({n_tok}) AS BIGINT) AS max_tokens
+FROM documents
+WHERE {n_tok} > 0
+GROUP BY 1, 2
+"""
+
+
+def q_length_histogram(spark, sf_dir):
+    """Per-language log2 token-length histogram (exact integer buckets)."""
+    load_documents(spark, sf_dir)
+    return spark.sql(_length_histogram_sql("spark"))
+
+
 def q_text_features(spark, sf_dir):
     """Language-ID + quality score + token stats per document."""
     df = load_documents(spark, sf_dir)
@@ -6522,4 +6603,7 @@ QUERIES = {
     "funnel_latency": (q_funnel_latency, _funnel_latency_sql("duck")),
     "geofence_dwell": (q_geofence_dwell, _o_geofence_dwell()),
     "layer_corr": (q_layer_corr, _layer_corr_sql("duck")),
+    "langid_confusion": (q_langid_confusion, _langid_confusion_sql("duck")),
+    "token_budget": (q_token_budget, _token_budget_sql("duck")),
+    "length_histogram": (q_length_histogram, _length_histogram_sql("duck")),
 }
