@@ -108,6 +108,12 @@ AUDITED = [
     "tile_changepoint",  # bounded densify + one cell-keyed window pass
     "media_context",    # two window passes on ONE doc_id shuffle
     "shuffle_order",    # sort by computed key (range-partitioned total order)
+    "funnel_latency",   # three per-user min-aggs on one key + 2-row rollup
+    "geofence_dwell",   # runs window on the SAME doc_id shuffle as labelling
+    "layer_corr",       # two bounded layer aggs + grid-sized outer join
+    "langid_confusion",  # bounded |langs|^2 aggregate
+    "token_budget",     # one aggregate + 1-row total attach
+    "length_histogram",  # bounded (lang, bucket) aggregate
     # dedup_cluster / tile_regions / dbscan / tile_kcore are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
     # join is the same edge-keyed hash-join shape audited via
@@ -169,6 +175,7 @@ ALLOW_BNLJ_GLOBAL_ATTACH = {
     "tile_contour": 1,  # the global-mean threshold attach (keyless 1-row agg)
     "join_size_cms": 1,  # est x exact: two keyless 1-row aggregates joined
     "tile_decay": 1,     # max-bin "now" attach (keyless 1-row agg)
+    "token_budget": 1,   # corpus-total attach (keyless 1-row agg)
 }
 # Register-densify crosses: a DISTINCT aggregate of an enum-cardinality
 # column crossed with a CONSTANT range generator (langs x 64 HLL register
