@@ -3215,6 +3215,45 @@ FROM documents GROUP BY 1
 """
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """The curation pipeline as CONFIG (round-3 DedupStage at driver
+    grain): Dedup(exact, keep min doc_id per fingerprint) → CutFlow
+    (n_chars >= 256) → BinnedDataframe per lang — the YAML shape a user
+    writes for dedupe-then-select-then-summarize, executed through the
+    same Pipeline.from_config path as the reference demo config."""
+    from .plans.pipeline import Pipeline
+
+    docs = load_documents(spark, sf_dir)
+    pipe = Pipeline.from_config(
+        {
+            "stages": [
+                {"dedup": {"method": "exact"}},
+                {"cutflow": {"selection": "n_chars >= 256"}},
+                {
+                    "binned_dataframe": {
+                        "binning": [{"in": "lang"}],
+                        "weights": {},
+                    }
+                },
+            ]
+        }
+    )
+    return pipe.apply(docs)
+
+
+def _o_dedup_pipeline() -> str:
+    return f"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, {_text.text_hash_sql('text', 'duck')} AS fp FROM documents)
+  GROUP BY fp
+),
+kept AS (SELECT d.* FROM documents d JOIN canon USING (doc_id)),
+filt AS (SELECT * FROM kept WHERE n_chars >= 256)
+SELECT lang, CAST(count(*) AS BIGINT) AS n FROM filt GROUP BY 1
+"""
+
+
 def q_minhash_lsh(spark, sf_dir):
     return _dedup.minhash_lsh_pairs(load_documents(spark, sf_dir))
 
@@ -6606,4 +6645,5 @@ QUERIES = {
     "langid_confusion": (q_langid_confusion, _langid_confusion_sql("duck")),
     "token_budget": (q_token_budget, _token_budget_sql("duck")),
     "length_histogram": (q_length_histogram, _length_histogram_sql("duck")),
+    "dedup_pipeline": (q_dedup_pipeline, _o_dedup_pipeline()),
 }
