@@ -5330,6 +5330,41 @@ def q_shuffle_order(spark, sf_dir):
     return spark.sql(_shuffle_order_sql("spark"))
 
 
+def _modality_gini_sql(dialect: str) -> str:
+    """Modality-mixing score per document: Gini impurity of the span-kind
+    distribution in exact basis points — impurity_bp =
+    (10000·(n² − Σ n_k²)) DIV n², pure integer arithmetic (no logs, so no
+    transcendental cross-engine risk), 0 for single-modality docs and
+    →7500 for a uniform 4-way mix.  The 'how interleaved is this
+    document' signal a multimodal sampler stratifies on; one bounded
+    aggregate over the span explode."""
+    fs = synth.flat_spans_sql(dialect)
+    return f"""
+WITH per AS (
+  SELECT doc_id, kind, CAST(count(*) AS BIGINT) AS nk
+  FROM ({fs}) GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(nk) AS BIGINT) AS n,
+         CAST(sum(nk * nk) AS BIGINT) AS sq,
+         CAST(count(*) AS BIGINT) AS n_kinds
+  FROM per GROUP BY 1
+)
+SELECT doc_id, n, n_kinds,
+       CAST((10000 * (n * n - sq)) {'DIV' if dialect == 'spark' else '//'} (n * n)
+            AS BIGINT) AS gini_bp
+FROM agg
+"""
+
+
+def q_modality_gini(spark, sf_dir):
+    """Exact-integer Gini impurity of span kinds per document — the
+    interleaving-degree score for multimodal sampling."""
+    load_documents(spark, sf_dir)
+    return spark.sql(_modality_gini_sql("spark"))
+
+
 def q_fingerprint_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS-style): distinct min-per-window remixed
     k-gram hashes per document — the positional-guarantee fingerprint
@@ -6646,4 +6681,5 @@ QUERIES = {
     "token_budget": (q_token_budget, _token_budget_sql("duck")),
     "length_histogram": (q_length_histogram, _length_histogram_sql("duck")),
     "dedup_pipeline": (q_dedup_pipeline, _o_dedup_pipeline()),
+    "modality_gini": (q_modality_gini, _modality_gini_sql("duck")),
 }
