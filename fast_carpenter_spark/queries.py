@@ -5358,6 +5358,47 @@ FROM agg
 """
 
 
+def _spans_integrity_sql(dialect: str) -> str:
+    """The input contract (north-rule per-row invariant: span-sequence
+    equality of kind/text/media_ref/order) as a first-class CHECK
+    operator: per document, whether offsets are the exact 16-byte stride
+    in order, whether every media span carries a ref and every text span
+    carries text, and the span count — the table a pipeline gate asserts
+    ALL-pass on before anything downstream runs.  Pure map-side span
+    algebra, one bounded aggregate."""
+    fs = synth.flat_spans_sql(dialect)
+    return f"""
+WITH s AS (
+  SELECT doc_id, span_idx, span_offset, kind, span_text, media_ref
+  FROM ({fs})
+),
+chk AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN span_offset = span_idx * 16 THEN 0 ELSE 1 END)
+              AS BIGINT) AS bad_offsets,
+         CAST(sum(CASE WHEN kind IN ('image', 'audio')
+                        AND (media_ref IS NULL OR media_ref = '') THEN 1
+                       ELSE 0 END) AS BIGINT) AS media_missing_ref,
+         CAST(sum(CASE WHEN kind = 'text'
+                        AND (span_text IS NULL OR span_text = '') THEN 1
+                       ELSE 0 END) AS BIGINT) AS text_missing_body
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, n_spans, bad_offsets, media_missing_ref, text_missing_body,
+       (bad_offsets = 0 AND media_missing_ref = 0 AND text_missing_body = 0)
+         AS contract_ok
+FROM chk
+"""
+
+
+def q_spans_integrity(spark, sf_dir):
+    """Span-sequence contract check per document (offset stride, media
+    refs present, text bodies present) — the pipeline admission gate."""
+    load_documents(spark, sf_dir)
+    return spark.sql(_spans_integrity_sql("spark"))
+
+
 def q_modality_gini(spark, sf_dir):
     """Exact-integer Gini impurity of span kinds per document — the
     interleaving-degree score for multimodal sampling."""
@@ -6682,4 +6723,5 @@ QUERIES = {
     "length_histogram": (q_length_histogram, _length_histogram_sql("duck")),
     "dedup_pipeline": (q_dedup_pipeline, _o_dedup_pipeline()),
     "modality_gini": (q_modality_gini, _modality_gini_sql("duck")),
+    "spans_integrity": (q_spans_integrity, _spans_integrity_sql("duck")),
 }
