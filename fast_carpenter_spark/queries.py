@@ -1477,6 +1477,50 @@ def q_layer_corr(spark, sf_dir):
     return spark.sql(_layer_corr_sql("spark"))
 
 
+def _tile_gini_sql(dialect: str) -> str:
+    """Spatial concentration of event activity: the Gini coefficient of
+    per-cell counts over occupied cells — num = 2*sum(i*x_(i)) - (n+1)*sum(x)
+    and den = n*sum(x) are exact BIGINT from one rank window over the
+    sorted cells.  Ties cannot perturb the sums: a block of equal x
+    occupies a fixed SET of ranks whatever its internal order, and the
+    rank-weighted sum over that block depends only on the set — the cell
+    tie-break just makes the per-row sequence a deterministic total
+    order too.  The coefficient is one final division.  'Is activity a
+    few hotspots or spread thin' — the inequality statistic area
+    planners read."""
+    from .spatial.trajectory import _coords_sql
+
+    lon, lat = _coords_sql()
+    cell = grid.cell_sql("lon", "lat", COARSE_RES, dialect)
+    return f"""
+WITH cb AS (
+  SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS x
+  FROM (SELECT *, {lon} AS lon, {lat} AS lat FROM events) GROUP BY 1
+),
+rk AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, cell) AS BIGINT) AS i FROM cb
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(i * x) AS BIGINT) AS six
+  FROM rk
+)
+SELECT n, sx,
+       CAST(2 * six - (n + 1) * sx AS BIGINT) AS num,
+       CAST(n * sx AS BIGINT) AS den,
+       CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE) AS gini
+FROM s
+"""
+
+
+def q_tile_gini(spark, sf_dir):
+    """Gini concentration of event counts across occupied cells (exact
+    integer numerator/denominator, one final division)."""
+    _load_events(spark, sf_dir)
+    return spark.sql(_tile_gini_sql("spark"))
+
+
 def q_tile_rollup(spark, sf_dir):
     """Zoom-out re-aggregation: tile level 8 -> 4 via parent cells — the
     hypertable-rollup analogue (grouping-set rollup over the hierarchy)."""
@@ -6724,4 +6768,5 @@ QUERIES = {
     "dedup_pipeline": (q_dedup_pipeline, _o_dedup_pipeline()),
     "modality_gini": (q_modality_gini, _modality_gini_sql("duck")),
     "spans_integrity": (q_spans_integrity, _spans_integrity_sql("duck")),
+    "tile_gini": (q_tile_gini, _tile_gini_sql("duck")),
 }
