@@ -1514,6 +1514,47 @@ FROM s
 """
 
 
+def _tile_pareto_sql(dialect: str) -> str:
+    """Pareto coverage of activity: how many cells (densest first) cover
+    80% of all events, and what share the top 10 cells hold — the
+    operational twin of tile_gini (capacity planning reads 'k cells for
+    80%', not a coefficient).  One rank window over the bounded cell
+    aggregate; thresholds compared in exact cross-multiplied integers
+    (cum*5 >= total*4 ⇔ cum >= 0.8·total), shares in basis points."""
+    from .spatial.trajectory import _coords_sql
+
+    lon, lat = _coords_sql()
+    cell = grid.cell_sql("lon", "lat", COARSE_RES, dialect)
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH cb AS (
+  SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS x
+  FROM (SELECT *, {lon} AS lon, {lat} AS lat FROM events) GROUP BY 1
+),
+rk AS (
+  SELECT x,
+         CAST(row_number() OVER (ORDER BY x DESC, cell) AS BIGINT) AS i,
+         CAST(sum(x) OVER (ORDER BY x DESC, cell) AS BIGINT) AS cum
+  FROM cb
+),
+tot AS (SELECT CAST(sum(x) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_cells FROM cb)
+SELECT t.n_cells, t.total,
+       CAST(min(CASE WHEN r.cum * 5 >= t.total * 4 THEN r.i END) AS BIGINT)
+         AS cells_for_80pct,
+       CAST(max(CASE WHEN r.i <= 10 THEN r.cum END) * 10000 {idiv} t.total
+            AS BIGINT) AS top10_share_bp
+FROM rk r, tot t
+GROUP BY 1, 2
+"""
+
+
+def q_tile_pareto(spark, sf_dir):
+    """Cells-for-80% and top-10 share of event activity (exact integer
+    thresholds; the capacity-planning view of spatial concentration)."""
+    _load_events(spark, sf_dir)
+    return spark.sql(_tile_pareto_sql("spark"))
+
+
 def q_tile_gini(spark, sf_dir):
     """Gini concentration of event counts across occupied cells (exact
     integer numerator/denominator, one final division)."""
@@ -6769,4 +6810,5 @@ QUERIES = {
     "modality_gini": (q_modality_gini, _modality_gini_sql("duck")),
     "spans_integrity": (q_spans_integrity, _spans_integrity_sql("duck")),
     "tile_gini": (q_tile_gini, _tile_gini_sql("duck")),
+    "tile_pareto": (q_tile_pareto, _tile_pareto_sql("duck")),
 }
