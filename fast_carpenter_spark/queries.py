@@ -2098,6 +2098,38 @@ def q_funnel_latency(spark, sf_dir):
     return spark.sql(_funnel_latency_sql("spark"))
 
 
+def _daily_active_sql(dialect: str) -> str:
+    """Daily active users with the new-vs-returning split: a user is NEW
+    on their first-seen day (one min-day window on the user key),
+    returning otherwise — the operational sibling of the cohort retention
+    matrix.  Day ids are exact integer epoch-day quotients; one user_id
+    aggregate + one (day)-keyed rollup."""
+    if dialect == "spark":
+        us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    else:
+        us = "epoch_us(ts)"
+    day = grid._idiv(us, str(86_400 * 1_000_000), dialect)
+    return f"""
+WITH ev AS (SELECT user_id, {day} AS day FROM events),
+days AS (SELECT DISTINCT user_id, day FROM ev),
+firsts AS (SELECT user_id, min(day) AS first_day FROM days GROUP BY 1)
+SELECT d.day,
+       CAST(count(*) AS BIGINT) AS dau,
+       CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(sum(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users
+FROM days d JOIN firsts f ON f.user_id = d.user_id
+GROUP BY 1
+"""
+
+
+def q_daily_active(spark, sf_dir):
+    """DAU with exact new/returning decomposition per epoch day."""
+    _load_events(spark, sf_dir)
+    return spark.sql(_daily_active_sql("spark"))
+
+
 def q_events_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-seen day; for each
     (cohort_day, day_offset) the number of distinct returning users.  ONE
@@ -6811,4 +6843,5 @@ QUERIES = {
     "spans_integrity": (q_spans_integrity, _spans_integrity_sql("duck")),
     "tile_gini": (q_tile_gini, _tile_gini_sql("duck")),
     "tile_pareto": (q_tile_pareto, _tile_pareto_sql("duck")),
+    "daily_active": (q_daily_active, _daily_active_sql("duck")),
 }
