@@ -5516,6 +5516,36 @@ def q_spans_integrity(spark, sf_dir):
     return spark.sql(_spans_integrity_sql("spark"))
 
 
+def _asset_topk_sql(dialect: str, k: int = 20) -> str:
+    """Hottest media assets by span fan-out: per media_ref the span and
+    document counts, top-k with deterministic ties — the CDN/cache
+    priming list and the asset-dedup triage view (media_dedup groups
+    payload hashes; this ranks the reference graph).  One bounded
+    aggregate + a WindowGroupLimit top-k."""
+    fs = synth.flat_spans_sql(dialect)
+    return f"""
+WITH m AS (
+  SELECT media_ref, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM ({fs})
+  WHERE media_ref IS NOT NULL AND media_ref <> ''
+  GROUP BY 1
+)
+SELECT media_ref, n_spans, n_docs FROM (
+  SELECT media_ref, n_spans, n_docs,
+         row_number() OVER (ORDER BY n_spans DESC, media_ref) AS rk
+  FROM m
+) WHERE rk <= {k}
+"""
+
+
+def q_asset_topk(spark, sf_dir):
+    """Top-k media assets by span fan-out (exact counts, deterministic
+    ties)."""
+    load_documents(spark, sf_dir)
+    return spark.sql(_asset_topk_sql("spark"))
+
+
 def q_modality_gini(spark, sf_dir):
     """Exact-integer Gini impurity of span kinds per document — the
     interleaving-degree score for multimodal sampling."""
@@ -6844,4 +6874,5 @@ QUERIES = {
     "tile_gini": (q_tile_gini, _tile_gini_sql("duck")),
     "tile_pareto": (q_tile_pareto, _tile_pareto_sql("duck")),
     "daily_active": (q_daily_active, _daily_active_sql("duck")),
+    "asset_topk": (q_asset_topk, _asset_topk_sql("duck")),
 }
