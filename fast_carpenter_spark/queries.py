@@ -35,6 +35,22 @@ COARSE_RES = 4
 REGION_RES = 6
 
 
+def _drain(q, timeout: int = 300) -> None:
+    """Block until an availableNow streaming query finishes, and FAIL if
+    it does not: a timed-out drain means the delta directory holds only a
+    prefix of the batches, and silently aggregating it would be a wrong
+    answer rather than an error."""
+    done = q.awaitTermination(timeout)
+    if not done:
+        try:
+            q.stop()
+        finally:
+            raise RuntimeError(
+                f"streaming drain incomplete after {timeout}s — refusing to "
+                "read a partial delta set"
+            )
+
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     df.createOrReplaceTempView("documents")
@@ -144,7 +160,7 @@ def q_streaming_tile_agg(spark, sf_dir):
         os.symlink(src, os.path.join(d, "part-000.parquet"))
         src = d
     q = stage.start(spark, src, available_now=True)
-    q.awaitTermination(300)
+    _drain(q)
     return stage.result(spark)
 
 
@@ -169,7 +185,7 @@ def q_streaming_dedup(spark, sf_dir):
         os.symlink(src, os.path.join(d, "part-000.parquet"))
         src = d
     q = stage.start(spark, src, available_now=True)
-    q.awaitTermination(300)
+    _drain(q)
     return stage.result(spark)
 
 
@@ -195,7 +211,7 @@ def q_streaming_hll(spark, sf_dir):
         os.symlink(src, os.path.join(d, "part-000.parquet"))
         src = d
     q = stage.start(spark, src, available_now=True)
-    q.awaitTermination(300)
+    _drain(q)
     return stage.result(spark)
 
 
@@ -231,7 +247,7 @@ def q_streaming_theta(spark, sf_dir):
         os.symlink(src, os.path.join(d, "part-000.parquet"))
         src = d
     q = stage.start(spark, src, available_now=True)
-    q.awaitTermination(300)
+    _drain(q)
     return stage.result(spark)
 
 
@@ -268,7 +284,7 @@ def q_streaming_cms(spark, sf_dir):
         os.symlink(src, os.path.join(d, "part-000.parquet"))
         src = d
     q = stage.start(spark, src, available_now=True)
-    q.awaitTermination(300)
+    _drain(q)
     return stage.result(spark).withColumn("row", F.col("row").cast("int"))
 
 
@@ -300,7 +316,7 @@ def q_streaming_qdigest(spark, sf_dir):
         os.symlink(src, os.path.join(d, "part-000.parquet"))
         src = d
     q = stage.start(spark, src, available_now=True)
-    q.awaitTermination(300)
+    _drain(q)
     return stage.result(spark)
 
 
@@ -325,7 +341,7 @@ def q_streaming_sessionize(spark, sf_dir):
         gap_us=SESSION_GAP_US,
     )
     q = stage.start(spark, d, available_now=True)
-    q.awaitTermination(300)
+    _drain(q)
     return stage.result(spark)
 
 
@@ -1320,8 +1336,10 @@ def q_tile_trend(spark, sf_dir):
 def _tile_decay_sql(dialect: str) -> str:
     """Time-decayed tile heat with a 5-day half-life, EXACT: the decay
     weight is 2^(-age_bins) — a dyadic rational — summed in 1/2^20
-    fixed-point BIGINT (ages clamped at 20 half-lives where the weight
-    underflows the scale to 0), so the decayed score is bit-identical
+    fixed-point BIGINT (ages clamped at 21 half-lives, where the shifted
+    weight 1048576 >> 21 is exactly 0 — events past the horizon truly
+    stop contributing, no permanent floor), so the decayed score is
+    bit-identical
     across engines and partitionings; no float enters until never.
     The freshness operator every 'current hotness' map needs, in the
     same one-aggregate shape as tile_agg."""
@@ -1343,7 +1361,7 @@ WITH ev AS (
 ),
 mx AS (SELECT max(tb) AS now_tb FROM ev),
 aged AS (
-  SELECT cell, LEAST(now_tb - tb, 20) AS age FROM ev, mx
+  SELECT cell, LEAST(now_tb - tb, 21) AS age FROM ev, mx
 )
 SELECT cell,
        CAST(count(*) AS BIGINT) AS n,
@@ -6477,7 +6495,7 @@ def q_streaming_geofence(spark, sf_dir):
         checkpoint_dir=tempfile.mkdtemp(prefix="fcs_gf_ckpt_"),
     )
     q = stage.start(spark, d, available_now=True)
-    q.awaitTermination(300)
+    _drain(q)
     return stage.result(spark)
 
 
@@ -6500,7 +6518,7 @@ def q_streaming_join(spark, sf_dir):
         checkpoint_dir=tempfile.mkdtemp(prefix="fcs_ssj_ckpt_"),
     )
     q = stage.start(spark, d, available_now=True)
-    q.awaitTermination(300)
+    _drain(q)
     return stage.result(spark)
 
 
@@ -6540,7 +6558,7 @@ def q_streaming_enrich(spark, sf_dir):
         checkpoint_dir=tempfile.mkdtemp(prefix="fcs_enr_ckpt_"),
     )
     q = stage.start(spark, d_in, available_now=True)
-    q.awaitTermination(300)
+    _drain(q)
     return stage.result(spark).drop("_batch")
 
 

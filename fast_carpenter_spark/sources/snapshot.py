@@ -319,9 +319,19 @@ class SnapshotReader:
         if not files:
             # a bloom miss on every file IS the answer: zero matching rows
             # (exactness guaranteed by no-false-negative blooms) — return
-            # an empty frame under the snapshot schema instead of erroring
+            # an empty frame under the snapshot schema instead of erroring.
+            # Prefer the manifest-pinned schema (no data file opened, and
+            # it also covers a snapshot with ZERO data files); only fall
+            # back to reading one file's footer when no schema was pinned.
+            if self.schema is not None:
+                return spark.createDataFrame([], self.schema)
+            if not self.snapshot.files:
+                raise ValueError(
+                    "empty snapshot with no pinned schema: cannot build "
+                    "the zero-row frame"
+                )
             return self._read(
-                spark, [os.path.join(self.table_path, f["path"]) for f in self.snapshot.files[:1]]
+                spark, [os.path.join(self.table_path, self.snapshot.files[0]["path"])]
             ).limit(0)
         if not self.snapshot.delete_files:
             return self._read(

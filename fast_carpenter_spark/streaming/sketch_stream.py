@@ -100,7 +100,7 @@ class StreamingTheta:
         return os.path.join(self.out_dir, "deltas")
 
     def start(self, spark: SparkSession, input_dir: str, *, available_now: bool = True):
-        from ..functions.sketch import theta_registers
+        from ..functions.sketch import theta_registers, tokens_sql
 
         schema = spark.read.parquet(input_dir).schema
         stream = (
@@ -110,8 +110,22 @@ class StreamingTheta:
         )
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # The delta carries BOTH the kept set and the batch's language
+            # universe (as h=NULL sentinel rows, derived with the same
+            # >=2-token gate the sketch uses): a language whose theta
+            # filter kept nothing must still surface as (lang, 0) at
+            # result() time, matching the exact oracle's LEFT JOIN from
+            # the bigram-bearing language universe.
+            regs = theta_registers(batch_df)
+            langs = (
+                batch_df.filter(f"size({tokens_sql('text', 'spark')}) >= 2")
+                .select("lang")
+                .distinct()
+                .withColumn("h", F.lit(None).cast(regs.schema["h"].dataType))
+                .select("lang", "h")
+            )
             (
-                theta_registers(batch_df)
+                regs.unionByName(langs)
                 .withColumn("_batch", F.lit(batch_id))
                 .write.mode("overwrite")
                 .parquet(os.path.join(self.deltas_dir, f"batch={batch_id}"))
@@ -126,24 +140,38 @@ class StreamingTheta:
         return writer.start()
 
     def registers(self, spark: SparkSession) -> DataFrame:
-        """Set-union merge of the per-batch kept sets — the corpus sketch."""
+        """Set-union merge of the per-batch kept sets — the corpus sketch
+        (the h=NULL universe sentinels are metadata, not sketch state)."""
         deltas = spark.read.option("recursiveFileLookup", "true").parquet(
             self.deltas_dir
         )
-        return deltas.select("lang", "h").distinct()
+        return deltas.filter("h IS NOT NULL").select("lang", "h").distinct()
 
     def result(self, spark: SparkSession) -> DataFrame:
-        """Per-language distinct estimate from the merged kept set."""
+        """Per-language distinct estimate from the merged kept set, over
+        the streamed language UNIVERSE: a language every one of whose
+        hashes fell outside theta still yields (lang, 0, 0), exactly as
+        the batch oracle's LEFT JOIN does."""
         from ..functions.sketch import THETA_DEN
 
+        deltas = spark.read.option("recursiveFileLookup", "true").parquet(
+            self.deltas_dir
+        )
+        langs = deltas.select("lang").distinct()
         kept = self.registers(spark).groupBy("lang").agg(
             F.count("*").alias("n_kept")
         )
-        return kept.select(
-            "lang",
-            "n_kept",
-            (F.col("n_kept") * THETA_DEN).cast("long").alias("est_int"),
-        ).orderBy("lang")
+        return (
+            langs.join(kept, "lang", "left")
+            .select(
+                "lang",
+                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                (F.coalesce("n_kept", F.lit(0)) * THETA_DEN)
+                .cast("long")
+                .alias("est_int"),
+            )
+            .orderBy("lang")
+        )
 
 
 @dataclass

@@ -818,9 +818,14 @@ def test_bloom_prune_on_hash_partitioned_keys(spark, docs, tmp_path):
     assert got == want and len(want) == 3
 
     # all-files-miss returns an EMPTY frame (no error): exact by
-    # no-false-negative guarantee
+    # no-false-negative guarantee — and it is built from the MANIFEST's
+    # pinned schema (no data-file footer opened), so it carries the full
+    # snapshot schema even though zero files survived pruning
     if len(absent) == 0:
-        assert reader.load_bloom(spark, "doc_id", [10_000_019]).count() == 0
+        empty = reader.load_bloom(spark, "doc_id", [10_000_019])
+        assert empty.count() == 0
+        assert reader.schema is not None
+        assert empty.schema == reader.schema
 
 
 def test_schema_evolution_add_column(spark, docs, tmp_path):

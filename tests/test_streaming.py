@@ -489,7 +489,12 @@ def test_streaming_theta_union_across_batches(spark, docs, tmp_path):
     # replay idempotency BY ALGEBRA: duplicating every delta row changes
     # nothing (union-distinct), unlike sum-based partials
     deltas = spark.read.option("recursiveFileLookup", "true").parquet(stage.deltas_dir)
-    replayed = deltas.unionByName(deltas).select("lang", "h").distinct()
+    replayed = (
+        deltas.unionByName(deltas)
+        .filter("h IS NOT NULL")  # sentinels are universe metadata, not state
+        .select("lang", "h")
+        .distinct()
+    )
     assert rows_sorted(replayed) == rows_sorted(stage.registers(spark))
 
     # per-batch state is a theta-fraction sample, and there were >= 2 batches
@@ -497,6 +502,39 @@ def test_streaming_theta_union_across_batches(spark, docs, tmp_path):
     assert len(per_batch) >= 2
     whole = theta_registers(docs).count()
     assert all(r["count"] <= whole for r in per_batch)
+
+
+def test_streaming_theta_zero_kept_language_surfaces(spark, tmp_path):
+    """A language every one of whose bigram hashes falls OUTSIDE theta must
+    still appear in result() as (lang, 0, 0) — the streamed universe is the
+    bigram-bearing language set, exactly like the batch oracle's LEFT JOIN
+    (a language is not erased just because the sampler kept nothing)."""
+    from fast_carpenter_spark.functions.sketch import theta_distinct, theta_registers
+    from fast_carpenter_spark.streaming.sketch_stream import StreamingTheta
+
+    # brute-force a two-word text whose single bigram hash FAILS theta
+    # (P(fail) = 15/16 per candidate, so the first few always suffice)
+    cands = spark.createDataFrame(
+        [(f"c{i}", f"alpha beta{i}") for i in range(64)], "lang string, text string"
+    )
+    kept_langs = {r["lang"] for r in theta_registers(cands).select("lang").collect()}
+    failing = next(f"c{i}" for i in range(64) if f"c{i}" not in kept_langs)
+    fail_text = f"alpha beta{failing[1:]}"
+
+    mini = spark.createDataFrame(
+        [("aa", " ".join(f"w{j}" for j in range(60))), ("zz", fail_text)],
+        "lang string, text string",
+    )
+    input_dir = str(tmp_path / "in")
+    mini.write.mode("overwrite").parquet(input_dir)
+    stage = StreamingTheta(
+        name="stz", out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert stage.start(spark, input_dir, available_now=True).awaitTermination(120)
+
+    got = rows_sorted(stage.result(spark))
+    assert ("zz", 0, 0) in got
+    assert got == rows_sorted(theta_distinct(mini).drop("exact"))
 
 
 def test_streaming_cms_sum_merge_across_batches(spark, docs, tmp_path):
