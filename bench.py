@@ -207,6 +207,55 @@ def make_factories(spark: SparkSession, n_docs: int):
     }
 
 
+# Hot point: center of giant polygon 3 (synth.polygons, p % 23 == 3,
+# radius 60 deg) — every span collapsed here lands in ONE cover cell.
+HOT_LON, HOT_LAT = -58.932, 78.516
+
+
+def skew_killtest(spark: SparkSession) -> dict:
+    """Deliberately pathological hot tile: half of all spans collapse onto
+    one point (one cover cell holds ~50% of the input).  Measures the
+    salted join (nsalt=CPUS) against the unsalted shuffle-hash control —
+    the at-scale regime where the cover side cannot be broadcast.  Run
+    once outside the round-robin so the q1-q6 suite stays comparable
+    round-over-round; reported as its own JSON object."""
+    polys = synth.polygons()
+
+    def skewed_spans():
+        replicated_documents(spark).createOrReplaceTempView("documents")
+        s = spark.sql(synth.flat_spans_sql("spark"))
+        hot = F.pmod(F.xxhash64(F.col("doc_uid")), F.lit(2)) == 0
+        return s.withColumn(
+            "lon", F.when(hot, F.lit(HOT_LON)).otherwise(F.col("lon"))
+        ).withColumn("lat", F.when(hot, F.lit(HOT_LAT)).otherwise(F.col("lat")))
+
+    def run(strategy: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            df = (
+                SpatialJoinStage(
+                    name="sj", polygons=polys, strategy=strategy, nsalt=CPUS
+                )
+                .apply(skewed_spans())
+                .groupBy("region")
+                .count()
+            )
+            t0 = time.time()
+            sink(df)
+            best = min(best, time.time() - t0)
+        return best
+
+    run("salted")  # warmup (JIT for the shared plan shapes)
+    salted = run("salted")
+    unsalted = run("shuffle_hash")
+    return {
+        "hot_fraction": 0.5,
+        "salted_sec": round(salted, 3),
+        "unsalted_sec": round(unsalted, 3),
+        "speedup": round(unsalted / salted, 2),
+    }
+
+
 def main() -> None:
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
@@ -239,9 +288,12 @@ def main() -> None:
     # at a quiet window; min-of-rounds is the stable estimator.
     # Rounds continue past n_runs while a wall-clock budget remains, so a
     # burst that swallows one whole round still leaves quiet samples.
-    budget = float(os.environ.get("SPARK_GRAFT_BUDGET", "240"))
-    max_rounds = int(os.environ.get("SPARK_GRAFT_MAX_ROUNDS", "10"))
-    best: dict[str, float] = {name: float("inf") for name in factories}
+    # Defaults raised round 4: the r3 driver invocation caught a noise burst
+    # (q4_knn 4.11s vs the 2.3s same-code builder band) — more interleaved
+    # rounds plus a published median make a burst visible instead of fatal.
+    budget = float(os.environ.get("SPARK_GRAFT_BUDGET", "420"))
+    max_rounds = int(os.environ.get("SPARK_GRAFT_MAX_ROUNDS", "24"))
+    samples: dict[str, list[float]] = {name: [] for name in factories}
     phase0 = time.time()
     rounds = 0
     while rounds < n_runs or (time.time() - phase0 < budget and rounds < max_rounds):
@@ -249,10 +301,19 @@ def main() -> None:
             df = make()  # fresh lineage: no shuffle-output reuse
             t0 = time.time()
             sink(df)
-            best[name] = min(best[name], time.time() - t0)
+            samples[name].append(time.time() - t0)
         rounds += 1
+    medians: dict[str, float] = {}
     for name in factories:
-        timings[name] = round(best[name], 3)
+        runs = sorted(samples[name])
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
+
+    skew = (
+        skew_killtest(spark)
+        if os.environ.get("SPARK_GRAFT_SKEW", "1") == "1"
+        else None
+    )
 
     total = round(sum(timings.values()), 3)
     flagship_docs_per_sec = round(n_docs / timings["q1_pip_tile_agg"], 1)
@@ -263,6 +324,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "rounds": rounds,
+                "skew_killtest": skew,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "repl": REPL,

@@ -6894,3 +6894,97 @@ QUERIES = {
     "daily_active": (q_daily_active, _daily_active_sql("duck")),
     "asset_topk": (q_asset_topk, _asset_topk_sql("duck")),
 }
+
+# ---------------------------------------------------------------------------
+# Driver-sample rotation (round 4): the correctness driver samples the FIRST
+# 50 insertion-order entries each round.  77 entries have no driver-green row
+# from rounds 1-3 (all round-3 additions; scripts/rotate_registry.py computed
+# this order from CORRECTNESS_r0{1,2,3}.json).  Rotate them to the front so
+# this round's sample clears 50 of them; the remaining 27 lead round 5.
+# tests/test_registry_rotation.py enforces this invariant so the evidence gap
+# cannot grow silently (round-3 ADVICE item 5).  New round-4 queries are
+# APPENDED (never inserted into the first-50 window) to keep the sample stable.
+_NEVER_DRIVER_GREEN_R4 = [
+    "ann_index_delta",
+    "ann_ivfpq_codes",
+    "ann_ivfpq_recall",
+    "ann_pq_codes",
+    "ann_pq_recall",
+    "ann_pq_rerank_recall",
+    "ann_pq_topk",
+    "asset_topk",
+    "cell_quadkey",
+    "cms_topk",
+    "cotravel",
+    "csv_roundtrip",
+    "daily_active",
+    "dedup_editdist",
+    "dedup_pipeline",
+    "dedup_semantic",
+    "demo_pipeline",
+    "fingerprint_overlap",
+    "fingerprint_winnow",
+    "funnel_latency",
+    "geofence_dwell",
+    "hll_distinct",
+    "hll_union",
+    "join_size_cms",
+    "langid_confusion",
+    "layer_corr",
+    "layout_compare",
+    "length_histogram",
+    "mean_center",
+    "media_context",
+    "modality_gini",
+    "profile_cube",
+    "qdigest_quantiles",
+    "quality_constraints",
+    "quality_repetition",
+    "sample_weighted",
+    "shuffle_order",
+    "snapshot_bloom_scan",
+    "snapshot_cdc",
+    "snapshot_compact",
+    "snapshot_merge",
+    "snapshot_mor",
+    "snapshot_mor_rewrite",
+    "snapshot_multirange_scan",
+    "snapshot_pruned_scan",
+    "snapshot_schema_evolution",
+    "snapshot_time_travel",
+    "spans_integrity",
+    "streaming_cms",
+    "streaming_hll",
+    "streaming_join",
+    "streaming_qdigest",
+    "streaming_theta",
+    "text_redact",
+    "text_search",
+    "theta_distinct",
+    "theta_jaccard",
+    "tile_agg_delta",
+    "tile_changepoint",
+    "tile_clip",
+    "tile_contour",
+    "tile_decay",
+    "tile_gini",
+    "tile_isochrone",
+    "tile_kcore",
+    "tile_morph",
+    "tile_pagerank",
+    "tile_pareto",
+    "tile_sssp",
+    "tile_trend",
+    "token_budget",
+    "trajectory_bearing",
+    "trajectory_diameter",
+    "trajectory_hull",
+    "trajectory_interp",
+    "trajectory_simplify",
+    "trajectory_stays",
+]
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R4},
+    **{k: v for k, v in QUERIES.items() if k not in set(_NEVER_DRIVER_GREEN_R4)},
+}

@@ -188,6 +188,14 @@ def spatial_join(
             salted_pts.join(salted_cov.hint("shuffle_hash"), ["_cell", "_salt"], "inner")
             .drop("_salt")
         )
+    elif strategy == "shuffle_hash":
+        # unsalted shuffle-hash join: the at-scale regime where the cover
+        # side is too big to broadcast but no salting is applied — a single
+        # hot cell key lands on ONE reducer.  Kept as the explicit control
+        # for the salted strategy's skew kill-test (bench.py); AQE's skew
+        # split does not rescue it at bench scale because the hot partition
+        # sits far under skewJoin.skewedPartitionThresholdInBytes (256 MB).
+        cand = pts.join(cov.hint("shuffle_hash"), "_cell", "inner")
     else:  # plain shuffle join; AQE skew handling applies
         cand = pts.join(cov, "_cell", "inner")
     cand = cand.drop("_cell")

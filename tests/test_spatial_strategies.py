@@ -34,7 +34,11 @@ def test_join_strategies_identical(spark, spans):
     shuffled = rows_sorted(
         SpatialJoinStage(name="h", polygons=polys, strategy="shuffle").apply(spans), cols
     )
-    assert salted == base and shuffled == base and len(base) > 0
+    hashed = rows_sorted(
+        SpatialJoinStage(name="sh", polygons=polys, strategy="shuffle_hash").apply(spans),
+        cols,
+    )
+    assert salted == base and shuffled == base and hashed == base and len(base) > 0
 
 
 def test_knn_hot_cell_salting_identical(spark, spans):
