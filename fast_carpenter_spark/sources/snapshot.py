@@ -300,6 +300,43 @@ class SnapshotReader:
             )
         return self._read_with_deletes(spark, files)
 
+    def blocks(self, col: str, n_blocks: int, domain_hi: int) -> list[dict]:
+        """File-group work units with deterministic order: the key domain
+        ``[0, domain_hi)`` of the layout column split into ``n_blocks``
+        equal ranges, each carrying the files whose manifest bounds may
+        intersect it.  The reference walks each dataset as an ordered list
+        of fixed-size event blocks and ``--nblocks-per-dataset N`` stops
+        after N (ref fast_carpenter/__main__.py:34-37); here a block is a
+        key-RANGE work unit over the snapshot layout, so "first N blocks"
+        is a deterministic domain prefix — reproducible across file counts,
+        compaction, and partitioning — rather than a file-order accident."""
+        width = -(-domain_hi // n_blocks)  # ceil
+        out = []
+        for i in range(n_blocks):
+            lo, hi = i * width, min((i + 1) * width, domain_hi) - 1
+            if lo > hi:
+                break
+            out.append(
+                {"block": i, "lo": lo, "hi": hi,
+                 "files": self.prune_ranges(col, [(lo, hi)])}
+            )
+        return out
+
+    def load_block_limit(
+        self, spark: SparkSession, col: str, n_blocks: int, limit: int,
+        domain_hi: int,
+    ) -> DataFrame:
+        """Read only the first ``limit`` of ``n_blocks`` work units:
+        manifest-prunes to their files, then applies the EXACT residual
+        filter (the block boundary), so the result is exactly the domain
+        prefix's rows regardless of how rows were laid out into files."""
+        blks = self.blocks(col, n_blocks, domain_hi)[:limit]
+        if not blks:
+            raise ValueError("block limit selected zero work units")
+        hi = blks[-1]["hi"]
+        df = self.load_ranges(spark, col, [(b["lo"], b["hi"]) for b in blks])
+        return df.filter(f"{col} <= {hi}")
+
     def prune_bloom(self, col: str, values) -> list[dict]:
         """Files whose bloom for ``col`` may contain ANY of ``values`` —
         point-lookup skipping where min/max bounds can't help (hash-
