@@ -114,6 +114,9 @@ AUDITED = [
     "langid_confusion",  # bounded |langs|^2 aggregate
     "token_budget",     # one aggregate + 1-row total attach
     "length_histogram",  # bounded (lang, bucket) aggregate
+    "ann_pq_trained_recall_k32",  # trained-codebook ADC: bounded LUT equi join; exact baseline BNLJ pinned
+    "media_decode_payload",  # binary payload over ONE Arrow mapInPandas pass, no shuffle
+    "snapshot_block_limit",  # manifest-pruned domain-prefix scan + residual filter
     # dedup_cluster / tile_regions / dbscan / tile_kcore are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
     # join is the same edge-keyed hash-join shape audited via
@@ -176,6 +179,10 @@ ALLOW_BNLJ_GLOBAL_ATTACH = {
     "join_size_cms": 1,  # est x exact: two keyless 1-row aggregates joined
     "tile_decay": 1,     # max-bin "now" attach (keyless 1-row agg)
     "token_budget": 1,   # corpus-total attach (keyless 1-row agg)
+    # the vetted exact-L2 brute-force BASELINE (vec_id != vec_id theta join
+    # over the ~2% sampled query side) that the recall is measured against;
+    # the measured path is the (m, code) LUT equi join in the same plan
+    "ann_pq_trained_recall_k32": 1,
 }
 # Register-densify crosses: a DISTINCT aggregate of an enum-cardinality
 # column crossed with a CONSTANT range generator (langs x 64 HLL register

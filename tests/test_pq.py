@@ -70,3 +70,24 @@ def test_ivfpq_recall_at_least_0_9(clustered):
     row = pq.ivfpq_recall(clustered).collect()[0]
     assert row["n_exact"] > 0
     assert row["recall"] >= 0.9, f"IVF-PQ recall@5 = {row['recall']}"
+
+def test_trained_codebook_shape_and_determinism(clustered):
+    cb = pq.trained_codebook(clustered, k=8, rounds=1).collect()
+    # 8 codes x M_SUB subspaces x SUB_DIM dims, codes in [0, 8)
+    assert len(cb) == 8 * pq.M_SUB * pq.SUB_DIM
+    assert all(0 <= r["code"] < 8 for r in cb)
+    assert all(0 <= r["m"] < pq.M_SUB for r in cb)
+    # integer centroids (exact BIGINT floor-mean — no float drift)
+    assert all(isinstance(r["comp"], int) for r in cb)
+    cb2 = pq.trained_codebook(clustered, k=8, rounds=1).collect()
+    assert sorted(map(tuple, cb)) == sorted(map(tuple, cb2))
+
+
+def test_trained_recall_beats_untrained(clustered):
+    """VERDICT r3 item 4: training moves raw-ADC recall from the 0.22-0.34
+    untrained floor to >= 0.8 on the clustered mixture (k=32: capacity to
+    separate ~50 within-cluster members)."""
+    untrained = pq.pq_recall(clustered).collect()[0]["recall"]
+    trained32 = pq.trained_pq_recall(clustered, k=32).collect()[0]["recall"]
+    assert trained32 >= 0.8, f"trained k=32 raw-ADC recall@5 = {trained32}"
+    assert trained32 > untrained + 0.3

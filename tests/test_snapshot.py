@@ -853,3 +853,43 @@ def test_schema_evolution_add_column(spark, docs, tmp_path):
     assert new.count() == n_old + n_new
     assert new.filter("quality IS NULL").count() == n_old  # null-filled
     assert new.filter("quality IS NOT NULL").count() == n_new
+
+
+def test_block_work_units_prefix(spark, docs, tmp_path):
+    """blocks() splits the key domain into deterministic ranged work units
+    and load_block_limit() reads EXACTLY the domain prefix — the
+    reference's --nblocks-per-dataset (ref fast_carpenter/__main__.py:34-37)
+    restated as a layout-independent contract."""
+    table = str(tmp_path / "tbl_blocks")
+    hi = docs.agg({"doc_id": "max"}).first()[0] + 1
+    # range-partitioned layout so manifest bounds are tight per file
+    write_snapshot(
+        docs.repartitionByRange(4, "doc_id"),
+        table, snapshot_id="snap-b", bounds_cols=["doc_id"],
+    )
+    reader = SnapshotReader(table)
+    blks = reader.blocks("doc_id", 8, hi)
+    # disjoint, ordered, covering [0, hi)
+    assert blks[0]["lo"] == 0
+    for a, b in zip(blks, blks[1:]):
+        assert b["lo"] == a["hi"] + 1
+    assert blks[-1]["hi"] == hi - 1
+    # a 2-of-8 block limit is exactly the first-quarter domain prefix
+    lim = reader.load_block_limit(spark, "doc_id", 8, 2, hi)
+    cut = blks[1]["hi"]
+    assert lim.count() == docs.filter(f"doc_id <= {cut}").count()
+    # pruning bites: the first 2 of 8 blocks touch a strict file subset
+    n_files = sum(len(b["files"]) for b in blks[:2])
+    seen = {f["path"] for b in blks[:2] for f in b["files"]}
+    assert len(seen) < len(reader.snapshot.files)
+    assert n_files >= len(seen) >= 1
+
+
+def test_block_limit_zero_units_raises(spark, docs, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "tbl_blocks0")
+    write_snapshot(docs.limit(10), table, snapshot_id="s", bounds_cols=["doc_id"])
+    reader = SnapshotReader(table)
+    with pytest.raises(ValueError):
+        reader.load_block_limit(spark, "doc_id", 4, 0, 100)
