@@ -729,7 +729,12 @@ def trained_cb_ctes(
     (vec_id, m, sv:array<bigint>) over the FULL table and trains on the
     `train_filter` subset."""
     if dialect == "spark":
-        mrange = f"(SELECT explode(sequence(0, {M_SUB - 1})) AS m)"
+        # LATERAL VIEW (a Generate node), NOT a cross join against an 8-row
+        # generator: Spark inlines CTEs, so a `CROSS JOIN (SELECT explode..)`
+        # subs would re-plan as a BroadcastNestedLoopJoin at every reference
+        # — bounded, but needless; Generate keeps the expansion map-side and
+        # the plan BNLJ-free except the vetted exact-L2 recall baseline.
+        mexpand = f"LATERAL VIEW explode(sequence(0, {M_SUB - 1})) _mr AS m"
         sv = (
             f"transform(slice(embedding, m * {SUB_DIM} + 1, {SUB_DIM}), "
             f"x -> CAST(x AS BIGINT))"
@@ -739,7 +744,7 @@ def trained_cb_ctes(
         reasm = "transform(array_sort(collect_list(struct(d, comp))), _s -> _s.comp)"
         fdiv = "(s - (((s % n) + n) % n)) DIV n"
     else:
-        mrange = f"(SELECT unnest(range(0, {M_SUB})) AS m)"
+        mexpand = f"CROSS JOIN (SELECT unnest(range(0, {M_SUB})) AS m) _mr"
         sv = (
             f"list_transform(list_slice(embedding, m * {SUB_DIM} + 1, "
             f"m * {SUB_DIM} + {SUB_DIM}), x -> CAST(x AS BIGINT))"
@@ -753,9 +758,9 @@ def trained_cb_ctes(
         fdiv = "(s - (((s % n) + n) % n)) // n"
     d2 = _d2i_sql("s.sv", "c.cent", dialect)
     ctes = [
-        f"subs AS (SELECT vec_id, m, {sv} AS sv FROM {table} CROSS JOIN {mrange})",
+        f"subs AS (SELECT vec_id, m, {sv} AS sv FROM {table} {mexpand})",
         f"tsubs AS (SELECT * FROM {table} WHERE {train_filter})",
-        f"train AS (SELECT vec_id, m, {sv} AS sv FROM tsubs CROSS JOIN {mrange})",
+        f"train AS (SELECT vec_id, m, {sv} AS sv FROM tsubs {mexpand})",
         f"tiles AS (SELECT vec_id, m, sv, ntile({k}) OVER "
         f"(PARTITION BY m ORDER BY sv, vec_id) AS tile FROM train)",
         f"cb0 AS (SELECT m, tile - 1 AS code, sv AS cent FROM "
@@ -862,17 +867,14 @@ exact AS (
     FROM (SELECT * FROM {table} WHERE {query_filter}) q
     JOIN {table} c ON q.vec_id != c.vec_id
   ) _e WHERE rank <= {topk}
-),
-hit AS (
-  SELECT e.query_id, e.neighbor_id FROM exact e
-  WHERE EXISTS (SELECT 1 FROM approx a
-                WHERE a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
 )
 SELECT CAST({topk} AS INT) AS k,
-       (SELECT count(1) FROM exact) AS n_exact,
-       (SELECT count(1) FROM hit) AS n_hit,
-       CAST((SELECT count(1) FROM hit) AS DOUBLE)
-         / (SELECT count(1) FROM exact) AS recall"""
+       count(1) AS n_exact,
+       count(a.query_id) AS n_hit,
+       CAST(count(a.query_id) AS DOUBLE) / count(1) AS recall
+FROM exact e
+LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"""
     return f"WITH {extra_cte}{ctes}{tail_ctes}"
 
 
