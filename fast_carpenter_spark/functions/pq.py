@@ -888,3 +888,137 @@ def trained_codebook(emb: DataFrame, **kw) -> DataFrame:
 def trained_pq_recall(emb: DataFrame, **kw) -> DataFrame:
     emb.createOrReplaceTempView("embeddings_c")
     return emb.sparkSession.sql(trained_recall_body_sql("spark", **kw))
+
+
+# --- trained IVF-PQ: k-means codebooks on coarse residuals -------------------
+# The composed index: coarse IVF assignment prunes the corpus to n_probe
+# inverted lists, and a TRAINED product codebook (the same exact-BIGINT
+# k-means recurrence as trained_cb_ctes) encodes the RESIDUAL of each
+# vector from its coarse centroid — the standard IVF-PQ factorization,
+# with every stage oracle-exact because embeddings and coarse centroids
+# are integer-valued, so residuals cast to BIGINT losslessly.
+#
+# Scale shape: the codebook trains on `train_filter` (a bounded sample at
+# 10^12 vectors); per E/M round one broadcast k*M_SUB-row join + two
+# partial-agg'd bounded-key shuffles.  Search is the usual composition —
+# per-probe query-residual LUT (bounded: queries * n_probe * M_SUB * k
+# rows, broadcast) equi-joined to the code table on (probe, m, code); a
+# candidate outside the probed lists never matches the join key, so the
+# inverted-list pruning rides the SAME equi join as the compression.
+
+
+def trained_ivfpq_recall_body_sql(
+    dialect: str, *,
+    k: int = N_CODES, rounds: int = TRAIN_ROUNDS,
+    table: str = "embeddings_c", train_filter: str = "true",
+    query_filter: str = "vec_id % 50 = 0", topk: int = 5,
+    n_probe: int = N_PROBE, extra_cte: str = "",
+) -> str:
+    if dialect == "spark":
+        resid_i = (
+            "transform(zip_with(orig, element_at(" + _ivf_cb_matrix_sql("spark")
+            + ", CAST(list_id AS INT) + 1), (x, c) -> x - c), v -> CAST(v AS BIGINT))"
+        )
+        qsv = f"transform(slice(remb, m * {SUB_DIM} + 1, {SUB_DIM}), x -> x)"
+        mexpand = f"LATERAL VIEW explode(sequence(0, {M_SUB - 1})) _mr AS m"
+        sim_expl = (
+            "SELECT query_id, orig, posexplode(sims) AS (probe, sim) FROM qsim0"
+        )
+    else:
+        cb = _ivf_cb_matrix_sql("duck")
+        resid_i = (
+            f"list_transform(range(1, {DIM} + 1), _i -> CAST("
+            f"list_extract(orig, _i) - list_extract(list_extract({cb}, "
+            f"CAST(list_id AS INT) + 1), _i) AS BIGINT))"
+        )
+        qsv = (
+            f"list_transform(list_slice(remb, m * {SUB_DIM} + 1, "
+            f"m * {SUB_DIM} + {SUB_DIM}), x -> x)"
+        )
+        mexpand = f"CROSS JOIN (SELECT unnest(range(0, {M_SUB})) AS m) _mr"
+        sim_expl = (
+            "SELECT query_id, orig, CAST(generate_subscripts(sims, 1) - 1 AS INT)"
+            " AS probe, unnest(sims) AS sim FROM qsim0"
+        )
+    pre = f"""{extra_cte}assigned AS (
+  SELECT vec_id, embedding AS orig,
+         {ivf_assign_sql('embedding', dialect)} AS list_id
+  FROM {table}
+),
+rtbl AS (SELECT vec_id, list_id, {resid_i} AS embedding FROM assigned),
+"""
+    ctes, final = trained_cb_ctes(
+        dialect, k=k, rounds=rounds, table="rtbl", train_filter=train_filter
+    )
+    d2 = _d2i_sql("s.sv", "c.cent", dialect)
+    qd2 = _d2i_sql("q.sv", "c.cent", dialect)
+    l2 = l2_sql("q.embedding", "c.embedding", dialect)
+    tail = f""",
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY {qd2.replace('q.sv', 's.sv')}, c.code) AS rk
+    FROM subs s JOIN {final} c ON c.m = s.m
+  ) _e WHERE rk = 1
+),
+codes AS (
+  SELECT e.vec_id AS neighbor_id, a.list_id AS probe, e.m, e.code
+  FROM enc e JOIN assigned a ON a.vec_id = e.vec_id
+),
+qsim0 AS (
+  SELECT vec_id AS query_id, orig,
+         {centroid_sims_sql('orig', dialect)} AS sims
+  FROM assigned WHERE {query_filter}
+),
+qsim AS ({sim_expl}),
+qprobe AS (
+  SELECT query_id, probe, {resid_i.replace('list_id', 'probe')} AS remb
+  FROM (
+    SELECT query_id, orig, probe,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, probe) AS pr
+    FROM qsim
+  ) _p WHERE pr <= {n_probe}
+),
+qsubs AS (SELECT query_id, probe, m, {qsv} AS sv FROM qprobe {mexpand}),
+lut AS (
+  SELECT q.query_id, q.probe, q.m, c.code, {qd2} AS d2
+  FROM qsubs q JOIN {final} c ON c.m = q.m
+),
+est AS (
+  SELECT l.query_id, c.neighbor_id, CAST(sum(l.d2) AS BIGINT) AS est_d2
+  FROM codes c
+  JOIN lut l ON l.probe = c.probe AND l.m = c.m AND l.code = c.code
+  WHERE c.neighbor_id != l.query_id
+  GROUP BY l.query_id, c.neighbor_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY est_d2, neighbor_id) AS rank
+    FROM est
+  ) _a WHERE rank <= {topk}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {l2}, c.vec_id) AS rank
+    FROM (SELECT * FROM {table} WHERE {query_filter}) q
+    JOIN {table} c ON q.vec_id != c.vec_id
+  ) _e WHERE rank <= {topk}
+)
+SELECT CAST({topk} AS INT) AS k,
+       count(1) AS n_exact,
+       count(a.query_id) AS n_hit,
+       CAST(count(a.query_id) AS DOUBLE) / count(1) AS recall
+FROM exact e
+LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"""
+    return f"WITH {pre}{ctes}{tail}"
+
+
+def trained_ivfpq_recall(emb: DataFrame, **kw) -> DataFrame:
+    emb.createOrReplaceTempView("embeddings_c")
+    return emb.sparkSession.sql(trained_ivfpq_recall_body_sql("spark", **kw))

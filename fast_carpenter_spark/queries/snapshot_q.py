@@ -940,3 +940,36 @@ FROM both_ds GROUP BY dataset, n_big, nsp
 """
 
 
+
+
+def q_snapshot_tag_read(spark, sf_dir):
+    """Named refs on the snapshot log (Iceberg tags/branches): tag
+    'stable' pins the pre-append snap-a forever (immutable — the audit
+    anchor a training-data release needs), while branch 'main' moves to
+    each new commit (here snap-c, the compaction).  Reading THROUGH the
+    tag must reproduce exactly the snap-a table regardless of how many
+    commits have landed since — resolution is one sidecar-JSON read, no
+    data files touched.  Per-lang doc counts + char sums over the tagged
+    snapshot; the branch read is asserted equal to the latest commit."""
+    from ..sources.snapshot import SnapshotReader, list_refs, resolve_ref, set_ref
+
+    tdir = _compact_table(spark, sf_dir)
+    refs = list_refs(tdir)
+    if "stable" not in refs:
+        set_ref(tdir, "stable", "snap-a", kind="tag")
+    if refs.get("main", {}).get("snapshot_id") != "snap-c":
+        set_ref(tdir, "main", "snap-b", kind="branch")
+        set_ref(tdir, "main", "snap-c", kind="branch")  # fast-forward
+    assert resolve_ref(tdir, "stable") == "snap-a"
+    docs = SnapshotReader(tdir, ref="stable").load(spark)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+O_SNAPSHOT_TAG_READ = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+FROM documents WHERE doc_id % 4 < 3
+GROUP BY lang
+"""

@@ -1080,3 +1080,25 @@ def _o_ann_pq_trained_recall_k32() -> str:
     return _pq.trained_recall_body_sql(
         "duck", k=32, extra_cte=_ann.clustered_table_cte("embeddings_c") + ",\n"
     )
+
+
+def q_ann_ivfpq_trained_recall(spark, sf_dir):
+    """Raw-ADC recall@5 of the COMPOSED trained index — IVF coarse
+    assignment + k-means-trained 5-bit product codebooks on the coarse
+    RESIDUALS (the standard IVF-PQ factorization, every stage
+    oracle-exact).  0.78 at both SFs on the clustered mixture, vs the
+    0.22-0.34 untrained-lattice raw-ADC floor; n_probe=8 does not move it
+    (coarse pruning is lossless here — cluster members share lists), so
+    the residue is sub-quantizer capacity, which the production
+    shortlist+rerank path (ann_ivfpq_recall, 0.96-1.0) finishes off."""
+    from ..functions import pq as _pq
+
+    return _pq.trained_ivfpq_recall(_load_clustered(spark, sf_dir), k=32)
+
+
+def _o_ann_ivfpq_trained_recall() -> str:
+    from ..functions import pq as _pq
+
+    return _pq.trained_ivfpq_recall_body_sql(
+        "duck", k=32, extra_cte=_ann.clustered_table_cte("embeddings_c") + ",\n"
+    )

@@ -230,10 +230,65 @@ def list_snapshots(table_path: str) -> list[str]:
     return sorted(meta, key=lambda s: (depth(s),) + meta[s])
 
 
+REFS_FILE = "refs.json"
+
+
+def _load_refs(table_path: str) -> dict:
+    path = os.path.join(table_path, REFS_FILE)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def set_ref(table_path: str, name: str, snapshot_id: str, *, kind: str = "tag") -> None:
+    """Iceberg-style named ref over the snapshot log: a ``tag`` is an
+    IMMUTABLE pointer (re-pointing raises — tags are audit anchors, e.g. a
+    training-data release), a ``branch`` MOVES with each call (the writer
+    advances 'main' after every commit).  Refs live in one small JSON
+    sidecar next to the manifests, written with ``os.replace`` so readers
+    never observe a torn file; the pointed-at manifest itself is immutable,
+    so resolving a ref is one metadata read — no data files touched."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"ref kind must be tag|branch, got {kind!r}")
+    if snapshot_id not in list_snapshots(table_path):
+        raise ValueError(f"unknown snapshot {snapshot_id!r} under {table_path}")
+    refs = _load_refs(table_path)
+    prev = refs.get(name)
+    if prev is not None and prev["kind"] == "tag":
+        raise ValueError(
+            f"ref {name!r} is a tag pinned to {prev['snapshot_id']!r}; "
+            "tags are immutable — create a branch to move a pointer"
+        )
+    refs[name] = {"kind": kind, "snapshot_id": snapshot_id}
+    tmp = os.path.join(table_path, f".{REFS_FILE}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(refs, f, indent=1)
+    os.replace(tmp, os.path.join(table_path, REFS_FILE))
+
+
+def resolve_ref(table_path: str, name: str) -> str:
+    refs = _load_refs(table_path)
+    if name not in refs:
+        raise KeyError(f"no ref {name!r} under {table_path}")
+    return refs[name]["snapshot_id"]
+
+
+def list_refs(table_path: str) -> dict:
+    """name -> {kind, snapshot_id} (a copy; mutate via set_ref only)."""
+    return dict(_load_refs(table_path))
+
+
 class SnapshotReader:
     """Read a snapshot, optionally pruning files via manifest bounds."""
 
-    def __init__(self, table_path: str, snapshot_id: str | None = None):
+    def __init__(
+        self, table_path: str, snapshot_id: str | None = None, *, ref: str | None = None
+    ):
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or ref, not both")
+            snapshot_id = resolve_ref(table_path, ref)
         self.table_path = table_path
         sids = list_snapshots(table_path)
         if not sids:

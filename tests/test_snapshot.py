@@ -893,3 +893,41 @@ def test_block_limit_zero_units_raises(spark, docs, tmp_path):
     reader = SnapshotReader(table)
     with pytest.raises(ValueError):
         reader.load_block_limit(spark, "doc_id", 4, 0, 100)
+
+
+def test_named_refs_tag_immutable_branch_moves(spark, docs, tmp_path):
+    """Iceberg-style refs: a tag pins forever (re-point raises), a branch
+    fast-forwards; SnapshotReader(ref=..) equals the direct-id read."""
+    import pytest
+
+    from fast_carpenter_spark.sources.snapshot import (
+        list_refs,
+        resolve_ref,
+        set_ref,
+    )
+
+    table = str(tmp_path / "tbl_refs")
+    base = write_snapshot(
+        docs.filter("doc_id % 2 = 0"), table, snapshot_id="s1",
+    )
+    write_snapshot(docs, table, snapshot_id="s2", base=base)
+
+    set_ref(table, "stable", "s1", kind="tag")
+    set_ref(table, "main", "s1", kind="branch")
+    set_ref(table, "main", "s2", kind="branch")  # fast-forward ok
+    with pytest.raises(ValueError):
+        set_ref(table, "stable", "s2", kind="tag")  # tags are immutable
+    with pytest.raises(ValueError):
+        set_ref(table, "dangling", "nope", kind="tag")  # unknown snapshot
+    with pytest.raises(KeyError):
+        resolve_ref(table, "missing")
+
+    assert resolve_ref(table, "stable") == "s1"
+    assert resolve_ref(table, "main") == "s2"
+    assert list_refs(table)["main"]["kind"] == "branch"
+
+    via_tag = SnapshotReader(table, ref="stable").load(spark)
+    direct = SnapshotReader(table, "s1").load(spark)
+    assert via_tag.count() == direct.count() == docs.filter("doc_id % 2 = 0").count()
+    with pytest.raises(ValueError):
+        SnapshotReader(table, "s1", ref="stable")  # id XOR ref
