@@ -682,3 +682,89 @@ def clustered_table_cte(name: str = "embeddings_c") -> str:
         f"{name} AS (SELECT vec_id, label, "
         f"{clustered_vec_sql('duck')} AS embedding FROM embeddings)"
     )
+
+
+# --- kNN classification (majority vote over the IVF probe path) --------------
+
+
+def knn_classify(
+    emb: DataFrame, *, query_filter: str = "vec_id % 50 = 0", k: int = 5,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Label prediction by majority vote among the exact top-k neighbors
+    gathered through the IVF probe join (the ANN index applied, not just
+    measured): ties break to the smaller label, so the vote is
+    deterministic.  Output (query_id, label, pred, n_votes, correct) —
+    per-query rows pin the full prediction set, and avg(correct) is the
+    classifier accuracy.  Scale shape: ivf_topk's single candidates equi
+    join + two bounded-key aggregations (votes are <= k rows per query)."""
+    topk = ivf_topk(emb, query_filter=query_filter, k=k, n_probe=n_probe)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
+    votes = (
+        topk.join(lab, "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nlabel").asc()
+    )
+    pred = (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter("_r = 1")
+        .select("query_id", F.col("nlabel").alias("pred"), "n_votes")
+    )
+    truth = emb.select(F.col("vec_id").alias("query_id"), "label")
+    return pred.join(truth, "query_id").select(
+        "query_id", "label", "pred", "n_votes",
+        (F.col("pred") == F.col("label")).cast("int").alias("correct"),
+    )
+
+
+def knn_classify_oracle_sql(
+    *, query_filter: str = "vec_id % 50 = 0", k: int = 5, n_probe: int = N_PROBE,
+    table: str = "embeddings", extra_cte: str = "",
+) -> str:
+    cos = cosine_sql("q.embedding", "c.embedding", "duck")
+    q_sims = centroid_sims_sql("embedding", "duck")
+    return f"""
+WITH {extra_cte}probes AS (
+  SELECT query_id, probe FROM (
+    SELECT query_id, probe, sim,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, probe
+           ) AS pr
+    FROM (
+      SELECT vec_id AS query_id,
+             generate_subscripts(sims, 1) - 1 AS probe, unnest(sims) AS sim
+      FROM (SELECT vec_id, {q_sims} AS sims FROM {table} WHERE {query_filter})
+    )
+  ) WHERE pr <= {n_probe}
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY {cos} DESC, c.vec_id) AS rank
+    FROM probes p
+    JOIN {table} q ON q.vec_id = p.query_id
+    JOIN {table} c
+      ON ({ivf_assign_sql('c.embedding', 'duck')}) = p.probe
+     AND c.vec_id != p.query_id
+  ) WHERE rank <= {k}
+),
+votes AS (
+  SELECT t.query_id, c.label AS nlabel, count(1) AS n_votes
+  FROM topk t JOIN {table} c ON c.vec_id = t.neighbor_id
+  GROUP BY t.query_id, c.label
+),
+pred AS (
+  SELECT query_id, nlabel AS pred, n_votes FROM (
+    SELECT query_id, nlabel, n_votes,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY n_votes DESC, nlabel) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT p.query_id, q.label, p.pred, p.n_votes,
+       CAST(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END AS INT) AS correct
+FROM pred p JOIN {table} q ON q.vec_id = p.query_id
+"""

@@ -477,3 +477,72 @@ SELECT doc_id,
 FROM documents
 WHERE len(regexp_extract_all({text_col}, '{pat}')) > 0
 """
+
+
+# --- domain-mixture rebalance (training-data composition) --------------------
+# A pre-training corpus is composed to a TARGET mixture (e.g. 50% en /
+# 12.5% each of de/es/fr/zh) from whatever the crawl actually yielded.
+# All-integer formulation so the composed corpus is bit-reproducible
+# across engines, restarts and partitionings:
+#   * targets are parts-per-1024 integers summing to 1024;
+#   * the binding group caps the output: N = min_g floor(n_g * 1024 / w_g)
+#     (taking more would overdraw some group or break the mixture);
+#   * each group contributes take_g = floor(N * w_g / 1024) docs, chosen
+#     as the take_g smallest by the same integer hash priority the other
+#     samplers use (no transcendentals, no RNG state).
+# Scale shape: one groupBy count (bounded by |groups|), a 1-row global
+# cap attach, one per-group WindowGroupLimit — a single corpus shuffle.
+
+TRAIN_MIX_TARGETS = {"en": 512, "de": 128, "es": 128, "fr": 128, "zh": 128}
+
+
+def _train_mix_sql(dialect: str, targets: dict[str, int], table: str) -> str:
+    assert sum(targets.values()) == 1024, "targets must sum to 1024"
+    fdiv = "DIV" if dialect == "spark" else "//"
+    vals = ", ".join(f"('{g}', {w})" for g, w in sorted(targets.items()))
+    pr = "(doc_id * 2654435761) % 1000003"
+    return f"""
+WITH tgt(lang, w) AS (VALUES {vals}),
+avail AS (
+  SELECT lang, count(1) AS n_avail FROM {table} GROUP BY lang
+),
+cap AS (
+  SELECT min((a.n_avail * 1024) {fdiv} t.w) AS n_total
+  FROM avail a JOIN tgt t ON t.lang = a.lang
+),
+take AS (
+  SELECT t.lang, a.n_avail, (c.n_total * t.w) {fdiv} 1024 AS n_take
+  FROM tgt t JOIN avail a ON a.lang = t.lang CROSS JOIN cap c
+),
+ranked AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY {pr}, d.doc_id) AS rk
+  FROM {table} d JOIN tgt t ON t.lang = d.lang
+),
+sel AS (
+  SELECT r.lang, r.doc_id, r.n_chars
+  FROM ranked r JOIN take t ON t.lang = r.lang AND r.rk <= t.n_take
+)
+SELECT t.lang, t.n_avail, t.n_take,
+       sum(s.doc_id) AS sum_doc_id, sum(s.n_chars) AS sum_chars
+FROM take t JOIN sel s ON s.lang = t.lang
+GROUP BY t.lang, t.n_avail, t.n_take
+"""
+
+
+def train_mix(
+    docs: DataFrame, targets: dict[str, int] | None = None
+) -> DataFrame:
+    """Per-group composition report of the rebalanced corpus: the group
+    sums over the EXACT selected doc set (sum_doc_id pins the selection
+    itself, not just its size) — swap the final aggregate for ``SELECT *
+    FROM sel`` to emit the composed corpus."""
+    docs.createOrReplaceTempView("docs_mix")
+    return docs.sparkSession.sql(
+        _train_mix_sql("spark", targets or TRAIN_MIX_TARGETS, "docs_mix")
+    )
+
+
+def train_mix_oracle_sql(targets: dict[str, int] | None = None) -> str:
+    return _train_mix_sql("duck", targets or TRAIN_MIX_TARGETS, "documents")

@@ -1092,3 +1092,24 @@ GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
 """
 
 
+
+
+def q_train_mix(spark, sf_dir):
+    """Domain-mixture rebalance: compose the corpus to a 50/12.5x4 target
+    language mixture with the all-integer cap/take/priority formulation
+    (functions/curate.py train_mix) — the binding language caps the
+    output, every group's exact member set is pinned by the hash
+    priority, and sum_doc_id proves the SELECTION matches, not just the
+    counts."""
+    from ..functions import curate as _curate
+
+    return _curate.train_mix(load_documents(spark, sf_dir))
+
+
+def _o_train_mix() -> str:
+    from ..functions import curate as _curate
+
+    return _curate.train_mix_oracle_sql()
+
+
+O_TRAIN_MIX = _o_train_mix()

@@ -1422,3 +1422,38 @@ def _pyramid_oracle():
 O_TILE_PYRAMID = _pyramid_oracle()
 
 
+
+
+def q_tile_bimoran(spark, sf_dir):
+    """Bivariate Moran's I between the TEXT-span and MEDIA-span density
+    fields at res 6 — the interleaved-corpus question "do text-heavy
+    tiles neighbour media-heavy tiles?" as one cross-association number
+    (queen ring-1 weights over cells holding any span; exact-BIGINT
+    scaled deviations, one shared-text double)."""
+    from ..spatial.stats import bivariate_moran
+
+    tiles = (
+        flat_spans(spark, sf_dir)
+        .withColumn("cell", F.expr(grid.cell_sql("lon", "lat", REGION_RES, "spark")))
+        .groupBy("cell")
+        .agg(
+            F.sum(F.expr("CASE WHEN kind = 'text' THEN 1 ELSE 0 END")).alias("nx"),
+            F.sum(F.expr("CASE WHEN kind != 'text' THEN 1 ELSE 0 END")).alias("ny"),
+        )
+    )
+    return bivariate_moran(tiles, REGION_RES)
+
+
+def _o_tile_bimoran() -> str:
+    from ..spatial.stats import bivariate_moran_oracle_sql
+
+    tiles = (
+        f"SELECT {grid.cell_sql('lon', 'lat', REGION_RES, 'duck')} AS cell, "
+        f"CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS nx, "
+        f"CAST(sum(CASE WHEN kind != 'text' THEN 1 ELSE 0 END) AS BIGINT) AS ny "
+        f"FROM ({O_SPANS_FLAT}) GROUP BY 1"
+    )
+    return bivariate_moran_oracle_sql(tiles, REGION_RES)
+
+
+O_TILE_BIMORAN = _o_tile_bimoran()

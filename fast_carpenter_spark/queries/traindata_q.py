@@ -1102,3 +1102,20 @@ def _o_ann_ivfpq_trained_recall() -> str:
     return _pq.trained_ivfpq_recall_body_sql(
         "duck", k=32, extra_cte=_ann.clustered_table_cte("embeddings_c") + ",\n"
     )
+
+
+def q_knn_classify(spark, sf_dir):
+    """kNN CLASSIFICATION over the embedding index — the ANN machinery
+    applied, not just measured: majority vote among the exact top-5
+    neighbors gathered through the IVF probe join, ties to the smaller
+    label; per-query rows pin the full prediction set (avg(correct) is
+    the accuracy; 1.0 on the clustered mixture, where neighbors share the
+    query's cluster)."""
+    return _ann.knn_classify(_load_clustered(spark, sf_dir))
+
+
+def _o_knn_classify() -> str:
+    return _ann.knn_classify_oracle_sql(
+        table="embeddings_c",
+        extra_cte=_ann.clustered_table_cte("embeddings_c") + ",\n",
+    )

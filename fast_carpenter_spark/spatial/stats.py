@@ -305,3 +305,103 @@ g AS (
 SELECT t.cell, t.n, l.l_sum AS local_sum, l.wdeg AS wdeg, {z} AS gi_z
 FROM loc l JOIN tiles t USING (cell) CROSS JOIN g
 """
+
+
+# --- bivariate Moran's I (cross-layer spatial association) --------------------
+
+_BIMORAN_I = (
+    "((CAST(n_cells AS DOUBLE) / CAST(w_pairs AS DOUBLE)) * "
+    "(CAST(num AS DOUBLE) / (SQRT(CAST(sx2 AS DOUBLE)) * "
+    "SQRT(CAST(sy2 AS DOUBLE)))))"
+)
+
+
+def bivariate_moran(tiles: DataFrame, res: int) -> DataFrame:
+    """Bivariate (cross) Moran's I between two per-cell fields — "do
+    x-heavy tiles neighbour y-heavy tiles?": I_xy = (n/W) · Σ_ij w_ij
+    dx_i dy_j / sqrt(Σdx² · Σdy²) with binary queen (ring-1,
+    self-excluded) weights over the occupied-cell universe.
+
+    ``tiles`` carries (cell, nx, ny).  Same exact-BIGINT scaled-deviation
+    trick as :func:`moran_i` (d = n_cells·v − tot; the scale cancels), so
+    num/sx2/sy2 are exact integers and the single final double is
+    bit-identical across engines.  Scale shape unchanged from moran_i:
+    constant 8-offset explode, ONE co-partitioned cell join, 1-row
+    aggregates + broadcast global tuple."""
+    nside = 1 << res
+    glob = tiles.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("nx").alias("totx"),
+        F.sum("ny").alias("toty"),
+    )
+    dev = (
+        tiles.crossJoin(F.broadcast(glob))
+        .select(
+            "cell", "n_cells",
+            F.expr("n_cells * nx - totx").alias("dx_"),
+            F.expr("n_cells * ny - toty").alias("dy_"),
+        )
+        .localCheckpoint()
+    )
+    x = grid.unpack_x_sql("cell", "spark")
+    y = grid.unpack_y_sql("cell", "spark")
+    ring8 = (
+        "filter(flatten(transform(sequence(-1, 1), dx -> "
+        "transform(sequence(-1, 1), dy -> "
+        f"struct({x} + dx AS x, {y} + dy AS y, dx = 0 AND dy = 0 AS own)))), "
+        "c -> NOT c.own)"
+    )
+    nbr = (
+        dev.select("dx_", F.explode(F.expr(ring8)).alias("_nc"))
+        .filter(
+            (F.col("_nc.x") >= 0) & (F.col("_nc.x") < nside)
+            & (F.col("_nc.y") >= 0) & (F.col("_nc.y") < nside)
+        )
+        .select(
+            F.expr(grid.pack_sql(res, "_nc.x", "_nc.y")).alias("cell"),
+            F.col("dx_").alias("d_i"),
+        )
+    )
+    pair_sums = nbr.join(dev.select("cell", F.col("dy_").alias("d_j")), "cell").agg(
+        F.sum(F.expr("d_i * d_j")).alias("num"),
+        F.count(F.lit(1)).alias("w_pairs"),
+    )
+    den = dev.agg(
+        F.max("n_cells").alias("n_cells"),
+        F.sum(F.expr("dx_ * dx_")).alias("sx2"),
+        F.sum(F.expr("dy_ * dy_")).alias("sy2"),
+    )
+    return pair_sums.crossJoin(F.broadcast(den)).selectExpr(
+        "n_cells", "w_pairs", "num", "sx2", "sy2", f"{_BIMORAN_I} AS moran_xy"
+    )
+
+
+def bivariate_moran_oracle_sql(tiles_sql: str, res: int) -> str:
+    """DuckDB twin: same exact-integer recurrence, independent evaluator."""
+    nside = 1 << res
+    ux = grid.unpack_x_sql("cell", "duck")
+    uy = grid.unpack_y_sql("cell", "duck")
+    return f"""
+WITH tiles AS ({tiles_sql}),
+g AS (SELECT count(*) AS n_cells, CAST(sum(nx) AS BIGINT) AS totx,
+             CAST(sum(ny) AS BIGINT) AS toty FROM tiles),
+dev AS (SELECT cell, n_cells, n_cells * nx - totx AS dx_,
+               n_cells * ny - toty AS dy_ FROM tiles CROSS JOIN g),
+nbr AS (
+  SELECT {grid.pack_sql(res, f"({ux} + dx)", f"({uy} + dy)")} AS cell, dx_ AS d_i
+  FROM dev,
+       (SELECT unnest(range(-1, 2)) AS dx),
+       (SELECT unnest(range(-1, 2)) AS dy)
+  WHERE NOT (dx = 0 AND dy = 0)
+    AND {ux} + dx BETWEEN 0 AND {nside - 1}
+    AND {uy} + dy BETWEEN 0 AND {nside - 1}
+),
+p AS (
+  SELECT CAST(sum(d_i * d_j) AS BIGINT) AS num, count(*) AS w_pairs
+  FROM nbr JOIN (SELECT cell, dy_ AS d_j FROM dev) USING (cell)
+),
+q AS (SELECT max(n_cells) AS n_cells, CAST(sum(dx_ * dx_) AS BIGINT) AS sx2,
+             CAST(sum(dy_ * dy_) AS BIGINT) AS sy2 FROM dev)
+SELECT n_cells, w_pairs, num, sx2, sy2, {_BIMORAN_I} AS moran_xy
+FROM p CROSS JOIN q
+"""
