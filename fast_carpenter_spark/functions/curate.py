@@ -521,13 +521,13 @@ ranked AS (
   FROM {table} d JOIN tgt t ON t.lang = d.lang
 ),
 sel AS (
-  SELECT r.lang, r.doc_id, r.n_chars
+  SELECT r.lang, r.doc_id, r.n_chars, t.n_avail, t.n_take
   FROM ranked r JOIN take t ON t.lang = r.lang AND r.rk <= t.n_take
 )
-SELECT t.lang, t.n_avail, t.n_take,
-       sum(s.doc_id) AS sum_doc_id, sum(s.n_chars) AS sum_chars
-FROM take t JOIN sel s ON s.lang = t.lang
-GROUP BY t.lang, t.n_avail, t.n_take
+SELECT lang, n_avail, n_take,
+       sum(doc_id) AS sum_doc_id, sum(n_chars) AS sum_chars
+FROM sel
+GROUP BY lang, n_avail, n_take
 """
 
 

@@ -973,3 +973,53 @@ SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
 FROM documents WHERE doc_id % 4 < 3
 GROUP BY lang
 """
+
+
+def q_snapshot_wap(spark, sf_dir):
+    """Write-Audit-Publish on snapshot branches (the Iceberg staging
+    pattern a production ingest uses): the new quarter of the corpus is
+    committed as snap-b with parent snap-a, but only the 'audit' branch
+    points at it — 'main' still serves snap-a, so readers never see
+    unvalidated data.  The audit gate here is the span-sequence integrity
+    contract (north-rule invariant: every doc's spans reconstruct in
+    offset order); once it passes, publishing is ONE metadata write
+    (fast-forward of 'main'), no data movement.  Returns the per-lang
+    profile of what 'main' serves after publish — which must equal the
+    full corpus, and does so only if the branch flip actually happened."""
+    from ..sources.snapshot import (
+        SnapshotReader,
+        list_refs,
+        resolve_ref,
+        set_ref,
+    )
+
+    tdir = _compact_table(spark, sf_dir)  # snap-a (3/4), snap-b (append)
+    refs = list_refs(tdir)
+    if "wap_main" not in refs:
+        set_ref(tdir, "wap_main", "snap-a", kind="branch")
+        set_ref(tdir, "wap_audit", "snap-b", kind="branch")
+    # -- audit phase: validate the STAGED branch before anyone reads it
+    if resolve_ref(tdir, "wap_main") != "snap-b":
+        staged = SnapshotReader(tdir, ref="wap_audit").load(spark)
+        staged.createOrReplaceTempView("docs_wap_audit")
+        flat = spark.sql(synth.flat_spans_sql("spark", "docs_wap_audit"))
+        bad = flat.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("span_offset").alias("n_off"),
+            F.max("span_offset").alias("mx"),
+        ).filter("n != n_off OR mx != (n - 1) * 16")
+        if bad.limit(1).count() > 0:
+            raise AssertionError("WAP audit failed: span sequence broken")
+        # -- publish: one metadata write, main fast-forwards to the branch
+        set_ref(tdir, "wap_main", "snap-b", kind="branch")
+    docs = SnapshotReader(tdir, ref="wap_main").load(spark)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+O_SNAPSHOT_WAP = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+FROM documents GROUP BY lang
+"""

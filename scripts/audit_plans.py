@@ -117,6 +117,10 @@ AUDITED = [
     "ann_pq_trained_recall_k32",  # trained-codebook ADC: bounded LUT equi join; exact baseline BNLJ pinned
     "media_decode_payload",  # binary payload over ONE Arrow mapInPandas pass, no shuffle
     "snapshot_block_limit",  # manifest-pruned domain-prefix scan + residual filter
+    "train_mix",        # bounded groupBy + 1-row cap attach + per-group window limit
+    "knn_classify",     # IVF probe equi join + two bounded-key vote aggregations
+    "tile_bimoran",     # co-partitioned cell join, exact-BIGINT cross deviations
+    "snapshot_wap",     # branch-resolved scan (1 metadata read) + bounded agg
     # dedup_cluster / tile_regions / dbscan / tile_kcore are excluded: iterative
     # fixpoints (one plan per round, jobs run at build time); the per-round
     # join is the same edge-keyed hash-join shape audited via
@@ -183,6 +187,8 @@ ALLOW_BNLJ_GLOBAL_ATTACH = {
     # over the ~2% sampled query side) that the recall is measured against;
     # the measured path is the (m, code) LUT equi join in the same plan
     "ann_pq_trained_recall_k32": 1,
+    "train_mix": 1,      # the 1-row mixture-cap attach (keyless min aggregate)
+    "tile_bimoran": 1,   # the 1-row (sx2, sy2) denominator attach
 }
 # Register-densify crosses: a DISTINCT aggregate of an enum-cardinality
 # column crossed with a CONSTANT range generator (langs x 64 HLL register
