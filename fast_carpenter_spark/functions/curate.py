@@ -525,7 +525,8 @@ sel AS (
   FROM ranked r JOIN take t ON t.lang = r.lang AND r.rk <= t.n_take
 )
 SELECT lang, n_avail, n_take,
-       sum(doc_id) AS sum_doc_id, sum(n_chars) AS sum_chars
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM sel
 GROUP BY lang, n_avail, n_take
 """

@@ -969,7 +969,7 @@ def q_snapshot_tag_read(spark, sf_dir):
 
 
 O_SNAPSHOT_TAG_READ = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
 FROM documents WHERE doc_id % 4 < 3
 GROUP BY lang
 """
@@ -1020,6 +1020,6 @@ def q_snapshot_wap(spark, sf_dir):
 
 
 O_SNAPSHOT_WAP = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
 FROM documents GROUP BY lang
 """
