@@ -78,3 +78,47 @@ def test_dbscan_matches_bruteforce(spark):
                 assert got[i] == ("border", int(lbl[core_nbrs].min())), i
             else:
                 assert got[i] == ("noise", -1), i
+
+
+def test_trained_pq_codebook_matches_bruteforce(spark):
+    """The k-means training recurrence (ntile seeding -> exact-integer
+    argmin E-step -> floor-mean M-step, empty codes carried) on one seeded
+    RANDOM table must equal a direct numpy evaluation — the SQL chain's
+    semantics pinned independently of the DuckDB twin."""
+    from fast_carpenter_spark.functions.pq import (
+        M_SUB, SUB_DIM, trained_codebook,
+    )
+
+    rng = np.random.default_rng(SEED + 3)
+    n, k, rounds = 120, 8, 2
+    vecs = rng.integers(-999, 1000, (n, M_SUB * SUB_DIM))
+    rows = [(int(i), [int(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<bigint>")
+    got = {
+        (r["m"], r["code"], r["d"]): r["comp"]
+        for r in trained_codebook(df, k=k, rounds=rounds).collect()
+    }
+
+    for m in range(M_SUB):
+        sv = vecs[:, m * SUB_DIM : (m + 1) * SUB_DIM]
+        order = sorted(range(n), key=lambda i: (tuple(sv[i]), i))
+        # ntile(k): first (n % k) buckets take ceil(n/k) rows
+        sizes = [n // k + (1 if b < n % k else 0) for b in range(k)]
+        cents, pos = [], 0
+        for b in range(k):
+            cents.append(sv[order[pos]].astype(np.int64))
+            pos += sizes[b]
+        cents = np.array(cents)
+        for _ in range(rounds):
+            d2 = ((sv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # ties -> lowest code (argmin does)
+            new = cents.copy()  # empty codes keep the previous centroid
+            for c in range(k):
+                members = sv[assign == c]
+                if len(members):
+                    # exact floor-mean per dim (Python // floors)
+                    new[c] = members.sum(axis=0) // len(members)
+            cents = new
+        for c in range(k):
+            for d in range(SUB_DIM):
+                assert got[(m, c, d)] == cents[c][d], (m, c, d)
