@@ -120,7 +120,12 @@ def main() -> None:
     # small and one big window were quiet.
     all_small = min(t for x in batches for t in x["runs_small"])
     all_big = min(t for x in batches for t in x["runs_big"])
-    best_raw = round((all_small / all_big) / ratio, 3)
+    # weak mode: the input already grows with the core count, so raw
+    # efficiency is the plain time ratio (dividing by the core ratio again
+    # would double-count it)
+    best_raw = round(
+        (all_small / all_big) if weak else (all_small / all_big) / ratio, 3
+    )
     best_alu = max(x["alu_eff"] for x in batches)
     result = {
         "protocol": (
