@@ -91,3 +91,34 @@ def test_trained_recall_beats_untrained(clustered):
     trained32 = pq.trained_pq_recall(clustered, k=32).collect()[0]["recall"]
     assert trained32 >= 0.8, f"trained k=32 raw-ADC recall@5 = {trained32}"
     assert trained32 > untrained + 0.3
+
+
+def test_materialized_codebook_roundtrip_and_plan(clustered, tmp_path):
+    """Round-5 materialization (VERDICT r4 item 2): store_trained_codebook
+    commits the index artifact through the snapshot writer; search against
+    the loaded rows is plan-small (<= 8 exchanges, no BNLJ) and its
+    recall@5 matches the recurrence-in-plan diagnostic's 0.8+ at k=32."""
+    path = str(tmp_path / "cb")
+    pq.store_trained_codebook(clustered, path, k=32)
+    spark = clustered.sparkSession
+    rows = pq.load_codebook_rows(spark, path)
+    assert len(rows) == 32 * pq.M_SUB
+    assert all(len(cent) == pq.SUB_DIM for _, _, cent in rows)
+    # stored artifact == the recurrence's own output (same fixed point)
+    direct = sorted(
+        (r["m"], r["code"], list(r["cent"]))
+        for r in pq.trained_codebook_table(clustered, k=32).collect()
+    )
+    assert rows == direct
+
+    topk = pq.trained_adc_topk_from_rows(clustered, rows)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 8
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # recall@5 vs exact L2 through the MATERIALIZED path
+    approx = topk.selectExpr("query_id", "neighbor_id")
+    exact = pq.l2_topk(clustered).selectExpr("query_id", "neighbor_id")
+    n_exact = exact.count()
+    n_hit = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    assert n_hit / n_exact >= 0.8, f"materialized recall@5 = {n_hit/n_exact}"
