@@ -177,6 +177,20 @@ def make_factories(spark: SparkSession, n_docs: int):
             res=auto_res(n_docs), ring=1, k=3,
         )
 
+    def q7():
+        # geodesic bounded kNN over doc representative points (round-5,
+        # VERDICT r4 item 5): the 100x-relevant cost is the candidate-ring
+        # fan-out — latitude-dependent longitude widths, pole/antimeridian
+        # rings — which the planar q4 never exercises.  radius 10 km keeps
+        # the mean candidate set a single ring at this density (the bound a
+        # production geodesic kNN service ships with).
+        from fast_carpenter_spark.spatial.knn import knn_geo
+
+        return knn_geo(
+            fresh_spans().filter("span_idx = 0").select("doc_id", "lon", "lat"),
+            radius_km=10.0, k=3,
+        )
+
     def q5():
         # salted-shuffle spatial join variant (hot-tile path)
         return (
@@ -203,6 +217,7 @@ def make_factories(spark: SparkSession, n_docs: int):
         "q2_tile_agg": q2,
         "q3_cutflow": q3,
         "q4_knn": q4,
+        "q7_knn_geo": q7,
         "q5_salted_join": q5,
     }
 
@@ -325,6 +340,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                # full per-query sample arrays (VERDICT r4 item 8): lets a
+                # reader distinguish a noise burst from a regression without
+                # re-running the suite
+                "queries_samples": {
+                    n: [round(s, 3) for s in samples[n]] for n in factories
+                },
                 "rounds": rounds,
                 "skew_killtest": skew,
                 "sf": SF_DIR,
