@@ -115,6 +115,7 @@ AUDITED = [
     "token_budget",     # one aggregate + 1-row total attach
     "length_histogram",  # bounded (lang, bucket) aggregate
     "ann_pq_trained_recall_k32",  # trained-codebook ADC: bounded LUT equi join; exact baseline BNLJ pinned
+    "ann_pq_trained_topk",  # MATERIALIZED codebook search: literal-matrix encode/LUT map-side, ~3 exchanges, no BNLJ
     "media_decode_payload",  # binary payload over ONE Arrow mapInPandas pass, no shuffle
     "snapshot_block_limit",  # manifest-pruned domain-prefix scan + residual filter
     "train_mix",        # bounded groupBy + 1-row cap attach + per-group window limit
