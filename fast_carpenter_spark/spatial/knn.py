@@ -547,7 +547,18 @@ def knn_geo(
     neighbour id.  Distances are NOT emitted: trig builtins differ between
     engines in the last ulp (haversine_sql note), so the output exposes
     only (id, neighbor_id, rank) — stable because random-data distance
-    gaps are astronomically larger than 1e-15 rel."""
+    gaps are astronomically larger than 1e-15 rel.
+
+    Density assumption (the 100 TB caveat): the candidate set is built as
+    exploded JOIN ROWS, so its size is Theta(sum over cells of
+    n_cell * n_ring) — a point-mass denser than ``radius_km`` makes this
+    quadratic in the mass (h points within the radius -> h^2 join rows,
+    at ANY radius).  That regime belongs to the dense-block local kernel
+    (``knn_local``), whose per-cell distance evaluations are SIMD matrix
+    ops and whose hot blocks salt across tasks; a geodesic caller facing
+    point-masses should pre-split: mass cells -> knn_local (planar is
+    exact at sub-km extents), sparse remainder -> this ring join.
+    bench.py q7 encodes exactly that split."""
     cand = _geo_ring_candidates(
         points, radius_km=radius_km, id_col=id_col,
         lon_col=lon_col, lat_col=lat_col, res=res,
