@@ -179,22 +179,22 @@ def make_factories(spark: SparkSession, n_docs: int):
 
     def q7():
         # geodesic bounded kNN over doc representative points (round-5,
-        # VERDICT r4 item 5): the 100x-relevant cost tracked here is the
-        # candidate-RING fan-out — latitude-dependent longitude widths,
-        # pole/antimeridian rings — which the planar q4 never exercises.
-        # The synthetic 1% point-mass (doc_id % 100 = 0 collapses ~24k docs
-        # into a 550 m blob) is excluded: a radius-bounded SQL-join kNN is
-        # quadratic in any point-mass denser than the radius (576M join
-        # rows here, regardless of radius), and that regime is measured by
-        # the density-adaptive dense-block kernel (q4) and the skew
-        # kill-test at the same grain.  knn_geo's docstring states the
-        # bounded-per-cell-density assumption this split encodes.
-        from fast_carpenter_spark.spatial.knn import knn_geo
+        # VERDICT r4 item 5): tracks the geodesic machinery the planar q4
+        # never exercises — latitude-dependent ring widths, antimeridian
+        # wrap, pole-crossing disks — via the halo-exchange chord kernel
+        # (knn_geo_local), the production scale path.  FULL table,
+        # including the 1% point-mass (doc_id % 100 = 0 collapses ~24k
+        # docs onto ONE position): the earlier ring-JOIN q7 had to
+        # exclude it (a join-shaped radius kNN is quadratic in any
+        # point-mass denser than the radius — 576M join rows, 85 s),
+        # while the kernel's salted hot blocks evaluate it as SIMD chord
+        # blocks with stable-argsort tie handling (~1 s of the total).
+        # The ring-join variant stays oracle-checked in the registry
+        # (knn_geo, radius_join_geo) as the sparse-regime building block.
+        from fast_carpenter_spark.spatial.knn import knn_geo_local
 
-        return knn_geo(
-            fresh_spans()
-            .filter("span_idx = 0 AND doc_id % 100 != 0")
-            .select("doc_id", "lon", "lat"),
+        return knn_geo_local(
+            fresh_spans().filter("span_idx = 0").select("doc_id", "lon", "lat"),
             radius_km=5.0, k=3,
         )
 
@@ -224,7 +224,7 @@ def make_factories(spark: SparkSession, n_docs: int):
         "q2_tile_agg": q2,
         "q3_cutflow": q3,
         "q4_knn": q4,
-        "q7_knn_geo": q7,
+        "q7_knn_geo_local": q7,
         "q5_salted_join": q5,
     }
 
@@ -340,7 +340,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # round-over-round comparability: q7 (geodesic kNN) joined the suite in
     # round 5, so the r1-r4 headline series continues under value_q1_q6
-    legacy = round(sum(v for n, v in timings.items() if n != "q7_knn_geo"), 3)
+    legacy = round(sum(v for n, v in timings.items() if n != "q7_knn_geo_local"), 3)
     flagship_docs_per_sec = round(n_docs / timings["q1_pip_tile_agg"], 1)
     print(
         json.dumps(

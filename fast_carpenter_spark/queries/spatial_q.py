@@ -169,6 +169,32 @@ def _knn_geo_oracle():
 O_KNN_GEO = _knn_geo_oracle()
 
 
+def q_knn_geo_local(spark, sf_dir):
+    """Geodesic bounded kNN through the halo-exchange chord kernel
+    (spatial/knn.py knn_geo_local): same contract as knn_geo — k nearest
+    by great-circle distance within GEO_RADIUS_KM, (distance, id) ties,
+    rank-only output — but executed as blocked SIMD chord math instead of
+    a corpus-sized candidate join.  k=5 to distinguish the row from
+    knn_geo's k=3."""
+    from ..spatial.knn import knn_geo_local
+
+    pts = flat_spans(spark, sf_dir).filter("span_idx = 0").select("doc_id", "lon", "lat")
+    return knn_geo_local(pts, radius_km=GEO_RADIUS_KM, k=5)
+
+
+def _knn_geo_local_oracle():
+    from ..spatial.knn import knn_geo_oracle_sql
+
+    return knn_geo_oracle_sql(
+        f"SELECT doc_id, lon, lat FROM ({O_SPANS_FLAT}) WHERE span_idx = 0",
+        radius_km=GEO_RADIUS_KM,
+        k=5,
+    )
+
+
+O_KNN_GEO_LOCAL = _knn_geo_local_oracle()
+
+
 def q_poly_overlap(spark, sf_dir):
     """Polygon-polygon overlay self-join over the polygon layer: pairs
     whose rings intersect (vertex containment or proper edge crossing),

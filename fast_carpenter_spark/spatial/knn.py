@@ -432,6 +432,32 @@ def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     )
 
 
+def haversine_hav_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """The haversine TERM h = sin^2(dlat/2) + cos(lat1) cos(lat2) sin^2(dlon/2)
+    — the argument of ``2R asin(sqrt(h))`` in :func:`haversine_sql`, before
+    the asin/sqrt.  asin and sqrt are strictly monotone (and monotone as
+    correctly-rounded float functions), so
+
+    * ``dist <= r``  <=>  ``h <= sin^2(r / (2R))``   (filter on h, no asin/sqrt)
+    * ``ORDER BY dist`` == ``ORDER BY h``             (rank on h)
+
+    which removes the two most expensive scalar ops from the per-candidate
+    refine loop.  Like haversine_sql, h itself must never reach the hash
+    gate (trig ulps differ between engines) — emit ranks/pairs only."""
+    dlat = f"RADIANS((({lat2}) - ({lat1})) / 2)"
+    dlon = f"RADIANS((({lon2}) - ({lon1})) / 2)"
+    return (
+        f"(SIN({dlat}) * SIN({dlat}) + "
+        f"COS(RADIANS({lat1})) * COS(RADIANS({lat2})) * SIN({dlon}) * SIN({dlon}))"
+    )
+
+
+def hav_threshold(radius_km: float) -> float:
+    """h-space image of a great-circle radius: dist <= radius_km iff
+    hav term <= sin^2(radius_km / (2 * EARTH_KM))."""
+    return math.sin(radius_km / (2.0 * EARTH_KM)) ** 2
+
+
 def _geo_ring_candidates(
     points: DataFrame,
     *,
@@ -503,7 +529,16 @@ def _geo_ring_candidates(
         F.col(lat_col).alias("_nlat"),
         F.expr(grid.cell_sql(lon_col, lat_col, res, "spark")).alias("_cell"),
     )
-    return ring.join(others, "_cell").filter(F.col("_id") != F.col("_nbr"))
+    # the exploded ring side must NEVER be broadcast or hash-BUILT:
+    # Catalyst estimates it from the pre-explode input, understating by
+    # the ring fan-out (a driver/executor OOM at scale).  Pin a shuffle
+    # hash join BUILT on the compact per-cell point table and STREAM the
+    # exploded ring past it — hash beats sort-merge on a BIGINT equi-key
+    # and the build side is the smaller one by construction
+    return (
+        ring.join(others.hint("shuffle_hash"), "_cell")
+        .filter(F.col("_id") != F.col("_nbr"))
+    )
 
 
 def radius_join_geo(
@@ -522,9 +557,14 @@ def radius_join_geo(
         points, radius_km=radius_km, id_col=id_col,
         lon_col=lon_col, lat_col=lat_col, res=res,
     ).filter(F.col("_id") < F.col("_nbr"))
-    dist = haversine_sql("_lon", "_lat", "_nlon", "_nlat")
+    # refine in h-space (haversine_hav_sql): the latitude band is a free
+    # compare that drops most ring candidates before any trig, and the h
+    # threshold is the exact radius image without asin/sqrt per pair
+    deg_lat = math.degrees(radius_km / EARTH_KM)
+    hav = haversine_hav_sql("_lon", "_lat", "_nlon", "_nlat")
     return (
-        cand.filter(F.expr(f"{dist} <= {radius_km!r}"))
+        cand.filter(F.expr(f"ABS(_lat - _nlat) <= {deg_lat!r}"))
+        .filter(F.expr(f"{hav} <= {hav_threshold(radius_km)!r}"))
         .select(F.col("_id").alias("doc_a"), F.col("_nbr").alias("doc_b"))
     )
 
@@ -563,11 +603,24 @@ def knn_geo(
         points, radius_km=radius_km, id_col=id_col,
         lon_col=lon_col, lat_col=lat_col, res=res,
     )
-    dist = haversine_sql("_lon", "_lat", "_nlon", "_nlat")
-    cand = cand.filter(F.expr(f"{dist} <= {radius_km!r}")).withColumn(
-        "_d", F.expr(dist)
+    return _rank_geo_candidates(cand, radius_km=radius_km, k=k, id_col=id_col)
+
+
+def _rank_geo_candidates(cand: DataFrame, *, radius_km: float, k: int,
+                         id_col: str) -> DataFrame:
+    """Refine + rank directed candidate pairs in h-space
+    (haversine_hav_sql): |dlat| <= r-arc is a free compare that drops the
+    ring-height overshoot before any trig; h <= sin^2(r/2R) is the exact
+    radius filter and ORDER BY h the exact distance order, both without
+    asin/sqrt per candidate pair."""
+    deg_lat = math.degrees(radius_km / EARTH_KM)
+    hav = haversine_hav_sql("_lon", "_lat", "_nlon", "_nlat")
+    cand = (
+        cand.filter(F.expr(f"ABS(_lat - _nlat) <= {deg_lat!r}"))
+        .filter(F.expr(f"{hav} <= {hav_threshold(radius_km)!r}"))
+        .withColumn("_h", F.expr(hav))
     )
-    w = Window.partitionBy("_id").orderBy(F.col("_d").asc(), F.col("_nbr").asc())
+    w = Window.partitionBy("_id").orderBy(F.col("_h").asc(), F.col("_nbr").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
@@ -597,6 +650,281 @@ r AS (
 SELECT doc_id, neighbor_id, rank FROM r WHERE rank <= {k}
 """
 
+def knn_geo_local(
+    points: DataFrame,
+    *,
+    radius_km: float,
+    k: int = 3,
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int | None = None,
+    hot_threshold: int = 20000,
+    nsalt: int = 16,
+    group_offset: int = 5,
+) -> DataFrame:
+    """Scale-path geodesic bounded kNN: identical output contract to
+    :func:`knn_geo` ((id, neighbor_id, rank), k nearest by great-circle
+    distance within ``radius_km``, ties by neighbour id) executed as the
+    HALO-EXCHANGE local search of :func:`knn_local` instead of a
+    corpus-sized candidate join.
+
+    Why: at realistic densities most ring candidates are genuine
+    within-radius pairs (measured 56M true / 61M candidates at the bench
+    grain), so the ring JOIN's cost floor is materializing every pair as
+    a shuffled join row.  The local kernel evaluates the same pairs as
+    SIMD matrix blocks inside ``applyInPandas`` — the only shuffle is the
+    ~1.1x halo replication of the points themselves.
+
+    The geodesic metric reduces EXACTLY to the planar kernel's squared-
+    Euclidean form via the unit-sphere CHORD: with p = (cos lat cos lon,
+    cos lat sin lon, sin lat), |p - q|^2 = 4 * hav(p, q) = (2 sin(d/2R))^2
+    — strictly monotone in great-circle d, so ``rank by chord^2`` is rank
+    by distance and ``chord^2 <= (2 sin(r/2R))^2`` is the exact radius
+    filter, with zero per-pair trig (3 trig per POINT, inside the
+    kernel).  Chord distances are wrap-exact, so neither the antimeridian
+    nor the poles need a metric special case — only the GRID wraps:
+
+    * longitude ring half-widths follow the true geodesic-disk bounding
+      box (delta_lon = asin(sin r / cos lat), Matuschek), widening with
+      |lat| up to the FULL circle where a disk can cross the pole; a
+      candidate replicates as far as the widest query that can see it
+      (its rx is evaluated at |lat| + r_arc);
+    * parent blocks are enumerated with a wrapped ``sequence`` (arithmetic
+      shiftright floors negative cells, pmod wraps block columns), so a
+      ring spanning many block columns — up to all of them at the pole —
+      replicates to each, while interior points still land in one block;
+    * the latitude window needs no pole case at all: |dlat| <= r_arc
+      holds along any geodesic of length r even when it crosses the pole,
+      so the [cy - ry, cy + ry] clamp is already a superset.
+
+    Top-k inside the kernel is knn_local's stable argsort over id-sorted
+    candidates (exact (chord^2, id) tie order) with the radius mask
+    applied to the selected slice.  A tie-complete threshold select was
+    tried and rejected: a degenerate point mass (the synthetic hot cell
+    is 24k docs at ONE position) is a tie class the size of the cell, so
+    "keep everything <= the k-th value" materializes the full pair
+    matrix, while stable argsort stays O(n log n) per row regardless of
+    tie depth.
+
+    Hot-block skew is salted exactly as in knn_local (queries split over
+    ``nsalt`` sub-groups, candidates replicated to all salts).
+
+    Like knn_geo, chord^2 values never reach the output (trig ulps differ
+    between numpy / Spark / DuckDB): (id, neighbor_id, rank) only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    r_ang = radius_km / EARTH_KM
+    deg_lat = math.degrees(r_ang)
+    sin_r = math.sin(r_ang)
+    if res is None:
+        res = max(1, min(20, int(math.floor(math.log2(180.0 / deg_lat)))))
+    n = 1 << res
+    shift = min(res, group_offset)
+    group_res = res - shift
+    nbx = max(1, n >> shift)
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+    ry = max(1, math.ceil(deg_lat / cell_h))
+    chord2_max = 4.0 * hav_threshold(radius_km)
+
+    kpts = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(lon_col).alias("_lon"),
+        F.col(lat_col).alias("_lat"),
+        F.expr(grid.cell_x_sql(lon_col, res, "spark")).alias("_cx"),
+        F.expr(grid.cell_y_sql(lat_col, res, "spark")).alias("_cy"),
+    )
+    # per-point replication half-width in cells: wide enough for the
+    # widest query that can see this point (one at |lat| + r_arc); full
+    # circle when such a query's disk can cross the pole
+    rx_pt = (
+        f"CASE WHEN ABS(_lat) + {2.0 * deg_lat!r} >= 90.0 "
+        f"THEN CAST({n // 2} AS BIGINT) "
+        f"ELSE LEAST(CAST({n // 2} AS BIGINT), GREATEST(CAST(1 AS BIGINT), "
+        f"CAST(CEIL(DEGREES(ASIN(LEAST(1.0, {sin_r!r} / "
+        f"COS(RADIANS(ABS(_lat) + {deg_lat!r}))))) / {cell_w!r}) AS BIGINT))) "
+        f"END"
+    )
+    # ALL parent blocks the ring bbox touches (a wide ring can span many
+    # block columns — all of them at the pole — so corner shortcuts would
+    # miss middle columns): arithmetic shiftright floors negative cell
+    # offsets, pmod wraps block columns across the antimeridian, latitude
+    # rows clamp.  Interior points still yield a single block.
+    blocks = (
+        f"array_distinct(flatten(transform("
+        f"sequence(shiftright(_cx - {rx_pt}, {shift}), "
+        f"         shiftright(_cx + {rx_pt}, {shift})), bx -> "
+        f"transform(sequence(shiftright(greatest(_cy - {ry}, 0), {shift}), "
+        f"                   shiftright(least(_cy + {ry}, {n - 1}), {shift})), "
+        f"by -> struct(pmod(bx, {nbx}) AS px, by AS py)))))"
+    )
+    members = kpts.select(
+        "_id", "_lon", "_lat",
+        F.expr(grid.pack_sql(res, "_cx", "_cy")).alias("_cell"),
+        F.expr(grid.pack_sql(group_res, f"shiftright(_cx, {shift})",
+                             f"shiftright(_cy, {shift})")).alias("_home_g"),
+        F.explode(F.expr(blocks)).alias("_pc"),
+    ).select(
+        "_id", "_lon", "_lat", "_cell",
+        F.expr(grid.pack_sql(group_res, "_pc.px", "_pc.py")).alias("_gcell"),
+        (F.col("_home_g") == F.expr(grid.pack_sql(group_res, "_pc.px", "_pc.py"))).alias("_core"),
+    )
+
+    # hot-BLOCK detection + salting: identical to knn_local
+    hot = (
+        kpts.groupBy(
+            F.expr(grid.pack_sql(group_res, f"shiftright(_cx, {shift})",
+                                 f"shiftright(_cy, {shift})")).alias("_gcell")
+        )
+        .count()
+        .filter(F.col("count") > hot_threshold)
+        .select("_gcell")
+    )
+    members = members.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))), "_gcell", "left"
+    ).withColumn("_hot", F.coalesce("_hot", F.lit(False)))
+    members = (
+        members.withColumn(
+            "_my_salt",
+            F.when(F.col("_hot"), F.pmod(F.xxhash64("_id"), F.lit(nsalt)).cast("int"))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(F.col("_hot"), F.expr(f"sequence(0, {nsalt - 1})"))
+                .otherwise(F.expr("array(0)"))
+            ),
+        )
+        .withColumn("_core", F.col("_core") & (F.col("_salt") == F.col("_my_salt")))
+        .drop("_hot", "_my_salt", "_home_g")
+    )
+
+    out_schema = f"{id_col} long, neighbor_id long, rank long"
+    empty = pd.DataFrame({id_col: [], "neighbor_id": [], "rank": []}).astype(
+        {id_col: "int64", "neighbor_id": "int64", "rank": "int64"}
+    )
+
+    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = pdf["_cell"].to_numpy()
+        order = np.lexsort((pdf["_id"].to_numpy(), cell))
+        cell = cell[order]
+        ids = pdf["_id"].to_numpy()[order]
+        lon = pdf["_lon"].to_numpy()[order]
+        lat = pdf["_lat"].to_numpy()[order]
+        core = pdf["_core"].to_numpy()[order]
+        if not core.any() or len(ids) < 2:
+            return empty.copy()
+        # unit-sphere chord coordinates: 3 trig per point, zero per pair
+        rlon = np.radians(lon)
+        rlat = np.radians(lat)
+        cl = np.cos(rlat)
+        X = cl * np.cos(rlon)
+        Y = cl * np.sin(rlon)
+        Z = np.sin(rlat)
+        qcells = np.unique(cell[core])
+        _, qcx, qcy = grid.unpack_cells(qcells)
+        qseg_s = np.searchsorted(cell, qcells, side="left")
+        qseg_e = np.searchsorted(cell, qcells, side="right")
+        ylo = np.maximum(qcy - ry, 0)
+        yhi = np.minimum(qcy + ry, n - 1)
+        # per-qcell ring half-width from the cell's polemost edge; a cell
+        # whose queries can cross the pole rings the full circle
+        edge = np.maximum(np.abs(qcy * cell_h - 90.0),
+                          np.abs((qcy + 1) * cell_h - 90.0))
+        fullring = edge >= 90.0 - deg_lat
+        cos_edge = np.cos(np.radians(np.where(fullring, 0.0, edge)))
+        dl = np.degrees(np.arcsin(np.minimum(1.0, sin_r / cos_edge)))
+        rx_ci = np.where(
+            fullring, n // 2,
+            np.ceil(dl / cell_w).astype(np.int64),
+        ).clip(1, n // 2).astype(np.int64)
+        # ragged ring-column table: per qcell, cnt distinct wrapped
+        # columns; one vectorized searchsorted over every (cell, column)
+        cnt = np.minimum(2 * rx_ci + 1, n)
+        off = np.concatenate(([0], np.cumsum(cnt)))
+        rep = np.repeat(np.arange(len(qcells)), cnt)
+        dx = (np.arange(off[-1], dtype=np.int64) - off[rep]) - np.minimum(
+            rx_ci, n // 2
+        )[rep]
+        tx = (qcx[rep] + dx) % n
+        col_s = np.searchsorted(cell, grid.pack_cells(res, tx, ylo[rep]), side="left")
+        col_e = np.searchsorted(
+            cell, grid.pack_cells(res, tx, yhi[rep]) + 1, side="left"
+        )
+        # flatten all candidate row indices (ragged arange over the column
+        # slices), so each qcell's candidates are one O(1) slice
+        ln = col_e - col_s
+        cum = np.concatenate(([0], np.cumsum(ln)))
+        flat = (
+            np.arange(cum[-1], dtype=np.int64)
+            - np.repeat(cum[:-1], ln)
+            + np.repeat(col_s, ln)
+        )
+        acc: list = []
+        for ci in range(len(qcells)):
+            q_rows = np.arange(qseg_s[ci], qseg_e[ci])
+            q_rows = q_rows[core[qseg_s[ci]:qseg_e[ci]]]
+            if len(q_rows) == 0:
+                continue
+            cand = flat[cum[off[ci]]:cum[off[ci + 1]]]
+            if len(cand) < 2:
+                continue
+            # candidates id-sorted so the stable argsort's tie order is id
+            # — exact even for degenerate point masses (the synthetic hot
+            # cell collapses 24k docs onto ONE position, a 24k-deep tie
+            # class at chord^2 = 0)
+            cand = cand[np.argsort(ids[cand], kind="stable")]
+            c_ids = ids[cand]
+            cX, cY, cZ = X[cand], Y[cand], Z[cand]
+            q_ids = ids[q_rows]
+            qX, qY, qZ = X[q_rows], Y[q_rows], Z[q_rows]
+            kk = min(k + 1, len(cand))
+            chunk = max(1, int(3_000_000 // len(cand)))
+            for s0 in range(0, len(q_rows), chunk):
+                d2 = qX[s0:s0 + chunk][:, None] - cX[None, :]
+                np.multiply(d2, d2, out=d2)
+                t = qY[s0:s0 + chunk][:, None] - cY[None, :]
+                np.multiply(t, t, out=t)
+                d2 += t
+                t = qZ[s0:s0 + chunk][:, None] - cZ[None, :]
+                np.multiply(t, t, out=t)
+                d2 += t
+                # top k+1 INCLUDING self by (chord^2, id), as in knn_local;
+                # the radius mask drops out-of-range tails (they sort last,
+                # so top-kk is still complete for the bounded result)
+                idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+                vals = np.take_along_axis(d2, idx, axis=1)
+                sel_ids = c_ids[idx]
+                keep = (sel_ids != q_ids[s0:s0 + chunk][:, None]) & (
+                    vals <= chord2_max
+                )
+                rank = np.cumsum(keep, axis=1, dtype=np.int64)
+                keep &= rank <= k
+                m = keep.ravel()
+                if m.any():
+                    acc.append(
+                        (
+                            np.repeat(q_ids[s0:s0 + chunk], kk)[m],
+                            sel_ids.ravel()[m],
+                            rank.ravel()[m],
+                        )
+                    )
+        if not acc:
+            return empty.copy()
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate([a[0] for a in acc]),
+                "neighbor_id": np.concatenate([a[1] for a in acc]),
+                "rank": np.concatenate([a[2] for a in acc]).astype("int64"),
+            }
+        )
+
+    return members.groupBy("_gcell", "_salt").applyInPandas(
+        local_topk, schema=out_schema
+    )
 
 def radius_join_geo_oracle_sql(points_sql: str, *, radius_km: float) -> str:
     """DuckDB ground truth: brute-force all pairs, exact haversine filter

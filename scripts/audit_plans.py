@@ -43,6 +43,7 @@ AUDITED = [
     "tile_quantiles",   # exact percentile agg, partial-before-shuffle
     "radius_join_geo",  # geodesic ring explode + ONE cell-keyed hash join
     "knn_geo",          # same ring + WindowGroupLimit top-k, no extra shuffle
+    "knn_geo_local",    # halo-exchange chord kernel: blocked SIMD, salted hot cells
     "sample_stratified",  # map-side scoring + one stratum-keyed window w/ group-limit
     "poly_overlap",     # band equi join + bbox prefilter + codegen refine (no BNLJ)
     "dedup_simhash_pairs",  # pigeonhole band self-join, hot-bucket cap, no cross product
