@@ -33,11 +33,17 @@ protocols are directly comparable).
   raw_eff[b]    = (T_1exec / T_4exec) / 4
   engine_eff[b] = raw_eff[b] / alu_eff[b]
 
+Weak mode (--weak): the input grows with the executor count (7.2M docs
+at 1 executor vs 28.8M at 4 — per-core-exact, same protocol as
+scaling_batched_n4x16_weak.json), so raw efficiency is the plain time
+ratio T_small / T_big and the cross-level digest check is skipped (the
+inputs differ by construction).
+
 Usage:
-  python scripts/run_cluster_scaling.py [n_batches]        # orchestrate
+  python scripts/run_cluster_scaling.py [n_batches] [--weak]  # orchestrate
   python scripts/run_cluster_scaling.py level <master> <n_exec>  # internal
-Writes BENCH/cluster_scaling.json (+ per-phase cache files
-BENCH/cluster_batch_<b>_*.json).
+Writes BENCH/cluster_scaling[_weak].json (+ per-phase cache files
+BENCH/cluster_batch_<b>_*.json / cluster_batch_w<b>_*.json).
 """
 
 from __future__ import annotations
@@ -255,14 +261,14 @@ def _stop(procs: list) -> None:
             p.kill()
 
 
-def run_level(master: str, n_exec: int) -> dict:
+def run_level(master: str, n_exec: int, repl: str = REPL) -> dict:
     workers = _start_workers(master, n_exec)
     try:
         time.sleep(4)
         cmd = [sys.executable, os.path.abspath(__file__), "level", master, str(n_exec)]
         out = subprocess.run(
             cmd,
-            env=dict(os.environ, SPARK_GRAFT_REPL=REPL),
+            env=dict(os.environ, SPARK_GRAFT_REPL=repl),
             capture_output=True, text=True, timeout=3600,
         )
         for line in reversed(out.stdout.strip().splitlines()):
@@ -293,7 +299,9 @@ def main() -> None:
     import run_scaling as rs
 
     os.makedirs(OUT_DIR, exist_ok=True)
-    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    weak = "--weak" in sys.argv
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_batches = int(pos[0]) if pos else 3
     n_small_cores = N_EXEC_SMALL * CORES_PER_EXEC
     n_big_cores = N_EXEC_BIG * CORES_PER_EXEC
     ratio = n_big_cores / n_small_cores
@@ -313,16 +321,26 @@ def main() -> None:
     try:
         _wait_port(MASTER_PORT)
         rs.N_SMALL, rs.N_BIG = n_small_cores, n_big_cores
+        small_repl = str(int(int(REPL) / ratio)) if weak else REPL
         for b in range(n_batches):
-            print(f"[cluster-scaling] === batch {b} ===", file=sys.stderr, flush=True)
-            alu = _cached(f"{b}_alu", lambda: rs.hw_ceiling(rs._burn_alu))
-            small = _cached(f"{b}_small", lambda: run_level(master, N_EXEC_SMALL))
-            big = _cached(f"{b}_big", lambda: run_level(master, N_EXEC_BIG))
-            if small["digest_hash"] != big["digest_hash"]:
+            tag = f"w{b}" if weak else str(b)
+            print(f"[cluster-scaling] === batch {tag} ===", file=sys.stderr, flush=True)
+            alu = _cached(f"{tag}_alu", lambda: rs.hw_ceiling(rs._burn_alu))
+            small = _cached(
+                f"{tag}_small", lambda: run_level(master, N_EXEC_SMALL, small_repl)
+            )
+            big = _cached(f"{tag}_big", lambda: run_level(master, N_EXEC_BIG))
+            if not weak and small["digest_hash"] != big["digest_hash"]:
                 raise SystemExit(
                     f"batch {b}: 1-exec vs 4-exec result digests DIFFER"
                 )
-            raw = (small["min_sec"] / big["min_sec"]) / ratio
+            # weak mode: the input already grew with the executor count, so
+            # efficiency is the plain time ratio
+            raw = (
+                small["min_sec"] / big["min_sec"]
+                if weak
+                else (small["min_sec"] / big["min_sec"]) / ratio
+            )
             batches.append(
                 {
                     "batch": b,
@@ -335,11 +353,12 @@ def main() -> None:
                     "engine_eff": round(raw / alu["throughput_eff"], 3),
                     "docs_per_sec_small": small["docs_per_sec"],
                     "docs_per_sec_big": big["docs_per_sec"],
-                    "n_docs": small["n_docs"],
+                    "n_docs_small": small["n_docs"],
+                    "n_docs_big": big["n_docs"],
                     "digest_hash": small["digest_hash"],
                 }
             )
-            print(f"[cluster-scaling] batch {b}: {batches[-1]}",
+            print(f"[cluster-scaling] batch {tag}: {batches[-1]}",
                   file=sys.stderr, flush=True)
     finally:
         _stop([master_proc])
@@ -354,30 +373,43 @@ def main() -> None:
 
     all_small = min(t for x in batches for t in x["runs_small"])
     all_big = min(t for x in batches for t in x["runs_big"])
+    mode = (
+        "weak (input grows with executors; raw = plain time ratio)"
+        if weak
+        else "strong (same input both levels; raw = time ratio / core ratio)"
+    )
     result = {
         "protocol": (
-            f"real spark:// standalone cluster; {n_batches} alternated batches of "
-            f"(ALU ceiling, {N_EXEC_SMALL} executor x {CORES_PER_EXEC} cores, "
-            f"{N_EXEC_BIG} executors x {CORES_PER_EXEC} cores); each worker JVM "
-            f"taskset-pinned to its own disjoint {CORES_PER_EXEC}-core slice, "
-            f"driver pinned to cores {DRIVER_CORES}; fresh worker JVMs + fresh "
-            f"driver app per level, JIT-converged warmup, min of {RUNS} runs; "
-            f"same 28.8M-doc input as scaling_batched_n4x16.json; result digests "
-            f"compared across levels every batch"
+            f"real spark:// standalone cluster, {mode}; {n_batches} alternated "
+            f"batches of (ALU ceiling, {N_EXEC_SMALL} executor x {CORES_PER_EXEC} "
+            f"cores, {N_EXEC_BIG} executors x {CORES_PER_EXEC} cores); each "
+            f"worker JVM taskset-pinned to its own disjoint {CORES_PER_EXEC}-core "
+            f"slice, driver pinned to cores {DRIVER_CORES}; fresh worker JVMs + "
+            f"fresh driver app per level, JIT-converged warmup, min of {RUNS} runs"
+            + (
+                ""
+                if weak
+                else "; same 28.8M-doc input as scaling_batched_n4x16.json; "
+                "result digests compared across levels every batch"
+            )
         ),
         "n_exec_small": N_EXEC_SMALL,
         "n_exec_big": N_EXEC_BIG,
         "cores_per_exec": CORES_PER_EXEC,
         "repl": int(REPL),
-        "n_docs": batches[0]["n_docs"],
+        "n_docs_small": batches[0]["n_docs_small"],
+        "n_docs_big": batches[0]["n_docs_big"],
         "batches": batches,
         "band_raw_eff": band("raw_eff"),
         "band_alu_eff": band("alu_eff"),
         "band_engine_eff": band("engine_eff"),
-        "best_sustained_raw_eff": round((all_small / all_big) / ratio, 3),
-        "results_identical_across_levels": True,
+        "best_sustained_raw_eff": round(
+            (all_small / all_big) if weak else (all_small / all_big) / ratio, 3
+        ),
+        "results_identical_across_levels": None if weak else True,
     }
-    with open(os.path.join(OUT_DIR, "cluster_scaling.json"), "w") as f:
+    name = "cluster_scaling_weak.json" if weak else "cluster_scaling.json"
+    with open(os.path.join(OUT_DIR, name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
