@@ -907,30 +907,44 @@ def trained_pq_recall(emb: DataFrame, **kw) -> DataFrame:
 # inverted-list pruning rides the SAME equi join as the compression.
 
 
-def trained_ivfpq_recall_body_sql(
+def _resid_sql(dialect: str, list_col: str = "list_id", orig: str = "orig") -> str:
+    """Residual of ``orig`` against its coarse centroid (BIGINT-exact):
+    the IVF-PQ pre-step shared by the recall diagnostic, the materialized
+    search and the stored-codebook trainer."""
+    if dialect == "spark":
+        return (
+            f"transform(zip_with({orig}, element_at("
+            + _ivf_cb_matrix_sql("spark")
+            + f", CAST({list_col} AS INT) + 1), (x, c) -> x - c), "
+            "v -> CAST(v AS BIGINT))"
+        )
+    cb = _ivf_cb_matrix_sql("duck")
+    return (
+        f"list_transform(range(1, {DIM} + 1), _i -> CAST("
+        f"list_extract({orig}, _i) - list_extract(list_extract({cb}, "
+        f"CAST({list_col} AS INT) + 1), _i) AS BIGINT))"
+    )
+
+
+def _trained_ivfpq_est_sql(
     dialect: str, *,
     k: int = N_CODES, rounds: int = TRAIN_ROUNDS,
     table: str = "embeddings_c", train_filter: str = "true",
-    query_filter: str = "vec_id % 50 = 0", topk: int = 5,
+    query_filter: str = "vec_id % 50 = 0",
     n_probe: int = N_PROBE, extra_cte: str = "",
 ) -> str:
+    """``WITH ... est`` prefix shared by the trained-IVF-PQ recall
+    diagnostic and the materialized-search oracle: coarse-assign, residual
+    table, the k-means recurrence over residuals, encode, probed query
+    LUTs, and the additive est_d2 aggregate."""
+    resid_i = _resid_sql(dialect)
     if dialect == "spark":
-        resid_i = (
-            "transform(zip_with(orig, element_at(" + _ivf_cb_matrix_sql("spark")
-            + ", CAST(list_id AS INT) + 1), (x, c) -> x - c), v -> CAST(v AS BIGINT))"
-        )
         qsv = f"transform(slice(remb, m * {SUB_DIM} + 1, {SUB_DIM}), x -> x)"
         mexpand = f"LATERAL VIEW explode(sequence(0, {M_SUB - 1})) _mr AS m"
         sim_expl = (
             "SELECT query_id, orig, posexplode(sims) AS (probe, sim) FROM qsim0"
         )
     else:
-        cb = _ivf_cb_matrix_sql("duck")
-        resid_i = (
-            f"list_transform(range(1, {DIM} + 1), _i -> CAST("
-            f"list_extract(orig, _i) - list_extract(list_extract({cb}, "
-            f"CAST(list_id AS INT) + 1), _i) AS BIGINT))"
-        )
         qsv = (
             f"list_transform(list_slice(remb, m * {SUB_DIM} + 1, "
             f"m * {SUB_DIM} + {SUB_DIM}), x -> x)"
@@ -950,9 +964,7 @@ rtbl AS (SELECT vec_id, list_id, {resid_i} AS embedding FROM assigned),
     ctes, final = trained_cb_ctes(
         dialect, k=k, rounds=rounds, table="rtbl", train_filter=train_filter
     )
-    d2 = _d2i_sql("s.sv", "c.cent", dialect)
     qd2 = _d2i_sql("q.sv", "c.cent", dialect)
-    l2 = l2_sql("q.embedding", "c.embedding", dialect)
     tail = f""",
 enc AS (
   SELECT vec_id, m, code FROM (
@@ -972,7 +984,7 @@ qsim0 AS (
 ),
 qsim AS ({sim_expl}),
 qprobe AS (
-  SELECT query_id, probe, {resid_i.replace('list_id', 'probe')} AS remb
+  SELECT query_id, probe, {_resid_sql(dialect, list_col='probe')} AS remb
   FROM (
     SELECT query_id, orig, probe,
            row_number() OVER (PARTITION BY query_id
@@ -991,7 +1003,23 @@ est AS (
   JOIN lut l ON l.probe = c.probe AND l.m = c.m AND l.code = c.code
   WHERE c.neighbor_id != l.query_id
   GROUP BY l.query_id, c.neighbor_id
-),
+)"""
+    return f"WITH {pre}{ctes}{tail}"
+
+
+def trained_ivfpq_recall_body_sql(
+    dialect: str, *,
+    k: int = N_CODES, rounds: int = TRAIN_ROUNDS,
+    table: str = "embeddings_c", train_filter: str = "true",
+    query_filter: str = "vec_id % 50 = 0", topk: int = 5,
+    n_probe: int = N_PROBE, extra_cte: str = "",
+) -> str:
+    est = _trained_ivfpq_est_sql(
+        dialect, k=k, rounds=rounds, table=table, train_filter=train_filter,
+        query_filter=query_filter, n_probe=n_probe, extra_cte=extra_cte,
+    )
+    l2 = l2_sql("q.embedding", "c.embedding", dialect)
+    return f"""{est},
 approx AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
@@ -1016,7 +1044,6 @@ SELECT CAST({topk} AS INT) AS k,
 FROM exact e
 LEFT JOIN approx a
   ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"""
-    return f"WITH {pre}{ctes}{tail}"
 
 
 def trained_ivfpq_recall(emb: DataFrame, **kw) -> DataFrame:
@@ -1200,6 +1227,158 @@ est AS (
   WHERE c.neighbor_id != l.query_id
   GROUP BY l.query_id, c.neighbor_id
 )
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, est_d2 FROM (
+  SELECT query_id, neighbor_id, est_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY est_d2, neighbor_id) AS rank
+  FROM est
+) _t WHERE rank <= {topk}"""
+
+
+# --- materialized trained IVF-PQ (round-5 follow-through) ---------------------
+# The IVF-PQ analog of the block above: the coarse centroids are already a
+# fixed literal (_ivf_cb_matrix_sql), so the only TRAINED artifact is the
+# residual codebook.  Train it once over the residual table, commit it via
+# the snapshot writer, and search becomes map-side coarse-assign + residual
+# + encode/LUT folds over the literal rows, with the vetted equi-join on
+# (probe, m, code) + one additive groupBy + the top-k window — the same
+# ~4-exchange shape as trained_adc_topk_from_rows, vs the recurrence-in-plan
+# diagnostic (trained_ivfpq_recall).
+
+
+def trained_ivfpq_codebook_table(emb: DataFrame, **kw) -> DataFrame:
+    """The trained RESIDUAL codebook as (m, code, cent) — k*M_SUB rows,
+    trained on coarse-assignment residuals (the IVF-PQ index artifact)."""
+    emb.createOrReplaceTempView("embeddings_c")
+    pre = f"""assigned AS (
+  SELECT vec_id, embedding AS orig,
+         {ivf_assign_sql('embedding', 'spark')} AS list_id
+  FROM embeddings_c
+),
+rtbl AS (SELECT vec_id, list_id, {_resid_sql('spark')} AS embedding FROM assigned),
+"""
+    ctes, final = trained_cb_ctes("spark", table="rtbl", **kw)
+    return emb.sparkSession.sql(
+        f"WITH {pre}{ctes} SELECT m, code, cent FROM {final}"
+    )
+
+
+def store_trained_ivfpq_codebook(emb: DataFrame, table_path: str, **kw):
+    """Train the residual codebook once, commit it as a snapshot table."""
+    from ..sources.snapshot import write_snapshot
+
+    return write_snapshot(
+        trained_ivfpq_codebook_table(emb, **kw).coalesce(1),
+        table_path,
+        bounds_cols=["m"],
+    )
+
+
+def trained_ivfpq_topk_from_rows(
+    emb: DataFrame,
+    cb_rows,
+    *,
+    query_filter: str = "vec_id % 50 = 0",
+    topk: int = 5,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Residual-ADC top-k against a MATERIALIZED trained IVF-PQ codebook:
+    coarse assignment, residuals, encode and per-probe query LUTs are all
+    map-side lambda folds over literals (the coarse matrix is a pinned
+    literal; the trained residual codebook is injected from the stored
+    rows); the only shuffles are the (probe, m, code) equi-join's, the
+    est_d2 groupBy and the top-k window.  All distances are exact BIGINTs,
+    so the output hashes stably against the recurrence-deriving oracle."""
+    cb = _cb_rows_literal_sql(cb_rows, "spark")
+    k = len({(m, c) for m, c, _ in cb_rows}) // M_SUB
+    emb.createOrReplaceTempView("embeddings_c")
+    sv = f"transform(slice(embedding, m * {SUB_DIM} + 1, {SUB_DIM}), x -> x)"
+    qsv = f"transform(slice(remb, m * {SUB_DIM} + 1, {SUB_DIM}), x -> x)"
+    d2fold = (
+        "aggregate(zip_with(sv, _cb, (x, c) -> (x - c) * (x - c)), "
+        "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    sql = f"""
+WITH assigned AS (
+  SELECT vec_id, embedding AS orig,
+         {ivf_assign_sql('embedding', 'spark')} AS list_id
+  FROM embeddings_c
+),
+rtbl AS (SELECT vec_id, list_id, {_resid_sql('spark')} AS embedding FROM assigned),
+subs AS (
+  SELECT vec_id, list_id, m, {sv} AS sv
+  FROM rtbl LATERAL VIEW explode(sequence(0, {M_SUB - 1})) _mr AS m
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, list_id AS probe, m,
+         CAST(array_min(zip_with(
+           transform(element_at({cb}, m + 1), _cb -> {d2fold}),
+           sequence(0, {k - 1}), (_d, _c) -> struct(_d AS d, _c AS c))).c AS INT)
+           AS code
+  FROM subs
+),
+qsim0 AS (
+  SELECT vec_id AS query_id, orig,
+         {centroid_sims_sql('orig', 'spark')} AS sims
+  FROM assigned WHERE {query_filter}
+),
+qsim AS (SELECT query_id, orig, posexplode(sims) AS (probe, sim) FROM qsim0),
+qprobe AS (
+  SELECT query_id, probe, {_resid_sql('spark', list_col='probe')} AS remb
+  FROM (
+    SELECT query_id, orig, probe,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, probe) AS pr
+    FROM qsim
+  ) _p WHERE pr <= {n_probe}
+),
+qsubs AS (
+  SELECT query_id, probe, m, {qsv} AS sv
+  FROM qprobe LATERAL VIEW explode(sequence(0, {M_SUB - 1})) _mr AS m
+),
+lut AS (
+  SELECT query_id, probe, m, CAST(_c AS INT) AS code, _d AS d2
+  FROM (SELECT query_id, probe, m,
+               transform(element_at({cb}, m + 1), _cb -> {d2fold}) AS ds
+        FROM qsubs) _q
+  LATERAL VIEW posexplode(ds) _t AS _c, _d
+),
+est AS (
+  SELECT l.query_id, c.neighbor_id, CAST(sum(l.d2) AS BIGINT) AS est_d2
+  FROM codes c JOIN lut l ON l.probe = c.probe AND l.m = c.m AND l.code = c.code
+  WHERE c.neighbor_id != l.query_id
+  GROUP BY l.query_id, c.neighbor_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, est_d2 FROM (
+  SELECT query_id, neighbor_id, est_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY est_d2, neighbor_id) AS rank
+  FROM est
+) _t WHERE rank <= {topk}"""
+    return emb.sparkSession.sql(sql)
+
+
+def trained_ivfpq_topk_oracle_sql(
+    dialect: str = "duck",
+    *,
+    k: int = N_CODES,
+    rounds: int = TRAIN_ROUNDS,
+    table: str = "embeddings_c",
+    train_filter: str = "true",
+    query_filter: str = "vec_id % 50 = 0",
+    topk: int = 5,
+    n_probe: int = N_PROBE,
+    extra_cte: str = "",
+) -> str:
+    """Oracle twin of trained_ivfpq_topk_from_rows: re-derives the residual
+    codebook via the recurrence in-query (shared est prefix with the recall
+    diagnostic) — values agree because both reach the same integer fixed
+    point; only the plans differ."""
+    est = _trained_ivfpq_est_sql(
+        dialect, k=k, rounds=rounds, table=table, train_filter=train_filter,
+        query_filter=query_filter, n_probe=n_probe, extra_cte=extra_cte,
+    )
+    return f"""{est}
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, est_d2 FROM (
   SELECT query_id, neighbor_id, est_d2,
          row_number() OVER (PARTITION BY query_id

@@ -1158,3 +1158,41 @@ def _o_ann_pq_trained_topk() -> str:
     return _pq.trained_adc_topk_oracle_sql(
         "duck", k=32, extra_cte=_ann.clustered_table_cte("embeddings_c") + ",\n"
     )
+
+
+def q_ann_ivfpq_trained_topk(spark, sf_dir):
+    """Residual-ADC top-5 against a MATERIALIZED trained IVF-PQ codebook
+    (k=32) — completes the materialization story for the IVF-PQ family:
+    the coarse centroids are already a pinned literal, so the residual
+    codebook is the one trained artifact.  It is trained ONCE on the
+    coarse-assignment residuals and committed through the snapshot writer;
+    search coarse-assigns, forms residuals, encodes and builds the probed
+    query LUTs entirely map-side over literals, leaving only the
+    (probe, m, code) equi-join + additive groupBy + top-k window — vs the
+    recurrence-in-plan diagnostic (ann_ivfpq_trained_recall, kept as the
+    training-correctness check).  The oracle re-derives the residual
+    recurrence in-query and must land on the same integer fixed point, so
+    every (query_id, rank, neighbor_id, est_d2) row matches exactly."""
+    import os
+    import tempfile
+
+    from ..functions import pq as _pq
+    from ..sources.snapshot import list_snapshots
+
+    emb = _load_clustered(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"fcs_ivfpqcb_k32_{_source_fingerprint_tag(sf_dir)}",
+    )
+    if not (os.path.isdir(path) and list_snapshots(path)):
+        _pq.store_trained_ivfpq_codebook(emb, path, k=32)
+    rows = _pq.load_codebook_rows(spark, path)
+    return _pq.trained_ivfpq_topk_from_rows(emb, rows)
+
+
+def _o_ann_ivfpq_trained_topk() -> str:
+    from ..functions import pq as _pq
+
+    return _pq.trained_ivfpq_topk_oracle_sql(
+        "duck", k=32, extra_cte=_ann.clustered_table_cte("embeddings_c") + ",\n"
+    )

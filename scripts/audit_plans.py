@@ -117,6 +117,7 @@ AUDITED = [
     "length_histogram",  # bounded (lang, bucket) aggregate
     "ann_pq_trained_recall_k32",  # trained-codebook ADC: bounded LUT equi join; exact baseline BNLJ pinned
     "ann_pq_trained_topk",  # MATERIALIZED codebook search: literal-matrix encode/LUT map-side, ~3 exchanges, no BNLJ
+    "ann_ivfpq_trained_topk",  # MATERIALIZED residual-codebook search: coarse-assign/residual/encode/LUT map-side, bounded-key joins only
     "media_decode_payload",  # binary payload over ONE Arrow mapInPandas pass, no shuffle
     "snapshot_block_limit",  # manifest-pruned domain-prefix scan + residual filter
     "train_mix",        # bounded groupBy + 1-row cap attach + per-group window limit

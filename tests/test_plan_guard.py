@@ -16,8 +16,9 @@ from conftest import SF_DIR
 
 GUARDED = ["pip_tile_agg", "knn", "tile_agg", "radius_join", "sessions_overlap",
            # round-5 additions: the geodesic halo-exchange kernel and the
-           # materialized trained-PQ search must stay broadcast-only
-           "knn_geo_local", "ann_pq_trained_topk"]
+           # materialized trained-PQ / trained-IVF-PQ searches must stay
+           # broadcast-only
+           "knn_geo_local", "ann_pq_trained_topk", "ann_ivfpq_trained_topk"]
 
 
 def _plan(spark, name):

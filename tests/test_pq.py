@@ -122,3 +122,36 @@ def test_materialized_codebook_roundtrip_and_plan(clustered, tmp_path):
     n_exact = exact.count()
     n_hit = exact.join(approx, ["query_id", "neighbor_id"]).count()
     assert n_hit / n_exact >= 0.8, f"materialized recall@5 = {n_hit/n_exact}"
+
+
+def test_materialized_ivfpq_codebook_roundtrip_and_plan(clustered, tmp_path):
+    """IVF-PQ analog of the materialization test: the trained RESIDUAL
+    codebook commits through the snapshot writer, equals the recurrence's
+    own output, and the materialized search is plan-small (no BNLJ,
+    bounded exchanges) while agreeing with the in-plan recurrence oracle
+    (covered value-exactly by the driver sweep)."""
+    path = str(tmp_path / "ivfpqcb")
+    pq.store_trained_ivfpq_codebook(clustered, path, k=32)
+    spark = clustered.sparkSession
+    rows = pq.load_codebook_rows(spark, path)
+    assert len(rows) == 32 * pq.M_SUB
+    # stored artifact == the recurrence's own output (same fixed point)
+    direct = sorted(
+        (r["m"], r["code"], list(r["cent"]))
+        for r in pq.trained_ivfpq_codebook_table(clustered, k=32).collect()
+    )
+    assert rows == direct
+
+    topk = pq.trained_ivfpq_topk_from_rows(clustered, rows)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 10
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # spark result == the spark-dialect recurrence oracle (same integer
+    # fixed point reached by materialized and in-plan training)
+    clustered.createOrReplaceTempView("embeddings_c")
+    oracle = spark.sql(pq.trained_ivfpq_topk_oracle_sql("spark", k=32))
+    a = sorted(map(tuple, topk.collect()))
+    b = sorted(map(tuple, oracle.collect()))
+    assert a == b
