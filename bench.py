@@ -195,7 +195,7 @@ def make_factories(spark: SparkSession, n_docs: int):
 
         return knn_geo_local(
             fresh_spans().filter("span_idx = 0").select("doc_id", "lon", "lat"),
-            radius_km=5.0, k=3,
+            radius_km=5.0, k=3, n_points=n_docs,
         )
 
     def q5():

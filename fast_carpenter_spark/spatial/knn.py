@@ -37,6 +37,82 @@ def auto_res(n_points: int, target_per_cell: float = 5.0, lo: int = 3, hi: int =
     return max(lo, min(hi, res))
 
 
+def _topk_row_idx(d2, kk):
+    """Exact drop-in for ``np.argsort(d2, axis=1, kind="stable")[:, :kk]``
+    on a 2-D distance block — same indices, same (value, column) tie order —
+    without the full O(n log n) row sort.
+
+    Row classes (decided per row, vectorized):
+
+    * **easy** — the row-minimum's tie class alone fills the top-kk (the
+      degenerate point-mass regime: the synthetic hot cell collapses 24k
+      docs onto ONE position, so every in-blob row is a 24k-deep tie at
+      d2 = 0).  Candidates are column-ordered = id-ordered, so the answer
+      is simply the first kk columns attaining the minimum: kk
+      short-circuiting boolean ``argmax`` scans, O(kk·n) worst case and
+      O(kk) on the blob.  This is the case where a naive
+      argpartition-everywhere approach is SLOWER than the full sort
+      (introselect degrades on equal keys; measured 122ms vs 8ms per
+      125x24k block).
+    * **hard** — ``argpartition`` O(n) selects an arbitrary kk-subset;
+      the boundary tie class (values == the kk-th smallest) is then
+      repaired to column order by the same argmax scan, and only the
+      selected kk entries per row are stable-sorted (O(kk log kk)).
+
+    Homogeneous chunks (the common case — a block is either dense-blob or
+    ordinary) skip the row-subset gather entirely.  Measured on the bench
+    block shapes (125x24000): 5.2x vs full argsort on random distances,
+    3.7x on the pure blob, 3.7x blob+halo, 20x on few-distinct-value ties;
+    exact-equality property-tested in ``tests/test_knn_topk_idx.py``.
+    """
+    import os
+
+    import numpy as np
+
+    rows, n = d2.shape
+    if kk >= n or n <= 64 or os.environ.get("SPARK_KNN_TOPK") == "argsort":
+        return np.argsort(d2, axis=1, kind="stable")[:, :kk]
+    mn = d2.min(axis=1, keepdims=True)
+    eq0 = d2 == mn
+    easy = eq0.sum(axis=1) >= kk
+    out = np.empty((rows, kk), dtype=np.int64)
+
+    def _easy(rowsel, m):
+        for j in range(kk):
+            first = m.argmax(axis=1)
+            out[rowsel, j] = first
+            m[np.arange(m.shape[0]), first] = False
+
+    def _hard(rowsel, dh):
+        part = np.argpartition(dh, kk - 1, axis=1)[:, :kk]
+        thr = np.take_along_axis(dh, part, axis=1).max(axis=1, keepdims=True)
+        lt = dh < thr
+        need = kk - lt.sum(axis=1)
+        eq = dh == thr
+        final = lt
+        for j in range(int(need.max())):
+            first = eq.argmax(axis=1)
+            r = np.nonzero(need > j)[0]
+            final[r, first[r]] = True
+            eq[np.arange(dh.shape[0]), first] = False
+        _, cols = np.nonzero(final)
+        sel_cols = cols.reshape(-1, kk)
+        sel_d2 = np.take_along_axis(dh, sel_cols, axis=1)
+        order = np.argsort(sel_d2, axis=1, kind="stable")
+        out[rowsel] = np.take_along_axis(sel_cols, order, axis=1)
+
+    if easy.all():
+        _easy(slice(None), eq0)
+    elif not easy.any():
+        _hard(slice(None), d2)
+    else:
+        e = np.nonzero(easy)[0]
+        _easy(e, eq0[e])
+        h = np.nonzero(~easy)[0]
+        _hard(h, d2[h])
+    return out
+
+
 def knn_bounded(
     points: DataFrame,
     *,
@@ -283,9 +359,9 @@ def knn_local(
                 t = q_lat[s0:s0 + chunk][:, None] - c_lat[None, :]
                 np.multiply(t, t, out=t)
                 d2 += t
-                # stable argsort on id-ordered candidates = exact
-                # (dist2, id) tie-break even with duplicate coordinates
-                idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+                # exact (dist2, id) top-kk on id-ordered candidates —
+                # argpartition fast path, see _topk_row_idx
+                idx = _topk_row_idx(d2, kk)
                 vals = np.take_along_axis(d2, idx, axis=1)
                 sel_ids = c_ids[idx]
                 keep = sel_ids != q_ids[s0:s0 + chunk][:, None]
@@ -659,6 +735,7 @@ def knn_geo_local(
     lon_col: str = "lon",
     lat_col: str = "lat",
     res: int | None = None,
+    n_points: int | None = None,
     hot_threshold: int = 20000,
     nsalt: int = 16,
     group_offset: int = 5,
@@ -720,7 +797,21 @@ def knn_geo_local(
     deg_lat = math.degrees(r_ang)
     sin_r = math.sin(r_ang)
     if res is None:
-        res = max(1, min(20, int(math.floor(math.log2(180.0 / deg_lat)))))
+        # radius-derived res makes the cell ~ the radius (rings stay 3x3);
+        # when the caller supplies the point count, coarsen toward the
+        # DENSITY-derived res (auto_res, as in planar knn_local): at sparse
+        # densities a radius-sized grid leaves <1 point per cell and the
+        # kernel's cost shifts from SIMD pair evals to the per-occupied-cell
+        # Python loop.  Coarsening is capped at 2 levels — every level
+        # multiplies the ring's candidate superset area ~4x (measured at the
+        # bench grain, 2.4M pts / 5 km: res 10 is 1.16x faster than res 11;
+        # res 8 is 4x SLOWER).  Never finer than the radius res: rings
+        # must still span the radius, so finer cells only widen rx.
+        r_res = max(1, min(20, int(math.floor(math.log2(180.0 / deg_lat)))))
+        if n_points is None:
+            res = r_res
+        else:
+            res = min(r_res, max(r_res - 2, auto_res(n_points)))
     n = 1 << res
     shift = min(res, group_offset)
     group_res = res - shift
@@ -895,7 +986,7 @@ def knn_geo_local(
                 # top k+1 INCLUDING self by (chord^2, id), as in knn_local;
                 # the radius mask drops out-of-range tails (they sort last,
                 # so top-kk is still complete for the bounded result)
-                idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+                idx = _topk_row_idx(d2, kk)
                 vals = np.take_along_axis(d2, idx, axis=1)
                 sel_ids = c_ids[idx]
                 keep = (sel_ids != q_ids[s0:s0 + chunk][:, None]) & (
