@@ -66,6 +66,14 @@ def test_default_res(pts, ring_300):
     assert _pairs(knn_geo_local(pts, radius_km=300.0, k=3)) == ring_300
 
 
+def test_density_aware_default_res(pts, ring_300):
+    # n_points coarsens the default grid toward auto_res (capped 2 levels
+    # below the radius res) — a perf knob only, output must be identical
+    assert _pairs(
+        knn_geo_local(pts, radius_km=300.0, k=3, n_points=1200)
+    ) == ring_300
+
+
 def test_multi_block_columns(pts, ring_300):
     # res=8 with cap 85 gives rx ~ 24 cells: the ring bbox spans up to 3
     # block columns, exercising the full block-enumeration replication
