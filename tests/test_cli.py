@@ -106,7 +106,7 @@ def test_cli_cutflow_values(cli_run, spark, docs):
 # with our table's columns standing in for the HEP branch names.
 DEMO_PROCESSING = """
 input: spans_nested
-output_formats: [csv, json, pickle, dta]
+output_formats: [csv, json, pickle, dta, xlsx, msg]
 
 stages:
     - span_cleaning: fast_carpenter.Define
@@ -172,6 +172,14 @@ def test_demo_config_outputs(demo_run, spark):
     assert len(pres) == len(res) and pres["n"].sum() == res["n"].sum()
     dres = pd.read_stata(os.path.join(outdir, "result.dta"))
     assert len(dres) == len(res) and dres["n"].sum() == res["n"].sum()
+    from fast_carpenter_spark import minisinks
+    mres = minisinks.read_msgpack(os.path.join(outdir, "result.msg"))
+    assert len(mres) == len(res) and mres["n"].sum() == res["n"].sum()
+    import zipfile
+    with zipfile.ZipFile(os.path.join(outdir, "result.xlsx")) as zf:
+        sheet_xml = zf.read("xl/worksheets/sheet1.xml").decode()
+    # header row + one <row> per record in the xlsx worksheet
+    assert sheet_xml.count("<row ") == len(res) + 1
 
     nested = spark.sql(
         "SELECT size(spans) AS n_spans, "
