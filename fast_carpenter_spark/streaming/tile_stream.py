@@ -70,15 +70,30 @@ class StreamingTileAgg:
             )
         )
 
-    def start(self, spark: SparkSession, input_dir: str, *, available_now: bool = True):
+    def start(
+        self,
+        spark: SparkSession,
+        input_dir: str | None = None,
+        *,
+        stream: DataFrame | None = None,
+        available_now: bool = True,
+    ):
         """Start the stream.  ``available_now=True`` drains what exists and
-        stops (test/backfill mode); False runs continuously."""
-        schema = spark.read.parquet(input_dir).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 8)
-            .parquet(input_dir)
-        )
+        stops (test/backfill mode); False runs continuously.
+
+        ``stream`` is the documented ``format()`` swap made concrete: any
+        streaming DataFrame with the documents schema (Kafka value parse,
+        Iceberg CDC, Spark's built-in rate source, ...) plugs in here and
+        flows through the identical partial/merge algebra — proven with the
+        zero-dependency rate source in tests/test_streaming_rate_source.py.
+        When None, the default parquet file source over ``input_dir``."""
+        if stream is None:
+            schema = spark.read.parquet(input_dir).schema
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(input_dir)
+            )
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             # partial per micro-batch; overwrite-by-batch-id = idempotent
