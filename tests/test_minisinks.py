@@ -191,6 +191,23 @@ def test_xlsx_cell_values_roundtrip(tmp_path):
                 assert got == float(expect)
 
 
+def test_empty_frame_roundtrip(tmp_path):
+    """Zero-row binned results (e.g. a cut that rejects everything) still
+    produce valid files: header-only xlsx, schema-preserving msgpack."""
+    empty = _frame().iloc[0:0]
+    xp = str(tmp_path / "empty.xlsx")
+    minisinks.write_xlsx(empty, xp)
+    cells = _parse_sheet(xp)
+    assert len(cells) == len(empty.columns)  # header row only
+    assert cells["A1"] == "n_big"
+    mp = str(tmp_path / "empty.msg")
+    minisinks.write_msgpack(empty, mp)
+    back = minisinks.read_msgpack(mp)
+    assert len(back) == 0
+    assert list(back.columns) == list(empty.columns)
+    assert [str(t) for t in back.dtypes] == [str(t) for t in empty.dtypes]
+
+
 def test_xlsx_deterministic_and_wide(tmp_path):
     pdf = _frame()
     p1, p2 = str(tmp_path / "a.xlsx"), str(tmp_path / "b.xlsx")
