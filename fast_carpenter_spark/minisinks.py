@@ -32,6 +32,7 @@ across runs/restarts exactly like the engine's parquet snapshots.
 from __future__ import annotations
 
 import math
+import re
 import struct
 import zipfile
 from xml.sax.saxutils import escape
@@ -100,8 +101,31 @@ def _col_letter(idx: int) -> str:
     return out
 
 
+# ECMA-376 _xHHHH_ escaping (Part 1 §22.9.4): XML 1.0 cannot carry control
+# characters at all (not even as entities), and parsers normalize \r to \n
+# in character data, so SpreadsheetML strings encode those code points as
+# _xHHHH_; a literal substring that itself looks like _xHHHH_ gets its
+# leading underscore escaped as _x005F_.
+_OOXML_ILLEGAL = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\r￾￿\ud800-\udfff]"
+)
+_OOXML_LITERAL = re.compile("_(?=x[0-9A-Fa-f]{4}_)")
+_OOXML_DECODE = re.compile("_x([0-9A-Fa-f]{4})_")
+
+
+def _ooxml_escape(text: str) -> str:
+    text = _OOXML_LITERAL.sub("_x005F_", text)
+    return _OOXML_ILLEGAL.sub(lambda m: f"_x{ord(m.group()):04X}_", text)
+
+
+def ooxml_unescape(text: str) -> str:
+    """Decode the _xHHHH_ convention (inverse of the writer's escaping;
+    what any OOXML consumer applies when reading cell strings)."""
+    return _OOXML_DECODE.sub(lambda m: chr(int(m.group(1), 16)), text)
+
+
 def _inline_str_cell(ref: str, text: str) -> str:
-    body = escape(text)
+    body = escape(_ooxml_escape(text))
     return (
         f'<c r="{ref}" t="inlineStr"><is>'
         f'<t xml:space="preserve">{body}</t></is></c>'

@@ -128,7 +128,9 @@ def _parse_sheet(path):
         ref = c.attrib["r"]
         kind = c.attrib.get("t")
         if kind == "inlineStr":
-            cells[ref] = c.find(f"{NS}is/{NS}t").text or ""
+            cells[ref] = minisinks.ooxml_unescape(
+                c.find(f"{NS}is/{NS}t").text or ""
+            )
         elif kind == "b":
             cells[ref] = c.find(f"{NS}v").text == "1"
         else:
@@ -189,6 +191,25 @@ def test_xlsx_cell_values_roundtrip(tmp_path):
             else:
                 # exact double round trip via shortest repr
                 assert got == float(expect)
+
+
+def test_xlsx_ooxml_escaping(tmp_path):
+    """ECMA-376 _xHHHH_ convention: XML-illegal control chars and \\r (which
+    XML parsers normalize to \\n) survive the round trip, and a literal
+    _xHHHH_-shaped substring is itself escaped via _x005F_."""
+    pdf = pd.DataFrame(
+        {"s": ["a\rb", "c\x01d", "tab\there", "_x0041_", "nl\nok", "_x005F_"]}
+    )
+    path = str(tmp_path / "esc.xlsx")
+    minisinks.write_xlsx(pdf, path)
+    cells = _parse_sheet(path)
+    for i, expect in enumerate(pdf["s"]):
+        assert cells[f"A{i + 2}"] == expect
+    # on the wire: \r encoded, literal _x0041_ protected
+    with zipfile.ZipFile(path) as zf:
+        raw = zf.read("xl/worksheets/sheet1.xml").decode()
+    body = raw.split("<sheetData>", 1)[1]
+    assert "_x000D_" in body and "_x005F_x0041_" in body and "\r" not in body
 
 
 def test_empty_frame_roundtrip(tmp_path):
